@@ -1,0 +1,69 @@
+"""Fluent engine facade — the programmatic entry point (SURVEY.md §3.2 E2').
+
+Mirrors the reference's programmatic API (``VectorFileIO(...) →
+WithinProcess(inputs=[a,b]).compute()``, ``[R] gaia/geo/processes_base.py ::
+GaiaProcess``) as a lazy DataFrame-chaining wrapper: every method appends to
+the same Catalyst plan; nothing runs until an action.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from gaia_spark.functions.geoparse import geoparse
+from gaia_spark.operators.spatial_join import ZoneIndex, spatial_join, with_cell
+from gaia_spark.operators.knn import knn_join_broadcast, near_join
+from gaia_spark.operators.raster import point_tile_pyramid, with_tile
+from gaia_spark.operators.zonal import zonal_stats
+
+
+class GaiaFrame:
+    """A lazily-planned feature set (DataFrame + fluent spatial verbs)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- geometry derivation ------------------------------------------------
+    def geoparse(self) -> "GaiaFrame":
+        return GaiaFrame(geoparse(self.df))
+
+    def encode(self, resolutions: tuple[int, ...] = (6, 8, 10)) -> "GaiaFrame":
+        out = self.df
+        for r in resolutions:
+            out = with_cell(out, r)
+        return GaiaFrame(out)
+
+    def tile(self, zoom: int) -> "GaiaFrame":
+        return GaiaFrame(with_tile(self.df, zoom))
+
+    # -- spatial relations ---------------------------------------------------
+    def join_zones(self, index: ZoneIndex, predicate: str = "within", how: str = "inner", **kw) -> "GaiaFrame":
+        return GaiaFrame(spatial_join(self.df, index, predicate, how, **kw))
+
+    def knn(self, sites_pdf: pd.DataFrame, k: int = 1, **kw) -> "GaiaFrame":
+        return GaiaFrame(knn_join_broadcast(self.df, sites_pdf, k, **kw))
+
+    def near(self, sites_pdf: pd.DataFrame, radius_m: float, **kw) -> "GaiaFrame":
+        return GaiaFrame(near_join(self.df, sites_pdf, radius_m, **kw))
+
+    # -- aggregation ----------------------------------------------------------
+    def zonal_stats(self, value_col: str, zone_col: str = "zone_id", **kw) -> "GaiaFrame":
+        return GaiaFrame(zonal_stats(self.df, value_col, zone_col, **kw))
+
+    def tile_pyramid(self, max_zoom: int, min_zoom: int = 0) -> "GaiaFrame":
+        return GaiaFrame(point_tile_pyramid(self.df, max_zoom, min_zoom))
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def pages(self, path: str) -> GaiaFrame:
+        return GaiaFrame(self.spark.read.parquet(path))
+
+    def frame(self, df: DataFrame) -> GaiaFrame:
+        return GaiaFrame(df)
+
+    def zone_index(self, zones_pdf: pd.DataFrame, res: int | None = None) -> ZoneIndex:
+        return ZoneIndex.build(zones_pdf, res)

@@ -1,0 +1,86 @@
+"""Geoparsing: extract (lat, lon) point geometries from page text.
+
+Realizes the north-star requirement ("lat/lon extracted from text via
+vectorized Arrow UDFs, byte-identical extracted text per url") with the
+FROZEN grammar v1 from FIXTURES.md §2. The grammar is a contract: the
+``extracted`` column must be a pure function of ``text`` — never change the
+pattern; the golden hash in tests/goldens pins it.
+
+Reference role: the point-layer ingestion the reference does via fiona/
+GeoPandas (``[R] gaia/geo/geo_inputs.py :: VectorFileIO``) — here points are
+born from web text instead of GeoJSON.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+# FROZEN v1 — FIXTURES.md §2. Group 1 = whole match, 2 = lat, 3 = lon.
+GEOPARSE_PATTERN_V1 = (
+    r"(?<![0-9A-Za-z.(-])"
+    r"((-?(?:90(?:\.0{1,6})?|[0-8]?[0-9]\.[0-9]{1,6}))"
+    r"\s*,\s*"
+    r"(-?(?:180(?:\.0{1,6})?|(?:1[0-7][0-9]|[0-9]{1,2})\.[0-9]{1,6})))"
+    r"(?![0-9.])"
+)
+
+GEO_STRUCT = StructType(
+    [
+        StructField("extracted", StringType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(GEO_STRUCT)
+def geoparse_udf(text: pd.Series) -> pd.DataFrame:
+    """Arrow-batched Series→Struct extraction via pandas.str.extract.
+
+    First match wins; no match → all-NULL struct (row kept). ``extracted``
+    is the exact whole-match text (byte-identical invariant).
+    """
+    groups = text.str.extract(GEOPARSE_PATTERN_V1, expand=True)
+    out = pd.DataFrame(
+        {
+            "extracted": groups[0],
+            "lat": pd.to_numeric(groups[1], errors="coerce"),
+            "lon": pd.to_numeric(groups[2], errors="coerce"),
+        }
+    )
+    return out
+
+
+def geoparse_prefilter() -> Column:
+    """Cheap JVM-side necessary condition for a grammar match.
+
+    Any match contains <digit> \\s* , \\s* [-digit] (lat ends with a digit,
+    then the comma separator, then lon starts with '-' or a digit). Spark
+    hoists pandas UDFs into an unconditional ArrowEvalPython node, so a
+    ``when(prefilter, udf(...))`` would NOT skip work — instead the
+    prefilter nulls the UDF *input*, so the expensive grammar regex only
+    runs on candidate strings (str.extract skips NaN).
+    """
+    return F.col("text").rlike(r"[0-9]\s*,\s*-?[0-9]")
+
+
+def geoparse(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``extracted``, ``lat``, ``lon`` columns to a pages DataFrame.
+
+    NULL-safe: rows without coordinates keep NULLs (excluded from spatial
+    ops downstream by ``lat IS NOT NULL``).
+    """
+    candidate = F.when(
+        F.col(text_col).rlike(r"[0-9]\s*,\s*-?[0-9]"), F.col(text_col)
+    ).otherwise(F.lit(None).cast(StringType()))
+    geo = geoparse_udf(candidate)
+    return (
+        df.withColumn("_geo", geo)
+        .withColumn("extracted", F.col("_geo.extracted"))
+        .withColumn("lat", F.col("_geo.lat"))
+        .withColumn("lon", F.col("_geo.lon"))
+        .drop("_geo")
+    )

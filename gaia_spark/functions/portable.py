@@ -1,0 +1,146 @@
+"""Portable SQL expression builders shared by the Spark plan and the DuckDB
+correctness oracle.
+
+Every geometric/derivation formula that participates in an oracle-checked
+query is defined HERE once, as a SQL string over the intersection of Spark
+SQL and DuckDB 1.0 (ln, sin/cos/asin/tan, radians, pi, floor, least/greatest,
+%, ||). The Spark side consumes it via ``F.expr``; the oracle embeds the same
+string. Divergent builtins go through the small macro table below.
+
+Kept in lockstep with the numpy kernels in
+:mod:`gaia_spark.functions.kernel` (same formulas, same constants).
+"""
+
+from __future__ import annotations
+
+EARTH_RADIUS_M = 6371008.8
+
+SPARK = "spark"
+DUCK = "duck"
+
+# --- dialect macros ---------------------------------------------------------
+
+def md5_int60(s: str, dialect: str) -> str:
+    """First 60 bits of md5(s) as a non-negative BIGINT — the cross-engine
+    deterministic hash used for MinHash/SimHash/LSH (md5 output is identical
+    in Spark and DuckDB; only hex→int differs)."""
+    if dialect == SPARK:
+        return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+    return f"cast('0x' || substr(md5({s}), 1, 15) as bigint)"
+
+
+def split_ws(s: str, dialect: str) -> str:
+    """Whitespace tokenization (identical token streams in both engines)."""
+    if dialect == SPARK:
+        return f"split(trim({s}), '\\\\s+')"
+    return f"string_split_regex(trim({s}), '\\s+')"
+
+
+def elem(arr: str, idx1: str, dialect: str) -> str:
+    """1-based array element access."""
+    if dialect == SPARK:
+        return f"element_at({arr}, {idx1})"
+    return f"list_element({arr}, {idx1})"
+
+
+def arr_size(arr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"size({arr})"
+    return f"len({arr})"
+
+
+# --- shared formulas (verbatim in both dialects) -----------------------------
+
+def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in metres. Same ops/order as kernel.haversine_m."""
+    return (
+        f"(2.0 * {EARTH_RADIUS_M} * asin(sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+    )
+
+
+def idiv_sql(a: str, b: int) -> str:
+    """Non-negative integer division, portable (no >> operator in Spark SQL,
+    no shiftright() in DuckDB). Exact for values < 2^52."""
+    return f"cast(floor(({a}) / {float(b)}) as bigint)"
+
+
+def clamp_sql(v: str, lo: str, hi: str) -> str:
+    return f"least({hi}, greatest({lo}, {v}))"
+
+
+def cell_x_sql(lon: str, res: int) -> str:
+    n = 1 << res
+    raw = f"cast(floor((({lon}) + 180.0) / 360.0 * {n}) as bigint)"
+    return clamp_sql(raw, "0", str(n - 1))
+
+
+def cell_y_sql(lat: str, res: int) -> str:
+    n = 1 << res
+    raw = f"cast(floor((90.0 - ({lat})) / 180.0 * {n}) as bigint)"
+    return clamp_sql(raw, "0", str(n - 1))
+
+
+def cell_id_sql(lat: str, lon: str, res: int) -> str:
+    """Row-major packed grid cell id: y·2^res + x (kernel.cell_encode)."""
+    n = 1 << res
+    return f"({cell_y_sql(lat, res)} * {n} + {cell_x_sql(lon, res)})"
+
+
+def cell_parent_sql(cell: str, res: int, parent_res: int) -> str:
+    """Ancestor cell id at a coarser resolution, from a packed id."""
+    n, shift = 1 << res, res - parent_res
+    pn = 1 << parent_res
+    x, y = f"(({cell}) % {n})", idiv_sql(cell, n)
+    return f"({idiv_sql(y, 1 << shift)} * {pn} + {idiv_sql(x, 1 << shift)})"
+
+
+def tile_x_sql(lon: str, zoom: int) -> str:
+    return cell_x_sql(lon, zoom)  # same formula
+
+
+def tile_y_sql(lat: str, zoom: int) -> str:
+    """Web-Mercator tile row; ln(tan+sec) form — DuckDB 1.0 has no asinh."""
+    n = 1 << zoom
+    lat_c = clamp_sql(lat, "-85.05112877980659", "85.05112877980659")
+    merc = f"ln(tan(radians({lat_c})) + 1.0 / cos(radians({lat_c})))"
+    raw = f"cast(floor((1.0 - {merc} / pi()) / 2.0 * {n}) as bigint)"
+    return clamp_sql(raw, "0", str(n - 1))
+
+
+def rect_area_m2_sql(min_lat: str, min_lon: str, max_lat: str, max_lon: str) -> str:
+    """Spherical area of a lat/lon-aligned rectangle (m²); equals
+    kernel.polygon_area_m2 of its 5-point ring for rect zones."""
+    r2 = EARTH_RADIUS_M * EARTH_RADIUS_M
+    return (
+        f"({r2} * (radians({max_lon}) - radians({min_lon})) * "
+        f"abs(sin(radians({max_lat})) - sin(radians({min_lat}))))"
+    )
+
+
+# --- deterministic key-derived test geometry (FIXTURES.md §6) -----------------
+
+def key_lat_sql(key: str) -> str:
+    """lat in [-85, 85) derived from an integer key — identical in both
+    engines, which makes spatial joins fully value-hash oracle-checkable."""
+    return f"((({key}) * 7919 % 17000) / 100.0 - 85.0)"
+
+
+def key_lon_sql(key: str) -> str:
+    return f"((({key}) * 104729 % 36000) / 100.0 - 180.0)"
+
+
+def key_lat_py(key):
+    import numpy as np
+
+    k = np.asarray(key, dtype=np.int64)
+    return (k * 7919 % 17000) / 100.0 - 85.0
+
+
+def key_lon_py(key):
+    import numpy as np
+
+    k = np.asarray(key, dtype=np.int64)
+    return (k * 104729 % 36000) / 100.0 - 180.0

@@ -1,0 +1,237 @@
+"""Distance / nearest / kNN joins — two-phase candidate/refine.
+
+Reference semantics: ``[R] gaia/geo/processes_vector.py ::
+DistanceProcess.compute`` (distance of each input-1 feature to the nearest
+input-2 feature, added as a ``distance`` column) and ``NearProcess``
+(features within distance d). kNN (k>1) is required beyond the reference by
+the north rule ("distance/buffer kNN search").
+
+Two physical strategies:
+
+- **broadcast** — the site side fits in executor memory (the common
+  web-pipeline shape: billions of pages vs 10²..10⁵ sites). Zero shuffle:
+  one mapInPandas pass computes a vectorized (batch × m) haversine matrix
+  and argpartitions top-k. Scales linearly in pages.
+- **cell ring expansion** — both sides large. Sites are exploded to cell
+  rings of growing Chebyshev radius; each round is a cell equi-join +
+  per-point top-k; a point retires when its k-th best distance beats the
+  conservative lower bound of the next unexplored ring
+  (kernel.ring_lower_bound_m), or when the ring exhausts the grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from gaia_spark.functions import portable
+from gaia_spark.functions.kernel import (
+    cell_encode,
+    haversine_m,
+    kring,
+    ring_lower_bound_m,
+    ring_only,
+)
+from gaia_spark.operators.spatial_join import with_cell
+
+
+def knn_join_broadcast(
+    points: DataFrame,
+    sites_pdf: pd.DataFrame,
+    k: int = 1,
+    point_key: str = "url",
+    site_key: str = "site_id",
+    site_lat: str = "lat",
+    site_lon: str = "lon",
+) -> DataFrame:
+    """Top-k nearest sites per point; returns (point_key, site_id, dist_m, rank).
+
+    Ties broken by site id ascending (deterministic, oracle-mirrorable).
+    """
+    s_ids = sites_pdf[site_key].to_numpy(dtype=np.int64)
+    order = np.argsort(s_ids)
+    s_ids = s_ids[order]
+    s_lat = sites_pdf[site_lat].to_numpy(dtype=np.float64)[order]
+    s_lon = sites_pdf[site_lon].to_numpy(dtype=np.float64)[order]
+    bc = points.sparkSession.sparkContext.broadcast((s_ids, s_lat, s_lon))
+    kk = int(k)
+
+    def topk(batches):
+        ids, lats, lons = bc.value
+        m = len(ids)
+        take = min(kk, m)
+        for b in batches:
+            if not len(b):
+                continue
+            plat = b["lat"].to_numpy(dtype=np.float64)
+            plon = b["lon"].to_numpy(dtype=np.float64)
+            d = haversine_m(plat[:, None], plon[:, None], lats[None, :], lons[None, :])
+            if take < m:
+                idx = np.argpartition(d, take - 1, axis=1)[:, :take]
+            else:
+                idx = np.broadcast_to(np.arange(m), (len(b), m)).copy()
+            dd = np.take_along_axis(d, idx, axis=1)
+            # sort the k candidates by (dist, site_id): site ids are already
+            # ascending, stable mergesort on dist preserves id order on ties
+            ord2 = np.argsort(dd, axis=1, kind="stable")
+            idx = np.take_along_axis(idx, ord2, axis=1)
+            dd = np.take_along_axis(dd, ord2, axis=1)
+            n = len(b)
+            yield pd.DataFrame(
+                {
+                    "point_key": np.repeat(b["_pk"].to_numpy(), take),
+                    "site_id": ids[idx].ravel(),
+                    "dist_m": dd.ravel(),
+                    "rank": np.tile(np.arange(1, take + 1), n),
+                }
+            )
+
+    slim = points.where(F.col("lat").isNotNull()).select(
+        F.col(point_key).alias("_pk"), "lat", "lon"
+    )
+    out = slim.mapInPandas(
+        topk, "point_key string, site_id long, dist_m double, rank int"
+    )
+    return out.withColumnRenamed("point_key", point_key)
+
+
+def distance_to_nearest(points: DataFrame, sites_pdf: pd.DataFrame, **kw) -> DataFrame:
+    """DistanceProcess: per point the nearest site id + distance (k=1)."""
+    return knn_join_broadcast(points, sites_pdf, k=1, **kw).drop("rank")
+
+
+def near_join(
+    points: DataFrame,
+    sites_pdf: pd.DataFrame,
+    radius_m: float,
+    point_key: str = "url",
+    site_key: str = "site_id",
+) -> DataFrame:
+    """NearProcess / buffer-as-predicate: all (point, site) pairs with
+    haversine ≤ radius_m. Cell-cover candidate join + codegen'd refine —
+    the haversine refine is pure SQL (portable), so the whole refine stage
+    stays JVM-side."""
+    spark = points.sparkSession
+    # resolution: cells comparable to the radius
+    deg = max(radius_m / 111_320.0, 1e-5)
+    res = int(np.clip(round(np.log2(360.0 / deg) - 1), 2, 14))
+    rows = []
+    for s in sites_pdf.itertuples(index=False):
+        sid = int(getattr(s, site_key))
+        slat, slon = float(s.lat), float(s.lon)
+        ring_r = int(np.ceil(deg / (180.0 / (1 << res)))) + 1
+        c = cell_encode(np.array([slat]), np.array([slon]), res)[0]
+        for cell in kring(int(c), res, ring_r):
+            rows.append((sid, slat, slon, int(cell)))
+    cover = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["site_id", "site_lat", "site_lon", "cell"]),
+        "site_id long, site_lat double, site_lon double, cell long",
+    )
+    pts = with_cell(points.where(F.col("lat").isNotNull()), res, out="_cell")
+    dist = F.expr(portable.haversine_m_sql("lat", "lon", "site_lat", "site_lon"))
+    return (
+        pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"], "inner")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        .drop("_cell", "cell", "site_lat", "site_lon")
+    )
+
+
+def knn_join_cells(
+    points: DataFrame,
+    sites_df: DataFrame,
+    k: int = 1,
+    res: int = 6,
+    point_key: str = "url",
+    site_key: str = "site_id",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Distributed kNN via iterative cell-ring expansion (both sides large).
+
+    Round ρ joins still-unsettled points against the sites exploded to their
+    ring-ρ cells only (hollow rings — no candidate is generated twice), keeps
+    a running top-k per point, and settles points whose k-th distance beats
+    the next ring's conservative lower bound. The driver loop is bounded;
+    stragglers that never settle (polar cells) fall back to comparing against
+    every remaining ring at once in the final round.
+    """
+    spark = points.sparkSession
+    n = 1 << res
+    sites_pdf = sites_df.select(
+        F.col(site_key).alias("site_id"), F.col("lat").alias("site_lat"), F.col("lon").alias("site_lon")
+    ).toPandas()
+
+    pts = (
+        points.where(F.col("lat").isNotNull())
+        .select(F.col(point_key).alias("_pk"), "lat", "lon")
+        .withColumn("_cell", F.expr(portable.cell_id_sql("lat", "lon", res)))
+    )
+    pending = pts
+    best: DataFrame | None = None
+    s_cells = cell_encode(sites_pdf["site_lat"].to_numpy(), sites_pdf["site_lon"].to_numpy(), res)
+
+    for rho in range(max_rounds + 1):
+        last = rho == max_rounds
+        rows = []
+        for i, sc in enumerate(s_cells):
+            ring = (
+                kring(int(sc), res, n)  # everything
+                if last
+                else ring_only(int(sc), res, rho)
+            )
+            for cell in ring:
+                rows.append((int(sites_pdf["site_id"].iloc[i]), float(sites_pdf["site_lat"].iloc[i]), float(sites_pdf["site_lon"].iloc[i]), int(cell)))
+        if rows:
+            cover = spark.createDataFrame(
+                pd.DataFrame(rows, columns=["site_id", "site_lat", "site_lon", "cell"]).drop_duplicates(),
+                "site_id long, site_lat double, site_lon double, cell long",
+            )
+            dist = F.expr(portable.haversine_m_sql("lat", "lon", "site_lat", "site_lon"))
+            cand = (
+                pending.join(F.broadcast(cover), pending["_cell"] == cover["cell"], "inner")
+                .withColumn("dist_m", dist)
+                .select("_pk", "lat", "lon", "_cell", "site_id", "dist_m")
+            )
+            best = cand if best is None else best.unionByName(cand)
+            w = Window.partitionBy("_pk").orderBy(F.asc("dist_m"), F.asc("site_id"))
+            best = (
+                best.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .drop("_rn")
+                .localCheckpoint(eager=True)  # cut the iterative lineage
+            )
+        if last:
+            break
+        # settle points: k candidates found and kth dist < next ring bound
+        settled_keys = None
+        if best is not None:
+            agg = best.groupBy("_pk", "lat").agg(
+                F.count("*").alias("_nc"), F.max("dist_m").alias("_dk")
+            )
+            # lower bound on distance to any cell in rings > rho, mirroring
+            # kernel.ring_lower_bound_m(lat, res, rho+1) as a pure expression
+            cell_h_deg = 180.0 / n
+            vert = F.lit(rho * cell_h_deg * 110_000.0)
+            max_abs_lat = F.least(F.lit(90.0), F.abs(F.col("lat")) + F.lit((rho + 2) * cell_h_deg))
+            horiz = (
+                F.lit(rho * (360.0 / n) * 111_320.0)
+                * F.greatest(F.lit(0.0), F.cos(F.radians(max_abs_lat)))
+            )
+            settled_keys = agg.where(
+                (F.col("_nc") >= k) & (F.col("_dk") < F.least(vert, horiz))
+            ).select("_pk")
+        if settled_keys is not None:
+            pending = pending.join(settled_keys, "_pk", "left_anti").localCheckpoint(eager=True)
+        if pending.isEmpty():
+            break
+
+    assert best is not None
+    return (
+        best.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("_pk").orderBy(F.asc("dist_m"), F.asc("site_id"))),
+        )
+        .select(F.col("_pk").alias(point_key), "site_id", "dist_m", "rank")
+    )

@@ -1,0 +1,227 @@
+"""Raster ↔ vector bridging: tile pyramids, raster math, clip, vectorize.
+
+Reference semantics: ``[R] gaia/geo/processes_raster.py ::
+{SubsetProcess,RasterMathProcess}`` backed by ``[R] gaia/geo/
+gdal_functions.py :: {gdal_clip, gdal_calc, gdal_zonalstats}``. The raster
+model here is the north-star one: tile pyramids as DataFrames keyed by
+(zoom, x, y) with ``px: array<float>`` 64×64 row-major pixel payloads, plus
+aggregated tile *stat* pyramids built from point data by rollup.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gaia_spark.functions import portable
+from gaia_spark.functions.kernel import tile_bounds
+from gaia_spark.synth import RASTER_SCHEMA, TILE_PX
+
+
+def with_tile(df: DataFrame, zoom: int, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Attach Web-Mercator XYZ tile coordinates — pure SQL (codegen +
+    oracle-mirrorable), SURVEY.md §2.E 'tile assign'."""
+    return df.withColumn("zoom", F.lit(zoom)).withColumn(
+        "tx", F.expr(portable.tile_x_sql(lon, zoom))
+    ).withColumn("ty", F.expr(portable.tile_y_sql(lat, zoom)))
+
+
+def point_tile_pyramid(points: DataFrame, max_zoom: int, min_zoom: int = 0) -> DataFrame:
+    """Aggregate points once at max_zoom, then roll the pyramid up zoom by
+    zoom with integer-shift parent keys — each level aggregates the previous
+    one (2^z× smaller), never re-scanning the input (SURVEY.md §2.D rollup).
+    """
+    base = (
+        with_tile(points.where(F.col("lat").isNotNull()), max_zoom)
+        .groupBy("zoom", "tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+    levels = [base]
+    cur = base
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(z).alias("zoom"),
+                F.expr(portable.idiv_sql("tx", 2)).alias("tx"),
+                F.expr(portable.idiv_sql("ty", 2)).alias("ty"),
+                "n",
+            )
+            .groupBy("zoom", "tx", "ty")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def raster_math(raster: DataFrame, calc: str, bands: tuple[int, ...] = (0, 1)) -> DataFrame:
+    """RasterMathProcess: per-tile band algebra, e.g. calc='A + 2*B'.
+
+    Bands are pivoted onto one row per (zoom,x,y) and the numpy expression
+    is evaluated per tile in an Arrow-batched grouped-map — the direct
+    analogue of ``gdal_calc``'s lettered-band eval, but distributed.
+    Only numpy-evaluable arithmetic on band letters A..Z is accepted.
+    """
+    letters = [chr(ord("A") + i) for i in range(len(bands))]
+    allowed = set("+-*/(). 0123456789") | set(letters) | set("npsqrtminmaxabsloexp,_")
+    if not set(calc.replace("np.", "")) <= allowed:
+        raise ValueError(f"calc expression not allowed: {calc!r}")
+
+    piv = (
+        raster.where(F.col("band").isin(list(bands)))
+        .groupBy("zoom", "x", "y")
+        .pivot("band", list(bands))
+        .agg(F.first("px"))
+    )
+    for b, letter in zip(bands, letters):
+        piv = piv.withColumnRenamed(str(b), f"_px_{letter}")
+
+    def calc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        env_base = {"np": np}
+        for bdf in batches:
+            if not len(bdf):
+                continue
+            env = dict(env_base)
+            for letter in letters:
+                env[letter] = np.stack(
+                    [np.asarray(p, dtype=np.float64) for p in bdf[f"_px_{letter}"]]
+                )
+            res = eval(calc, {"__builtins__": {}}, env)  # noqa: S307 — validated charset
+            yield pd.DataFrame(
+                {
+                    "zoom": bdf["zoom"],
+                    "x": bdf["x"],
+                    "y": bdf["y"],
+                    "band": 0,
+                    "px": [r.astype(np.float32).tolist() for r in res],
+                }
+            )
+
+    return piv.mapInPandas(calc_batch, RASTER_SCHEMA)
+
+
+def pixels_of(raster: DataFrame) -> DataFrame:
+    """Explode tiles to per-pixel rows with center lat/lon — the
+    raster→vector bridge feeding zonal stats. Lazy/pipelined."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bdf in batches:
+            out = []
+            for row in bdf.itertuples(index=False):
+                z, x, y, b = int(row.zoom), int(row.x), int(row.y), int(row.band)
+                lat0, lat1, lon0, lon1 = tile_bounds(z, x, y)
+                lats = np.linspace(lat1, lat0, TILE_PX, endpoint=False) - (lat1 - lat0) / (2 * TILE_PX)
+                lons = np.linspace(lon0, lon1, TILE_PX, endpoint=False) + (lon1 - lon0) / (2 * TILE_PX)
+                glon, glat = np.meshgrid(lons, lats)
+                v = np.asarray(row.px, dtype=np.float64)
+                # pixel_id packs (z,x,y,pixel) uniquely for zooms ≤ 16
+                pid = (np.int64(((z * (1 << 16) + x) * (1 << 16) + y)) * np.int64(TILE_PX * TILE_PX)
+                       + np.arange(TILE_PX * TILE_PX, dtype=np.int64))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "pixel_id": pid,
+                            "lat": glat.ravel(),
+                            "lon": glon.ravel(),
+                            "v": v,
+                            "band": b,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return raster.mapInPandas(
+        expand, "pixel_id long, lat double, lon double, v double, band int"
+    )
+
+
+def clip_raster(raster: DataFrame, index) -> DataFrame:
+    """SubsetProcess (gdal_clip): keep tiles intersecting the zone cover;
+    edge tiles get out-of-zone pixels masked to NaN by the PIP kernel."""
+    from gaia_spark.functions.kernel import PreparedPolygon
+
+    spark = raster.sparkSession
+    zooms = [r.zoom for r in raster.select("zoom").distinct().collect()]
+    frames = []
+    for z in zooms:
+        rows = []
+        for zid, prep in _prepared_of(index).items():
+            full, partial = _tile_cover(prep, z)
+            rows += [(int(zid), z, int(c) % (1 << z), int(c) // (1 << z), True) for c in full]
+            rows += [(int(zid), z, int(c) % (1 << z), int(c) // (1 << z), False) for c in partial]
+        frames.append(pd.DataFrame(rows, columns=["zone_id", "zoom", "x", "y", "full"]))
+    cover = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True), "zone_id long, zoom int, x int, y int, full boolean"
+    )
+    hit = raster.join(F.broadcast(cover), ["zoom", "x", "y"], "inner")
+
+    bc = spark.sparkContext.broadcast(
+        {z: (p.y1.copy(), p.x1.copy()) for z, p in _prepared_of(index).items()}
+    )
+
+    def mask(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        polys = bc.value
+        for bdf in batches:
+            out = []
+            for row in bdf.itertuples(index=False):
+                z, x, y = int(row.zoom), int(row.x), int(row.y)
+                px = np.asarray(row.px, dtype=np.float32)
+                if not bool(row.full):
+                    lat0, lat1, lon0, lon1 = tile_bounds(z, x, y)
+                    lats = np.linspace(lat1, lat0, TILE_PX, endpoint=False) - (lat1 - lat0) / (2 * TILE_PX)
+                    lons = np.linspace(lon0, lon1, TILE_PX, endpoint=False) + (lon1 - lon0) / (2 * TILE_PX)
+                    glon, glat = np.meshgrid(lons, lats)
+                    prep = PreparedPolygon(*polys[int(row.zone_id)])
+                    keep = prep.covers(glat.ravel(), glon.ravel())
+                    px = np.where(keep, px, np.nan).astype(np.float32)
+                out.append((z, x, y, int(row.band), px.tolist()))
+            yield pd.DataFrame(out, columns=["zoom", "x", "y", "band", "px"])
+
+    return hit.mapInPandas(mask, RASTER_SCHEMA)
+
+
+def _prepared_of(index) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """All zones of a ZoneIndex as vertex rings (rects get 5-point rings)."""
+    out = dict(index.prepared)
+    for z in index.zones_pdf.itertuples(index=False):
+        zid = int(z.zone_id)
+        if zid not in out:
+            la0, lo0, la1, lo1 = z.min_lat, z.min_lon, z.max_lat, z.max_lon
+            out[zid] = (
+                np.array([la0, la0, la1, la1, la0]),
+                np.array([lo0, lo1, lo1, lo0, lo0]),
+            )
+    return out
+
+
+def _tile_cover(ring: tuple[np.ndarray, np.ndarray], zoom: int):
+    """Full/partial XYZ tile cover of a vertex ring (Mercator grid)."""
+    from gaia_spark.functions.kernel import PreparedPolygon, tile_xy
+
+    prep = PreparedPolygon(*ring)
+    n = 1 << zoom
+    x0, y1 = tile_xy(np.array([prep.min_lat]), np.array([prep.min_lon]), zoom)
+    x1, y0 = tile_xy(np.array([prep.max_lat]), np.array([prep.max_lon]), zoom)
+    full, partial = [], []
+    for yy in range(int(y0[0]), int(y1[0]) + 1):
+        for xx in range(int(x0[0]), int(x1[0]) + 1):
+            lat0, lat1, lon0, lon1 = tile_bounds(zoom, xx, yy)
+            cl = np.array([lat0, lat0, lat1, lat1, (lat0 + lat1) / 2])
+            co = np.array([lon0, lon1, lon0, lon1, (lon0 + lon1) / 2])
+            cov = prep.covers(cl, co)
+            vin = (
+                (prep.y1 >= lat0) & (prep.y1 <= lat1) & (prep.x1 >= lon0) & (prep.x1 <= lon1)
+            ).any()
+            cell = yy * n + xx
+            if cov.all() and not vin:
+                full.append(cell)
+            else:
+                partial.append(cell)
+    return full, partial

@@ -1,0 +1,108 @@
+"""Per-feature scalar geometry: buffer / centroid / area / length.
+
+Reference semantics: ``[R] gaia/geo/processes_vector.py ::
+{Buffer,Centroid,Area,Length}Process`` — each adds a derived geometry or
+measure column. Vectorized numpy in Arrow-batched pandas UDFs over the
+``array<struct<lat,lon>>`` ring encoding; no shapely objects ever cross the
+Arrow boundary (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+from gaia_spark.functions.kernel import (
+    destination_point,
+    polygon_area_m2,
+    polyline_length_m,
+)
+
+RING = ArrayType(
+    StructType([StructField("lat", DoubleType()), StructField("lon", DoubleType())])
+)
+
+
+@F.pandas_udf(DoubleType())
+def ring_area_m2(vertices: pd.Series) -> pd.Series:
+    """Spherical polygon area (m²) per ring — AreaProcess."""
+    def one(v):
+        if v is None or len(v) < 3:
+            return 0.0
+        return polygon_area_m2(
+            np.array([p["lat"] for p in v]), np.array([p["lon"] for p in v])
+        )
+    return vertices.map(one)
+
+
+@F.pandas_udf(DoubleType())
+def ring_length_m(vertices: pd.Series) -> pd.Series:
+    """Perimeter / polyline length (m) — LengthProcess."""
+    def one(v):
+        if v is None or len(v) < 2:
+            return 0.0
+        return polyline_length_m(
+            np.array([p["lat"] for p in v]), np.array([p["lon"] for p in v])
+        )
+    return vertices.map(one)
+
+
+centroid_schema = StructType(
+    [StructField("lat", DoubleType()), StructField("lon", DoubleType())]
+)
+
+
+@F.pandas_udf(centroid_schema)
+def ring_centroid(vertices: pd.Series) -> pd.DataFrame:
+    """Vertex-mean centroid per feature (closing vertex dropped) —
+    CentroidProcess per-feature variant."""
+    lats, lons = [], []
+    for v in vertices:
+        if v is None or len(v) == 0:
+            lats.append(None); lons.append(None); continue
+        vl = [p["lat"] for p in v]
+        vo = [p["lon"] for p in v]
+        if len(vl) > 1 and vl[0] == vl[-1] and vo[0] == vo[-1]:
+            vl, vo = vl[:-1], vo[:-1]
+        lats.append(float(np.mean(vl)))
+        lons.append(float(np.mean(vo)))
+    return pd.DataFrame({"lat": lats, "lon": lons})
+
+
+def combined_centroid(points: DataFrame) -> DataFrame:
+    """CentroidProcess(combined=True): centroid of the whole point set —
+    one tiny agg, aliased for oracle parity."""
+    return points.where(F.col("lat").isNotNull()).agg(
+        F.avg("lat").alias("centroid_lat"), F.avg("lon").alias("centroid_lon")
+    )
+
+
+@F.pandas_udf(RING)
+def buffer_ngon_udf(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.Series:
+    """BufferProcess for points: a 32-gon spherical circle polygon.
+
+    For *predicates* prefer the haversine form (operators.knn.near_join) —
+    materialize polygons only for export/visualisation.
+    """
+    n = 32
+    bearings = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    out = []
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    r = radius_m.to_numpy(dtype=np.float64)
+    for i in range(len(la)):
+        if np.isnan(la[i]):
+            out.append(None)
+            continue
+        blat, blon = destination_point(la[i], lo[i], bearings, r[i])
+        ring = [{"lat": float(a), "lon": float(b)} for a, b in zip(blat, blon)]
+        ring.append(ring[0])
+        out.append(ring)
+    return pd.Series(out)
+
+
+def add_buffer(points: DataFrame, radius_m: float, out: str = "buffer") -> DataFrame:
+    return points.withColumn(out, buffer_ngon_udf("lat", "lon", F.lit(float(radius_m))))

@@ -1,0 +1,221 @@
+"""Spatial relation joins: within / intersects / disjoint / touches / equals.
+
+Reference semantics: ``[R] gaia/geo/processes_vector.py ::
+{Within,Intersects,Disjoint,Touches,Equals}Process.compute`` — keep the
+features of input-1 that stand in the named DE-9IM-ish relation to input-2.
+The reference computes them as O(n·m) pandas/shapely scans on one node; here
+every relation is the same two-phase Spark plan (SURVEY.md §2.C):
+
+1. **candidate generation** — an equi-join on quadtree cell id between the
+   point side (cell computed by pure-SQL integer math, whole-stage codegen)
+   and the polygon side's exploded multi-resolution *cell cover*
+   (full/partial classified at build time);
+2. **refinement** — full-cover cells need no geometry test at all; partial
+   rect cells refine with a codegen'd BETWEEN; partial irregular-polygon
+   cells refine in an Arrow-batched numpy ray-casting UDF over precompiled
+   edge tables (the "prepared geometry" role).
+
+The polygon side is tiny next to a web-scale pages table, so the cover is
+broadcast (zero shuffle). A salted sort-merge path exists for the
+large↔large case and for skew-stress tests.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import BooleanType
+
+from gaia_spark.functions import portable
+from gaia_spark.functions.kernel import PreparedPolygon, polygon_cover
+
+PREDICATES = ("within", "intersects", "touches", "disjoint")
+
+
+def pick_resolution(zones_pdf: pd.DataFrame) -> int:
+    """Grid resolution so a median zone spans ~3 cells per axis (bounded
+    cover size per zone, bounded candidate fan-out per point)."""
+    h = (zones_pdf["max_lat"] - zones_pdf["min_lat"]).median()
+    w = (zones_pdf["max_lon"] - zones_pdf["min_lon"]).median()
+    size = max(float(min(h, w)), 1e-6)
+    return int(np.clip(round(math.log2(540.0 / size)), 2, 14))
+
+
+@dataclass
+class ZoneIndex:
+    """Driver-built broadcastable index over a (small) polygon layer."""
+
+    res: int
+    cover_pdf: pd.DataFrame  # zone_id, cell, full, kind, min/max bounds
+    prepared: dict[int, tuple[np.ndarray, np.ndarray]]  # zone_id -> (ring lats, ring lons)
+    zones_pdf: pd.DataFrame
+
+    @classmethod
+    def build(cls, zones_pdf: pd.DataFrame, res: int | None = None) -> "ZoneIndex":
+        res = res if res is not None else pick_resolution(zones_pdf)
+        rows, prepared = [], {}
+        for z in zones_pdf.itertuples(index=False):
+            vlats = np.array([v["lat"] for v in z.vertices], dtype=np.float64)
+            vlons = np.array([v["lon"] for v in z.vertices], dtype=np.float64)
+            prep = PreparedPolygon(vlats, vlons)
+            if z.kind == "poly":
+                prepared[int(z.zone_id)] = (vlats, vlons)
+            full, partial = polygon_cover(prep, res)
+            for c in full:
+                rows.append((int(z.zone_id), int(c), True, z.kind, z.min_lat, z.min_lon, z.max_lat, z.max_lon))
+            for c in partial:
+                rows.append((int(z.zone_id), int(c), False, z.kind, z.min_lat, z.min_lon, z.max_lat, z.max_lon))
+        cover = pd.DataFrame(
+            rows,
+            columns=["zone_id", "cell", "full", "kind", "min_lat", "min_lon", "max_lat", "max_lon"],
+        )
+        return cls(res=res, cover_pdf=cover, prepared=prepared, zones_pdf=zones_pdf)
+
+    def cover_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.cover_pdf,
+            "zone_id long, cell long, full boolean, kind string, "
+            "min_lat double, min_lon double, max_lat double, max_lon double",
+        )
+
+
+def _pip_refine_udf(spark: SparkSession, prepared: dict[int, tuple[np.ndarray, np.ndarray]], mode: str):
+    """Arrow-batched ray-casting refinement over broadcast edge tables.
+
+    mode: 'interior' (strict within), 'covers' (interior or boundary),
+    'boundary' (touches). Rows with NULL zone_id (pre-decided JVM-side)
+    return False cheaply.
+    """
+    bc = spark.sparkContext.broadcast({z: (la.copy(), lo.copy()) for z, (la, lo) in prepared.items()})
+
+    @F.pandas_udf(BooleanType())
+    def pip(zone_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
+        out = np.zeros(len(zone_id), dtype=bool)
+        valid = zone_id.notna().to_numpy()
+        if valid.any():
+            zs = zone_id.to_numpy(dtype="float64")
+            lats = lat.to_numpy(dtype="float64")
+            lons = lon.to_numpy(dtype="float64")
+            polys = bc.value
+            for z in np.unique(zs[valid]):
+                zi = int(z)
+                if zi not in polys:
+                    continue
+                m = valid & (zs == z)
+                prep = PreparedPolygon(*polys[zi])
+                if mode == "interior":
+                    r = prep.contains(lats[m], lons[m]) & ~prep.on_boundary(lats[m], lons[m])
+                elif mode == "covers":
+                    r = prep.contains(lats[m], lons[m]) | prep.on_boundary(lats[m], lons[m])
+                else:  # boundary
+                    r = prep.on_boundary(lats[m], lons[m])
+                out[m] = r
+        return pd.Series(out)
+
+    return pip
+
+
+def with_cell(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon", out: str | None = None) -> DataFrame:
+    """Attach the packed grid-cell id — pure SQL math, codegen'd, and
+    mirrored verbatim by the DuckDB oracle (portable.cell_id_sql)."""
+    return df.withColumn(out or f"cell_r{res}", F.expr(portable.cell_id_sql(lat, lon, res)))
+
+
+def spatial_join(
+    points: DataFrame,
+    index: ZoneIndex,
+    predicate: str = "within",
+    how: str = "inner",
+    point_key: str = "url",
+    strategy: str = "broadcast",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Two-phase cell-bucketed spatial join of points against a zone index.
+
+    how='inner' → point columns + zone_id (one row per matching pair;
+    overlapping zones produce multiple rows, as the reference's join-style
+    output does); how='semi' → points matching ≥1 zone, deduped;
+    how='anti' → points matching none (DisjointProcess).
+    """
+    if predicate == "disjoint":
+        return spatial_join(points, index, "intersects", "anti", point_key, strategy, n_salt)
+    if predicate not in PREDICATES:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"unknown how {how!r}")
+
+    spark = points.sparkSession
+    res = index.res
+    pts = points.where(F.col("lat").isNotNull())
+    pts = with_cell(pts, res, out="_cell")
+
+    cover = index.cover_df(spark)
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"], "inner")
+    else:
+        # large↔large: sort-merge on a salted key; points pick a deterministic
+        # salt, the (smaller) cover side is exploded across all salts so no
+        # pair is lost. AQE skew-join splitting stays on as a second line.
+        pts = pts.withColumn("_salt", F.pmod(F.xxhash64(F.col(point_key)), F.lit(n_salt)))
+        cover = cover.withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
+        cand = pts.join(cover, (pts["_cell"] == cover["cell"]) & (pts["_salt"] == cover["_salt"]), "inner")
+
+    lat, lon = F.col("lat"), F.col("lon")
+    strict_in_bbox = (
+        (lat > F.col("min_lat")) & (lat < F.col("max_lat"))
+        & (lon > F.col("min_lon")) & (lon < F.col("max_lon"))
+    )
+    closed_in_bbox = (
+        (lat >= F.col("min_lat")) & (lat <= F.col("max_lat"))
+        & (lon >= F.col("min_lon")) & (lon <= F.col("max_lon"))
+    )
+    on_bbox_edge = closed_in_bbox & (
+        (lat == F.col("min_lat")) | (lat == F.col("max_lat"))
+        | (lon == F.col("min_lon")) | (lon == F.col("max_lon"))
+    )
+
+    is_rect, is_poly = F.col("kind") == "rect", F.col("kind") == "poly"
+    if predicate == "within":
+        rect_ok = strict_in_bbox
+        pip_mode = "interior"
+    elif predicate == "intersects":
+        rect_ok = closed_in_bbox
+        pip_mode = "covers"
+    else:  # touches
+        rect_ok = on_bbox_edge
+        pip_mode = "boundary"
+
+    # full cells decide rect/poly 'within'/'intersects' without any geometry
+    # test; 'touches' can never come from a full-interior cell.
+    full_ok = F.col("full") & F.lit(predicate != "touches")
+    jvm_decided = full_ok | (is_rect & rect_ok)
+
+    needs_pip = is_poly & ~full_ok
+    pip = _pip_refine_udf(spark, index.prepared, pip_mode)
+    pip_ok = needs_pip & pip(
+        F.when(needs_pip, F.col("zone_id")), lat, lon
+    )
+    matched = cand.where(jvm_decided | pip_ok)
+
+    if how == "inner":
+        return matched.drop("_cell", "_salt", "cell", "full", "kind", "min_lat", "min_lon", "max_lat", "max_lon")
+    hits = matched.select(point_key).distinct()
+    join_type = "left_semi" if how == "semi" else "left_anti"
+    return points.join(hits, point_key, join_type)
+
+
+def equals_join(points_a: DataFrame, points_b: DataFrame, key_a: str = "url", key_b: str = "url") -> DataFrame:
+    """EqualsProcess for point layers: exact coordinate equality is a plain
+    equi-join on (lat, lon) — no cell plumbing needed
+    (``[R] gaia/geo/processes_vector.py :: EqualsProcess``)."""
+    b = points_b.select(
+        F.col(key_b).alias("b_key"), F.col("lat").alias("b_lat"), F.col("lon").alias("b_lon")
+    )
+    return points_a.join(
+        b, (F.col("lat") == F.col("b_lat")) & (F.col("lon") == F.col("b_lon")), "inner"
+    ).drop("b_lat", "b_lon")

@@ -1,0 +1,66 @@
+"""Frozen-grammar geoparse tests + golden hash (FIXTURES.md §2)."""
+
+import hashlib
+import os
+import re
+
+import pyspark.sql.functions as F
+
+from gaia_spark.functions.geoparse import GEOPARSE_PATTERN_V1, geoparse
+from gaia_spark.synth import synth_pages
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "geoparse_v1.sha256")
+
+
+def test_grammar_cases():
+    pat = re.compile(GEOPARSE_PATTERN_V1)
+    ok = {
+        "geo: 12.345678,-73.123456": ("12.345678", "-73.123456"),
+        "x -33.9, 151.2 y": ("-33.9", "151.2"),
+        "90,180": ("90", "180"),
+        "a 0.5 , 0.25 b": ("0.5", "0.25"),
+    }
+    for text, (lat, lon) in ok.items():
+        m = pat.search(text)
+        assert m, text
+        assert m.group(2) == lat and m.group(3) == lon
+    for text in ["v1.2,3.4", "price 1234.56,77.1", "91.5,10.0", "no coords here", "(1.5,2.5)"]:
+        assert pat.search(text) is None, text
+
+
+def test_geoparse_pages_and_golden_hash(spark):
+    df = geoparse(synth_pages(spark, 1000, partitions=4))
+    rows = df.select("url", "extracted", "lat", "lon").orderBy("url").collect()
+    assert len(rows) == 1000
+    with_coord = [r for r in rows if r.extracted is not None]
+    # FIXTURES.md §1: ~80% of rows embed a coordinate
+    assert 700 <= len(with_coord) <= 900
+    for r in with_coord[:50]:
+        assert f"{r.lat:.6f}" in r.extracted or str(r.lat) in r.extracted
+        assert -90 <= r.lat <= 90 and -180 <= r.lon <= 180
+
+    # byte-identical invariant: golden-hash extracted per url, pinned forever
+    payload = b"\x00".join(
+        f"{r.url}\x01{r.extracted if r.extracted is not None else ''}".encode() for r in rows
+    )
+    digest = hashlib.sha256(payload).hexdigest()
+    if os.path.exists(GOLDEN):
+        assert open(GOLDEN).read().strip() == digest, (
+            "FROZEN geoparse grammar output changed — forbidden by FIXTURES.md §2"
+        )
+    else:
+        with open(GOLDEN, "w") as f:
+            f.write(digest + "\n")
+
+
+def test_geoparse_deterministic_across_partitionings(spark):
+    a = geoparse(synth_pages(spark, 300, partitions=1)).select("url", "extracted")
+    b = geoparse(synth_pages(spark, 300, partitions=7)).select("url", "extracted")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_geoparse_null_rows_kept(spark):
+    df = geoparse(synth_pages(spark, 500, partitions=2))
+    n_null = df.where(F.col("lat").isNull()).count()
+    assert n_null > 0
+    assert df.count() == 500
