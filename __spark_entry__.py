@@ -1,38 +1,74 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship spatial pipeline (pages-shaped table →
+geoparse → cell encode → cell-bucketed within-join vs zones → zonal
+counts); ``queries``/``oracle_sql`` expose the operator registry in
+:mod:`gaia_spark.queries`, one entry per implemented operator from
+SURVEY.md §2, each paired with its DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pages-shaped table (url, warc_ts, html, text, lang) derived
+    deterministically from the driver's documents table: 80% of rows get an
+    embedded 'geo: lat,lon' coordinate (key-derived), 20% stay coordinate-
+    free (geoparse must yield NULL for them)."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions import portable as P
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lat = P.key_lat_sql("doc_id + 7")
+    lon = P.key_lon_sql("doc_id + 7")
+    coord = f"concat(' geo: ', format_string('%.6f', {lat}), ',', format_string('%.6f', {lon}))"
+    return d.select(
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 1000).cast("string"),
+                 F.lit(".example/"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=(F.col("doc_id") * 137) % 31_536_000)).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.when(F.col("doc_id") % 5 != 0, F.concat(F.col("text"), F.expr(coord)))
+        .otherwise(F.col("text")).alias("text"),
+        F.col("lang"),
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages → geoparse → cell encode → within-join → zone counts."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.spatial_join import ZoneIndex, spatial_join, with_cell
+    from gaia_spark.queries import oracle_zones_pdf
+
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    pts = with_cell(geoparse(pages), 8)
+    idx = ZoneIndex.build(oracle_zones_pdf())
+    joined = spatial_join(pts, idx, predicate="intersects", point_key="url")
+    return (
+        joined.groupBy("zone_id")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("zone_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gaia_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.spark for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gaia_spark.queries import REGISTRY
+
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -120,16 +120,32 @@ def rect_area_m2_sql(min_lat: str, min_lon: str, max_lat: str, max_lon: str) -> 
     )
 
 
+def floor_scaled_sql(x: str, k: int) -> str:
+    """Fixed-point integerization: cast(floor(x·10^k + 0.5) as bigint).
+
+    Used for every float output of an oracle-checked query: Spark's
+    ``round`` goes through BigDecimal.valueOf (shortest-decimal) while
+    DuckDB rounds the binary double, so ``round()`` can disagree — this
+    floor form evaluates identically on identical binary doubles. The +0.5
+    matters: currency-like inputs make x·10^k an exact integer, where
+    cross-engine 1e-12 summation-order noise would flip a bare floor;
+    +0.5 re-centers those values mid-interval.
+    """
+    return f"cast(floor(({x}) * {10 ** k} + 0.5) as bigint)"
+
+
 # --- deterministic key-derived test geometry (FIXTURES.md §6) -----------------
 
 def key_lat_sql(key: str) -> str:
     """lat in [-85, 85) derived from an integer key — identical in both
-    engines, which makes spatial joins fully value-hash oracle-checkable."""
-    return f"((({key}) * 7919 % 17000) / 100.0 - 85.0)"
+    engines, which makes spatial joins fully value-hash oracle-checkable.
+    NB: division is by cast(... as double) — a bare 100.0 literal is
+    DECIMAL in Spark SQL (decimal arithmetic) but DOUBLE in DuckDB."""
+    return f"((({key}) * 7919 % 17000) / cast(100 as double) - 85.0)"
 
 
 def key_lon_sql(key: str) -> str:
-    return f"((({key}) * 104729 % 36000) / 100.0 - 180.0)"
+    return f"((({key}) * 104729 % 36000) / cast(100 as double) - 180.0)"
 
 
 def key_lat_py(key):

@@ -91,8 +91,9 @@ def knn_join_broadcast(
     slim = points.where(F.col("lat").isNotNull()).select(
         F.col(point_key).alias("_pk"), "lat", "lon"
     )
+    key_type = slim.schema["_pk"].dataType.simpleString()
     out = slim.mapInPandas(
-        topk, "point_key string, site_id long, dist_m double, rank int"
+        topk, f"point_key {key_type}, site_id long, dist_m double, rank int"
     )
     return out.withColumnRenamed("point_key", point_key)
 

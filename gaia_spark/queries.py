@@ -1,0 +1,626 @@
+"""Driver-facing query registry: every implemented operator exposed as a
+(spark builder, DuckDB oracle SQL) pair over the driver's test tables.
+
+Conventions that make the driver's order-insensitive value-hash comparison
+robust (see __spark_entry__.py contract):
+
+- column names identical on both sides (explicit aliases everywhere);
+- every float output is fixed-point integerized with
+  ``portable.floor_scaled_sql`` (suffix ``_eK`` = value·10^K floored) —
+  identical binary doubles floor identically, where round() may not;
+- all geometry derivations come from :mod:`gaia_spark.functions.portable`
+  so the Spark plan and the oracle evaluate the very same SQL string;
+- spatial queries derive deterministic lat/lon from integer keys
+  (FIXTURES.md §6) so DuckDB can mirror them exactly.
+
+The Spark side goes through the ENGINE OPERATORS (spatial_join, knn,
+zonal_stats, tile pyramid, ...), not through translated SQL — the oracle
+checks operator semantics, not string equality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gaia_spark.functions import portable as P
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Q:
+    spark: SparkFn
+    oracle: str | None  # None → non-SQL-expressible, driver does rows-only
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkFn):
+        REGISTRY[name] = Q(spark=fn, oracle=oracle)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic test geometry (FIXTURES.md §6)
+# ---------------------------------------------------------------------------
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point layer: one point per customer, lat/lon derived from c_custkey by
+    the portable integer formulas — the Gaia 'vector dataset' stand-in."""
+    return (
+        load(spark, sf_dir, "customer")
+        .withColumn("lat", F.expr(P.key_lat_sql("c_custkey")))
+        .withColumn("lon", F.expr(P.key_lon_sql("c_custkey")))
+    )
+
+
+PTS_CTE = (
+    "pts AS (SELECT c_custkey, c_acctbal, "
+    f"{P.key_lat_sql('c_custkey')} AS lat, {P.key_lon_sql('c_custkey')} AS lon "
+    "FROM customer)"
+)
+
+
+def oracle_zone_rows() -> list[tuple]:
+    """14 rect zones over the key-derived point domain: 12 tiling with gaps
+    + 2 overlapping (multi-match + disjoint cases both exercised)."""
+    cats = ["res", "com", "ind", "park"]
+    rows = []
+    for j in range(14):
+        if j < 12:
+            min_lat = -80.0 + (j % 6) * 26.0
+            max_lat = min_lat + 18.0
+            min_lon = -170.0 + (j // 6) * 180.0
+            max_lon = min_lon + 150.0
+        else:
+            k = j - 12
+            min_lat = -70.0 + k * 50.0
+            max_lat = min_lat + 30.0
+            min_lon, max_lon = -60.0, 60.0
+        rows.append((j, min_lat, min_lon, max_lat, max_lon, cats[j % 4]))
+    return rows
+
+
+ZONES_CTE = "zones AS (SELECT * FROM (VALUES " + ", ".join(
+    f"({j}, {a}, {b}, {c}, {d}, '{cat}')" for j, a, b, c, d, cat in oracle_zone_rows()
+) + ") AS t(zone_id, min_lat, min_lon, max_lat, max_lon, category))"
+
+
+def oracle_zones_pdf() -> pd.DataFrame:
+    rows = []
+    for j, la0, lo0, la1, lo1, cat in oracle_zone_rows():
+        ring = [
+            {"lat": la0, "lon": lo0}, {"lat": la0, "lon": lo1},
+            {"lat": la1, "lon": lo1}, {"lat": la1, "lon": lo0},
+            {"lat": la0, "lon": lo0},
+        ]
+        rows.append(
+            {
+                "zone_id": j, "name": f"zone_{j}", "kind": "rect", "category": cat,
+                "min_lat": la0, "min_lon": lo0, "max_lat": la1, "max_lon": lo1,
+                "vertices": ring,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _zone_index():
+    from gaia_spark.operators.spatial_join import ZoneIndex
+
+    return ZoneIndex.build(oracle_zones_pdf())
+
+
+def site_points_pdf() -> pd.DataFrame:
+    """25 deterministic sites (key-derived from ids 1..25, offset stream)."""
+    import numpy as np
+
+    sid = np.arange(1, 26, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "site_id": sid,
+            "lat": (sid * 104729 * 7919 % 17000) / 100.0 - 85.0,
+            "lon": (sid * 7919 * 104729 % 36000) / 100.0 - 180.0,
+        }
+    )
+
+
+SITES_CTE = "sites AS (SELECT * FROM (VALUES " + ", ".join(
+    f"({int(r.site_id)}, {r.lat!r}, {r.lon!r})" for r in site_points_pdf().itertuples()
+) + ") AS t(site_id, lat, lon))"
+
+
+# ---------------------------------------------------------------------------
+# relational baseline (scan → filter → agg → join → sort/limit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {P.floor_scaled_sql('sum(l_quantity)', 2)} AS sum_qty_e2,
+           {P.floor_scaled_sql('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue_e2,
+           {P.floor_scaled_sql('avg(l_discount)', 6)} AS avg_disc_e6
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(P.floor_scaled_sql("sum(l_quantity)", 2)).alias("sum_qty_e2"),
+            F.expr(P.floor_scaled_sql("sum(l_extendedprice * (1 - l_discount))", 2)).alias("revenue_e2"),
+            F.expr(P.floor_scaled_sql("avg(l_discount)", 6)).alias("avg_disc_e6"),
+        )
+    )
+
+
+@register(
+    "q_top_customers",
+    f"""
+    SELECT c_custkey, c_name, count(*) AS n_orders,
+           {P.floor_scaled_sql('sum(o_totalprice)', 2)} AS revenue_e2
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue_e2 DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(P.floor_scaled_sql("sum(o_totalprice)", 2)).alias("revenue_e2"),
+        )
+        .orderBy(F.desc("revenue_e2"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_rollup_docs",
+    """
+    SELECT lang, source, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("sum_chars")
+    )
+
+
+@register(
+    "q_events_rolling",
+    f"""
+    SELECT event_id, user_id,
+           count(*) OVER w AS cnt3,
+           {P.floor_scaled_sql('avg(value) OVER w', 2)} AS avg3_e2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("cnt3"),
+        F.expr(P.floor_scaled_sql("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)).alias("avg3_e2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cell index + tiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cell_counts",
+    f"""
+    WITH {PTS_CTE}
+    SELECT {P.cell_id_sql('lat', 'lon', 6)} AS cell_r6, count(*) AS n_points,
+           {P.floor_scaled_sql('avg(c_acctbal)', 2)} AS avg_bal_e2
+    FROM pts GROUP BY 1
+    """,
+)
+def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.spatial_join import with_cell
+
+    pts = with_cell(customer_points(spark, sf_dir), 6)
+    return pts.groupBy("cell_r6").agg(
+        F.count("*").alias("n_points"),
+        F.expr(P.floor_scaled_sql("avg(c_acctbal)", 2)).alias("avg_bal_e2"),
+    )
+
+
+@register(
+    "q_cell_multires",
+    f"""
+    WITH {PTS_CTE}
+    SELECT {P.cell_id_sql('lat', 'lon', 8)} AS cell_r8,
+           {P.cell_id_sql('lat', 'lon', 6)} AS cell_r6,
+           {P.cell_id_sql('lat', 'lon', 4)} AS cell_r4,
+           count(*) AS n_points
+    FROM pts GROUP BY 1, 2, 3
+    """,
+)
+def q_cell_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution encode; coarse ids derived by PARENT BIT-MATH from
+    the fine id (not re-encoded) — the oracle re-encodes directly, so
+    agreement proves floor-division/parent consistency."""
+    from gaia_spark.operators.spatial_join import with_cell
+
+    pts = with_cell(customer_points(spark, sf_dir), 8)
+    return (
+        pts.withColumn("cell_r6", F.expr(P.cell_parent_sql("cell_r8", 8, 6)))
+        .withColumn("cell_r4", F.expr(P.cell_parent_sql("cell_r8", 8, 4)))
+        .groupBy("cell_r8", "cell_r6", "cell_r4")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+@register(
+    "q_tile_counts_z6",
+    f"""
+    WITH {PTS_CTE}
+    SELECT {P.tile_x_sql('lon', 6)} AS tx, {P.tile_y_sql('lat', 6)} AS ty,
+           count(*) AS n
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def q_tile_counts_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.raster import with_tile
+
+    pts = with_tile(customer_points(spark, sf_dir), 6)
+    return pts.groupBy("tx", "ty").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_tile_pyramid",
+    f"""
+    WITH {PTS_CTE},
+    base AS (SELECT {P.tile_x_sql('lon', 6)} AS tx, {P.tile_y_sql('lat', 6)} AS ty,
+             count(*) AS n FROM pts GROUP BY 1, 2)
+    SELECT 6 AS zoom, tx, ty, n FROM base
+    UNION ALL
+    SELECT 5 AS zoom, {P.idiv_sql('tx', 2)} AS tx, {P.idiv_sql('ty', 2)} AS ty,
+           cast(sum(n) as bigint) AS n
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT 4 AS zoom, {P.idiv_sql(P.idiv_sql('tx', 2), 2)} AS tx,
+           {P.idiv_sql(P.idiv_sql('ty', 2), 2)} AS ty, cast(sum(n) as bigint) AS n
+    FROM base GROUP BY 2, 3
+    """,
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup pyramid z6→z4 built by the engine's parent-shift aggregation —
+    the oracle aggregates each level straight from the base tiles."""
+    from gaia_spark.operators.raster import point_tile_pyramid
+
+    pyr = point_tile_pyramid(customer_points(spark, sf_dir), max_zoom=6, min_zoom=4)
+    return pyr.select("zoom", "tx", "ty", F.col("n").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# spatial joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_within_join",
+    f"""
+    WITH {PTS_CTE}, {ZONES_CTE}
+    SELECT c_custkey, zone_id
+    FROM pts JOIN zones
+      ON lat BETWEEN min_lat AND max_lat AND lon BETWEEN min_lon AND max_lon
+    """,
+)
+def q_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.spatial_join import spatial_join
+
+    pts = customer_points(spark, sf_dir)
+    joined = spatial_join(pts, _zone_index(), predicate="intersects", point_key="c_custkey")
+    return joined.select("c_custkey", "zone_id")
+
+
+@register(
+    "q_zone_category_stats",
+    f"""
+    WITH {PTS_CTE}, {ZONES_CTE}
+    SELECT category, count(*) AS n_points,
+           {P.floor_scaled_sql('avg(c_acctbal)', 2)} AS avg_bal_e2
+    FROM pts JOIN zones
+      ON lat BETWEEN min_lat AND max_lat AND lon BETWEEN min_lon AND max_lon
+    GROUP BY category
+    """,
+)
+def q_zone_category_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.spatial_join import spatial_join
+
+    pts = customer_points(spark, sf_dir)
+    joined = spatial_join(pts, _zone_index(), predicate="intersects", point_key="c_custkey")
+    zmeta = spark.createDataFrame(
+        [(j, cat) for j, _, _, _, _, cat in oracle_zone_rows()], "zone_id long, category string"
+    )
+    return (
+        joined.join(F.broadcast(zmeta), "zone_id")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.expr(P.floor_scaled_sql("avg(c_acctbal)", 2)).alias("avg_bal_e2"),
+        )
+    )
+
+
+@register(
+    "q_zonal_stats",
+    f"""
+    WITH {PTS_CTE}, {ZONES_CTE}
+    SELECT zone_id,
+           count(c_acctbal) AS count,
+           {P.floor_scaled_sql('min(c_acctbal)', 2)} AS min_e2,
+           {P.floor_scaled_sql('max(c_acctbal)', 2)} AS max_e2,
+           {P.floor_scaled_sql('avg(c_acctbal)', 2)} AS mean_e2,
+           {P.floor_scaled_sql('cast(quantile_cont(c_acctbal, 0.5) as double)', 2)} AS median_e2,
+           {P.floor_scaled_sql('stddev_samp(c_acctbal)', 2)} AS stddev_e2,
+           {P.floor_scaled_sql('sum(c_acctbal)', 2)} AS sum_e2
+    FROM pts JOIN zones
+      ON lat BETWEEN min_lat AND max_lat AND lon BETWEEN min_lon AND max_lon
+    GROUP BY zone_id
+    """,
+)
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZonalStatsProcess: count/min/max/mean/median(exact)/stddev/sum per
+    zone (``[R] gaia/geo/gdal_functions.py :: gdal_zonalstats``)."""
+    from gaia_spark.operators.spatial_join import spatial_join
+
+    pts = customer_points(spark, sf_dir)
+    joined = spatial_join(pts, _zone_index(), predicate="intersects", point_key="c_custkey")
+    v = "c_acctbal"
+    return joined.groupBy("zone_id").agg(
+        F.count(v).alias("count"),
+        F.expr(P.floor_scaled_sql(f"min({v})", 2)).alias("min_e2"),
+        F.expr(P.floor_scaled_sql(f"max({v})", 2)).alias("max_e2"),
+        F.expr(P.floor_scaled_sql(f"avg({v})", 2)).alias("mean_e2"),
+        F.expr(P.floor_scaled_sql(f"percentile({v}, 0.5)", 2)).alias("median_e2"),
+        F.expr(P.floor_scaled_sql(f"stddev_samp({v})", 2)).alias("stddev_e2"),
+        F.expr(P.floor_scaled_sql(f"sum({v})", 2)).alias("sum_e2"),
+    )
+
+
+@register(
+    "q_disjoint_count",
+    f"""
+    WITH {PTS_CTE}, {ZONES_CTE}
+    SELECT count(*) AS n_disjoint FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM zones z
+      WHERE p.lat BETWEEN z.min_lat AND z.max_lat
+        AND p.lon BETWEEN z.min_lon AND z.max_lon)
+    """,
+)
+def q_disjoint_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.spatial_join import spatial_join
+
+    pts = customer_points(spark, sf_dir)
+    return spatial_join(pts, _zone_index(), predicate="disjoint", point_key="c_custkey").agg(
+        F.count("*").alias("n_disjoint")
+    )
+
+
+@register(
+    "q_zone_centroids",
+    f"""
+    WITH {PTS_CTE}, {ZONES_CTE}
+    SELECT zone_id, {P.floor_scaled_sql('avg(lat)', 6)} AS centroid_lat_e6,
+           {P.floor_scaled_sql('avg(lon)', 6)} AS centroid_lon_e6
+    FROM pts JOIN zones
+      ON lat BETWEEN min_lat AND max_lat AND lon BETWEEN min_lon AND max_lon
+    GROUP BY zone_id
+    """,
+)
+def q_zone_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.spatial_join import spatial_join
+
+    pts = customer_points(spark, sf_dir)
+    joined = spatial_join(pts, _zone_index(), predicate="intersects", point_key="c_custkey")
+    return joined.groupBy("zone_id").agg(
+        F.expr(P.floor_scaled_sql("avg(lat)", 6)).alias("centroid_lat_e6"),
+        F.expr(P.floor_scaled_sql("avg(lon)", 6)).alias("centroid_lon_e6"),
+    )
+
+
+@register(
+    "q_zone_geometry",
+    f"""
+    WITH {ZONES_CTE}
+    SELECT zone_id,
+           {P.floor_scaled_sql(P.rect_area_m2_sql('min_lat', 'min_lon', 'max_lat', 'max_lon') + ' / 1e6', 2)} AS area_km2_e2,
+           {P.floor_scaled_sql(
+               '(' + P.haversine_m_sql('min_lat', 'min_lon', 'min_lat', 'max_lon')
+               + ' + ' + P.haversine_m_sql('min_lat', 'max_lon', 'max_lat', 'max_lon')
+               + ' + ' + P.haversine_m_sql('max_lat', 'max_lon', 'max_lat', 'min_lon')
+               + ' + ' + P.haversine_m_sql('max_lat', 'min_lon', 'min_lat', 'min_lon') + ')', 1)} AS perimeter_m_e1
+    FROM zones
+    """,
+)
+def q_zone_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AreaProcess + LengthProcess via the numpy ring kernels (pandas UDF)
+    against the oracle's closed-form rectangle formulas."""
+    from gaia_spark.operators.scalar_geo import ring_area_m2, ring_length_m
+    from gaia_spark.synth import ZONES_SCHEMA
+
+    zdf = spark.createDataFrame(oracle_zones_pdf().to_dict("records"), ZONES_SCHEMA)
+    return (
+        zdf.select(
+            "zone_id",
+            ring_area_m2("vertices").alias("_area"),
+            ring_length_m("vertices").alias("_perim"),
+        )
+        .select(
+            "zone_id",
+            F.expr(P.floor_scaled_sql("_area / 1e6", 2)).alias("area_km2_e2"),
+            F.expr(P.floor_scaled_sql("_perim", 1)).alias("perimeter_m_e1"),
+        )
+    )
+
+
+@register(
+    "q_equals_join",
+    f"""
+    WITH {PTS_CTE},
+    spts AS (SELECT s_suppkey, {P.key_lat_sql('s_suppkey * 15')} AS lat,
+             {P.key_lon_sql('s_suppkey * 15')} AS lon FROM supplier)
+    SELECT c_custkey, s_suppkey
+    FROM pts JOIN spts ON pts.lat = spts.lat AND pts.lon = spts.lon
+    """,
+)
+def q_equals_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualsProcess: exact coordinate equality between two point layers."""
+    from gaia_spark.operators.spatial_join import equals_join
+
+    pts = customer_points(spark, sf_dir)
+    spts = (
+        load(spark, sf_dir, "supplier")
+        .withColumn("lat", F.expr(P.key_lat_sql("s_suppkey * 15")))
+        .withColumn("lon", F.expr(P.key_lon_sql("s_suppkey * 15")))
+    )
+    return equals_join(pts, spts, key_a="c_custkey", key_b="s_suppkey").select(
+        "c_custkey", F.col("b_key").alias("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distance / kNN / near
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+    WITH {PTS_CTE}, {SITES_CTE},
+    d AS (SELECT c_custkey, site_id,
+          {P.haversine_m_sql('pts.lat', 'pts.lon', 'sites.lat', 'sites.lon')} AS dist
+          FROM pts CROSS JOIN sites),
+    r AS (SELECT c_custkey, site_id, dist,
+          row_number() OVER (PARTITION BY c_custkey ORDER BY dist, site_id) AS rank
+          FROM d)
+    SELECT c_custkey, site_id, cast(rank as int) AS rank,
+           cast(floor(dist) as bigint) AS dist_m_floor
+    FROM r WHERE rank <= {{k}}
+"""
+
+
+@register("q_distance_nearest", _KNN_ORACLE.format(k=1))
+def q_distance_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistanceProcess: nearest site per point + distance (k=1 broadcast kNN)."""
+    from gaia_spark.operators.knn import knn_join_broadcast
+
+    pts = customer_points(spark, sf_dir)
+    out = knn_join_broadcast(pts, site_points_pdf(), k=1, point_key="c_custkey")
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "site_id",
+        "rank",
+        F.expr("cast(floor(dist_m) as bigint)").alias("dist_m_floor"),
+    )
+
+
+@register("q_knn3", _KNN_ORACLE.format(k=3))
+def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.knn import knn_join_broadcast
+
+    pts = customer_points(spark, sf_dir)
+    out = knn_join_broadcast(pts, site_points_pdf(), k=3, point_key="c_custkey")
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "site_id",
+        "rank",
+        F.expr("cast(floor(dist_m) as bigint)").alias("dist_m_floor"),
+    )
+
+
+@register(
+    "q_near_500km",
+    f"""
+    WITH {PTS_CTE}, {SITES_CTE}
+    SELECT c_custkey, site_id,
+           cast(floor({P.haversine_m_sql('pts.lat', 'pts.lon', 'sites.lat', 'sites.lon')}) as bigint) AS dist_m_floor
+    FROM pts CROSS JOIN sites
+    WHERE {P.haversine_m_sql('pts.lat', 'pts.lon', 'sites.lat', 'sites.lon')} <= 500000.0
+    """,
+)
+def q_near_500km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearProcess / buffer-as-predicate: pairs within 500 km via the
+    cell-cover candidate join + codegen'd haversine refine."""
+    from gaia_spark.operators.knn import near_join
+
+    pts = customer_points(spark, sf_dir)
+    out = near_join(pts, site_points_pdf(), radius_m=500_000.0, point_key="c_custkey")
+    return out.select(
+        "c_custkey", "site_id", F.expr("cast(floor(dist_m) as bigint)").alias("dist_m_floor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_morans_i",
+    f"""
+    WITH {PTS_CTE},
+    cells AS (SELECT {P.cell_id_sql('lat', 'lon', 5)} AS cell,
+              cast(count(*) as double) AS v FROM pts GROUP BY 1),
+    m AS (SELECT avg(v) AS mu, cast(count(*) as double) AS n FROM cells),
+    z AS (SELECT cell, cell % 32 AS x, {P.idiv_sql('cell', 32)} AS y,
+          v - (SELECT mu FROM m) AS z FROM cells),
+    pairs AS (
+      SELECT a.z AS zi, b.z AS zj FROM z a JOIN z b
+      ON (b.y = a.y AND b.x = (a.x + 1) % 32)
+      OR (b.y = a.y AND b.x = (a.x + 31) % 32)
+      OR (b.x = a.x AND b.y = a.y + 1)
+      OR (b.x = a.x AND b.y = a.y - 1))
+    SELECT cast((SELECT n FROM m) as bigint) AS n_cells,
+           (SELECT count(*) FROM pairs) AS n_links,
+           {P.floor_scaled_sql('((SELECT n FROM m) / (SELECT cast(count(*) as double) FROM pairs)) * (SELECT sum(zi * zj) FROM pairs) / (SELECT sum(z * z) FROM z)', 4)} AS moran_e4
+    """,
+)
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutocorrelationProcess: global Moran's I of per-cell point counts
+    under rook contiguity weights."""
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, morans_i
+
+    pts = with_cell(customer_points(spark, sf_dir), 5, out="cell")
+    cells = pts.groupBy("cell").agg(F.count("*").cast("double").alias("v"))
+    w = cell_rook_weights(cells, 5)
+    mi = morans_i(cells, w, value_col="v")
+    counts = cells.agg(
+        F.count("*").cast("long").alias("n_cells")
+    ).crossJoin(w.agg(F.count("*").alias("n_links")))
+    return counts.crossJoin(mi).select(
+        "n_cells", "n_links", F.expr(P.floor_scaled_sql("moran_i", 4)).alias("moran_e4")
+    )

@@ -1,0 +1,58 @@
+"""Local replica of the driver's DuckDB correctness oracle: run a registry
+query through Spark AND its oracle SQL through DuckDB on the same parquet
+tables, then compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s) or str(s.dtype).startswith(("Int", "UInt")):
+            df[c] = s.astype("float64")  # unify int widths + allow NaN
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+        elif s.dtype == object:
+            df[c] = s.astype(str).where(s.notna(), None)
+    df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> None:
+    got = normalize(spark_df.toPandas())
+    want = normalize(oracle_pdf)
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g):
+            both_nan = g.isna() & w.isna()
+            close = np.isclose(g.fillna(0), w.fillna(0), atol=float_tol, rtol=0, equal_nan=True)
+            ok = (both_nan | close | (g == w)).all()
+        else:
+            ok = g.equals(w)
+        if not ok:
+            diff = got[g.ne(w) & ~(g.isna() & w.isna())] if len(g) == len(w) else got
+            raise AssertionError(f"value mismatch in column {c}:\nspark:\n{got}\noracle:\n{want}\nfirst diffs:\n{diff.head()}")
