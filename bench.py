@@ -1,0 +1,144 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Covers the north-rule metrics (BASELINE.json:2): pages/sec through
+geoparse+encode, join-rows/sec through the cell-bucketed spatial join, plus
+tiling/kNN/zonal/relational headline queries on the driver's sf tables.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir      (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] threads  (default 32)
+  SPARK_GRAFT_PAGES    synthetic pages   (default 1_000_000)
+  SPARK_GRAFT_REPS     reps per query    (default 1; median reported)
+
+Synthetic pages are written once to parquet (deterministic, seed 42) so
+every query reads from disk like a real table scan; the cache is keyed by
+row count and reused across runs/parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: int):
+    from gaia_spark.session import get_session
+
+    return get_session(
+        master=f"local[{cpus}]",
+        app_name=f"gaia_spark_bench_{cpus}",
+        confs={
+            "spark.sql.shuffle.partitions": str(max(cpus * 2, 8)),
+            # NB: oversized heaps (48g) measured 3-6x SLOWER on this suite
+            # (GC ergonomics); 8g is plenty for local-mode benches.
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        },
+    )
+
+
+def ensure_pages(spark, n_pages: int, cache_dir: str) -> str:
+    path = os.path.join(cache_dir, f"pages_{n_pages}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from gaia_spark.synth import synth_pages
+
+        parts = min(max(n_pages // 31_250, 8), 256)
+        synth_pages(spark, n_pages, partitions=parts).write.mode("overwrite").parquet(path)
+    return path
+
+
+def headline_queries(spark, pages_path: str, sf_dir: str):
+    """name -> (build_df, rows_metric) — rows_metric counts throughput rows."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.knn import knn_join_broadcast
+    from gaia_spark.operators.raster import point_tile_pyramid
+    from gaia_spark.operators.spatial_join import ZoneIndex, spatial_join, with_cell
+    from gaia_spark.operators.zonal import zonal_stats
+    from gaia_spark.queries import REGISTRY, site_points_pdf
+    from gaia_spark.synth import synth_zones_pdf
+
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+
+    def pages():
+        return spark.read.parquet(pages_path)
+
+    def geoparsed():
+        return geoparse(pages())
+
+    qs = {
+        # pages/sec metric: geoparse + multi-res encode over the full table
+        "pages_geoparse_encode": lambda: with_cell(with_cell(geoparsed(), 10), 6),
+        # join-rows/sec metric: cell-bucketed within join vs 16 zones
+        "pages_within_join": lambda: spatial_join(geoparsed(), idx, "within"),
+        "pages_zonal_stats": lambda: zonal_stats(
+            spatial_join(
+                geoparsed().withColumn("val", F.length("text").cast("double")), idx, "within"
+            ),
+            "val",
+        ),
+        "pages_tile_pyramid": lambda: point_tile_pyramid(geoparsed(), max_zoom=8, min_zoom=4),
+        "pages_knn1": lambda: knn_join_broadcast(geoparsed(), site_points_pdf(), k=1),
+        # driver-table headliners (same code paths the oracle checks)
+        "q_within_join": lambda: REGISTRY["q_within_join"].spark(spark, sf_dir),
+        "q_zonal_stats": lambda: REGISTRY["q_zonal_stats"].spark(spark, sf_dir),
+        "q_knn3": lambda: REGISTRY["q_knn3"].spark(spark, sf_dir),
+        "q_pricing_summary": lambda: REGISTRY["q_pricing_summary"].spark(spark, sf_dir),
+        "q_tile_pyramid": lambda: REGISTRY["q_tile_pyramid"].spark(spark, sf_dir),
+    }
+    return qs
+
+
+def run_suite(spark, pages_path: str, sf_dir: str, reps: int) -> tuple[dict, dict]:
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, build in headline_queries(spark, pages_path, sf_dir).items():
+        samples = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = build().count()  # count() forces the full plan, no collect skew
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
+        rows[name] = n
+    return times, rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "1000000"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "1"))
+    cache_dir = os.environ.get(
+        "SPARK_GRAFT_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
+    )
+
+    spark = build_session(cpus)
+    pages_path = ensure_pages(spark, n_pages, cache_dir)
+    times, rows = run_suite(spark, pages_path, sf_dir, reps)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "spatial_join_tiling_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "cpus": cpus,
+        "n_pages": n_pages,
+        "rows_out": rows,
+        "pages_per_sec": round(n_pages / times["pages_geoparse_encode"], 1),
+        "join_rows_per_sec": round(rows["pages_within_join"] / times["pages_within_join"], 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,13 @@ def geoparse_udf(text: pd.Series) -> pd.DataFrame:
     return out
 
 
+# The grammar IS deterministic, but the nondeterministic flag stops Catalyst
+# from duplicating the UDF when a filter on its output gets pushed past the
+# projection — without it every downstream `lat IS NOT NULL` doubles the
+# regex work (observed 2x ArrowEvalPython nodes in the within-join plan).
+geoparse_udf = geoparse_udf.asNondeterministic()
+
+
 def geoparse_prefilter() -> Column:
     """Cheap JVM-side necessary condition for a grammar match.
 

@@ -1,0 +1,130 @@
+"""Text analysis for web-scale training-data pipelines: token stats,
+quality scoring, language ID, document fingerprinting.
+
+Beyond the reference's operator set (it has no text ops) — required by the
+training-data-pipeline tier of the engine. Every builder here emits SQL for
+BOTH dialects from one spec, so each op is oracle-checkable end to end; the
+Spark plan consumes the rendered string via ``F.expr`` (whole-stage codegen,
+no Python on the hot path).
+"""
+
+from __future__ import annotations
+
+from gaia_spark.functions import portable as P
+
+# language marker words — counted space-delimited, lowercased. Ties resolve
+# in LANG_ORDER order (deterministic in both engines).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("la", "el", "es", "los"),
+    "de": ("der", "und", "die", "das"),
+    "fr": ("le", "et", "les", "des"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")
+
+STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it")
+
+
+def count_occurrences_sql(padded: str, needle: str) -> str:
+    """# of occurrences of ``needle`` in ``padded`` via the replace-length
+    trick — identical replace semantics in Spark and DuckDB."""
+    n = len(needle)
+    return (
+        f"cast(floor((length({padded}) - length(replace({padded}, '{needle}', ''))) "
+        f"/ cast({n} as double)) as bigint)"
+    )
+
+
+def padded_lower_sql(text: str) -> str:
+    return f"concat(' ', lower({text}), ' ')"
+
+
+def word_count_sql(marker: str, text_padded: str) -> str:
+    return count_occurrences_sql(text_padded, f" {marker} ")
+
+
+def lang_score_sql(lang: str, text_padded: str) -> str:
+    return "(" + " + ".join(word_count_sql(m, text_padded) for m in LANG_MARKERS[lang]) + ")"
+
+
+def lang_id_sql(text: str) -> str:
+    """argmax over marker-count scores; ties break by LANG_ORDER."""
+    tp = padded_lower_sql(text)
+    scores = {lg: lang_score_sql(lg, tp) for lg in LANG_ORDER}
+    branches = []
+    order = list(LANG_ORDER)
+    for i, lg in enumerate(order[:-1]):
+        rest = [scores[o] for o in order[i + 1 :]]
+        ge = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        branches.append(f"WHEN {scores[lg]} >= {ge} THEN '{lg}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{order[-1]}' END"
+
+
+def token_count_sql(text: str, dialect: str) -> str:
+    return P.arr_size(P.split_ws(text, dialect), dialect)
+
+
+def stopword_count_sql(text: str) -> str:
+    tp = padded_lower_sql(text)
+    return "(" + " + ".join(word_count_sql(w, tp) for w in STOPWORDS) + ")"
+
+
+def quality_score_sql(text: str, dialect: str) -> str:
+    """Quality heuristic in [0, 1]-ish: stopword density band + mean word
+    length band + length band, equally weighted. Deterministic, portable."""
+    n_tok = token_count_sql(text, dialect)
+    n_stop = stopword_count_sql(text)
+    mean_wl = f"(length(replace(trim({text}), ' ', '')) / cast(greatest({n_tok}, 1) as double))"
+    stop_ratio = f"({n_stop} / cast(greatest({n_tok}, 1) as double))"
+    return (
+        f"(CASE WHEN {stop_ratio} >= 0.05 AND {stop_ratio} <= 0.6 THEN 0.4 ELSE 0.0 END"
+        f" + CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 10.0 THEN 0.3 ELSE 0.0 END"
+        f" + CASE WHEN {n_tok} >= 10 AND {n_tok} <= 100000 THEN 0.3 ELSE 0.0 END)"
+    )
+
+
+def char_ngram_fingerprint_sql(text: str, dialect: str, n: int = 8) -> str:
+    """Winnowing-style document fingerprint: min 60-bit hash over all
+    character n-grams (rolling-hash role, md5-backed for cross-engine
+    determinism). NULL-safe for texts shorter than n (falls back to whole
+    text)."""
+    if dialect == P.SPARK:
+        grams = (
+            f"transform(sequence(1, greatest(length({text}) - {n - 1}, 1)), "
+            f"i -> substring({text}, i, {n}))"
+        )
+        gram_hashes = f"transform({grams}, g -> {P.md5_int60('g', dialect)})"
+        return f"array_min({gram_hashes})"
+    grams = (
+        f"list_transform(range(1, greatest(length({text}) - {n - 1}, 1) + 1), "
+        f"i -> substr({text}, i, {n}))"
+    )
+    gram_hashes = f"list_transform({grams}, g -> {P.md5_int60('g', dialect)})"
+    return f"list_min({gram_hashes})"
+
+
+def shingles_sql(text: str, dialect: str, k: int = 3) -> str:
+    """Word k-gram shingle list; texts with < k words fall back to a single
+    whole-text shingle (keeps every doc represented in MinHash)."""
+    w = P.split_ws(text, dialect)
+    if dialect == P.SPARK:
+        body = (
+            f"transform(sequence(0, size({w}) - {k}), "
+            f"i -> concat({', '.join(_spark_elem(w, 'i', j) for j in range(k))}))"
+        )
+        return f"CASE WHEN size({w}) >= {k} THEN {body} ELSE array(trim({text})) END"
+    body = (
+        f"list_transform(range(1, len({w}) - {k - 2}), "
+        f"i -> {' || '.join(_duck_elem(w, 'i', j) for j in range(k))})"
+    )
+    return f"CASE WHEN len({w}) >= {k} THEN {body} ELSE [trim({text})] END"
+
+
+def _spark_elem(w: str, i: str, j: int) -> str:
+    parts = f"element_at({w}, {i} + {j + 1})"
+    return f"' ', {parts}" if j > 0 else parts
+
+
+def _duck_elem(w: str, i: str, j: int) -> str:
+    e = f"{w}[{i} + {j}]"
+    return f"' ' || {e}" if j > 0 else e

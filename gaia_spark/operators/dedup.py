@@ -1,0 +1,152 @@
+"""Deduplication operators for web-scale corpora.
+
+Beyond the reference's operator set — first-class training-data-pipeline
+components: exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+All hashing is md5-derived (:func:`portable.md5_int60`) so every stage is
+cross-engine deterministic and DuckDB-oracle-checkable. Plans are pure
+DataFrame (explode + hash-agg + self-join on band keys) — no Python UDFs.
+
+Scale notes (10^12 docs): exact dedup is one hash-agg on md5(text);
+MinHash is explode(shingles) → one combine-enabled agg (n_hashes mins per
+doc) → band self-join where the band key space keeps partitions bounded;
+candidate verification joins back only LSH-matched pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gaia_spark.functions import portable as P
+from gaia_spark.functions.text import shingles_sql
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, keeper=min id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    w_keeper = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(w_keeper, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature columns sig_0..sig_{n-1} per doc.
+
+    One explode + ONE aggregation computing all n mins (map-side combine
+    keeps the shuffle at n_hashes longs per doc regardless of doc length).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.expr(shingles_sql(text_col, P.SPARK))).alias("s")
+    )
+    aggs = [
+        F.min(F.expr(P.md5_int60(f"concat('{k}:', s)", P.SPARK))).alias(f"sig_{k}")
+        for k in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs (a < b) sharing ≥1 band of the MinHash signature.
+
+    bands = n_hashes / band_size; a pair collides on a band iff all
+    band_size signature slots match — the classic banding amplification.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"sig_{b * band_size + j}").cast("string") for j in range(band_size)],
+        ).alias("band")
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+    a = bands.select(F.col(id_col).alias("a"), "band")
+    b = bands.select(F.col(id_col).alias("b"), "band")
+    return (
+        a.join(b, "band")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint over word token hashes (bit b set iff the sum of
+    ±1 votes across tokens is positive). One explode + one agg."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("w"),
+    ).withColumn("h", F.expr(P.md5_int60("w", P.SPARK)))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) % 2 = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    scope: DataFrame | None = None,
+) -> DataFrame:
+    """Jaccard similarity of distinct-word sets for candidate doc pairs.
+
+    ``scope``: optional (a, b) candidate pairs (e.g. from minhash_lsh_pairs)
+    — the scalable path verifies ONLY LSH candidates; without it, all pairs
+    (test scale only). Returns (a, b, jaccard_e4 ≥ threshold).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("w")
+    ).distinct()
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
+    wa = words.select(F.col(id_col).alias("a"), "w")
+    wb = words.select(F.col(id_col).alias("b"), "w")
+    inter = (
+        wa.join(wb, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if scope is not None:
+        inter = inter.join(scope, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    jac = "n_common / cast(sz_a + sz_b - n_common as double)"
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard_e4", F.expr(P.floor_scaled_sql(jac, 4)))
+        .where(F.col("jaccard_e4") >= int(threshold * 10_000))
+        .select("a", "b", "jaccard_e4")
+    )

@@ -39,6 +39,9 @@ def point_tile_pyramid(points: DataFrame, max_zoom: int, min_zoom: int = 0) -> D
         with_tile(points.where(F.col("lat").isNotNull()), max_zoom)
         .groupBy("zoom", "tx", "ty")
         .agg(F.count("*").alias("n"))
+        # persisted: every coarser level and the final union re-reads this
+        # node; without it Spark recomputes the full input scan per level
+        .persist()
     )
     levels = [base]
     cur = base

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond the reference — training-data-pipeline tier: brute-force cosine
+top-k as the exact baseline, plus a deterministic random-hyperplane LSH
+bucketing as the scale path (bucket first, brute-force within buckets).
+
+The dot/norm math runs JVM-side via higher-order functions (zip_with +
+aggregate) — no Python in the scoring loop; the LSH plane signs are
+md5-derived so Spark, numpy, and the DuckDB oracle all agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from gaia_spark.functions import portable as P
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+NORM2 = (
+    "aggregate({a}, cast(0.0 as double), "
+    "(acc, v) -> acc + cast(v as double) * cast(v as double))"
+)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query side over
+    the vector table — one map-only stage + per-query top-k window.
+    Ties break by vec_id ascending. Self-matches are excluded."""
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    dot = DOT.format(a=vec_col, b="_qvec")
+    na = NORM2.format(a=vec_col)
+    nb = NORM2.format(a="_qvec")
+    scored = (
+        vectors.join(F.broadcast(q), F.col(id_col) != F.col("_qid"))
+        .withColumn("cos", F.expr(f"{dot} / sqrt({na}) / sqrt({nb})"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("rank"),
+            F.expr(P.floor_scaled_sql("cos", 6)).alias("cos_e6"),
+        )
+    )
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 plane matrix: sign(p,d) = +1 iff md5(f"{p},{d}")'s
+    first 60 bits are odd — reproducible in SQL as md5_int60 % 2."""
+    m = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16)
+            m[p, d] = 1.0 if h % 2 == 1 else -1.0
+    return m
+
+
+def lsh_bucket_sql(vec_col: str, n_planes: int, dim: int, dialect: str) -> str:
+    """Bucket id = Σ_p 2^p · [Σ_d sign(p,d)·v_d > 0] as ONE SQL expression —
+    higher-order functions in Spark, list lambdas in DuckDB."""
+    terms = []
+    for p in range(n_planes):
+        if dialect == P.SPARK:
+            dot = (
+                f"aggregate(zip_with({vec_col}, array({_signs_sql(p, dim)}), "
+                f"(x, y) -> cast(x as double) * cast(y as double)), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+        else:
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> cast({vec_col}[i] as double) * cast(([{_signs_sql(p, dim)}])[i] as double)))"
+            )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _signs_sql(p: int, dim: int) -> str:
+    # integer ±1 literals: bare 1.0 parses as DECIMAL in Spark SQL
+    signs = hyperplane_signs(p + 1, dim)[p]
+    return ", ".join("1" if s > 0 else "-1" for s in signs)
+
+
+def lsh_buckets(
+    vectors: DataFrame, n_planes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its hyperplane-sign bucket (scale path for ANN:
+    candidate set = same-bucket vectors, then exact cosine within)."""
+    return vectors.select(
+        F.col(id_col),
+        F.expr(lsh_bucket_sql(vec_col, n_planes, dim, P.SPARK)).alias("bucket"),
+    )
+
+
+def ann_topk_lsh(
+    vectors: DataFrame, queries: DataFrame, k: int = 5,
+    n_planes: int = 6, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding", query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to same-LSH-bucket pairs.
+    Fewer planes → bigger buckets → better recall, more compute."""
+    vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
+    qb = lsh_buckets(
+        queries.withColumnRenamed(query_id_col, id_col), n_planes, dim, id_col, vec_col
+    ).withColumnRenamed(id_col, "_qid")
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"))
+    cand = (
+        vectors.join(vb, id_col)
+        .join(F.broadcast(qb), "bucket")
+        .join(F.broadcast(q), "_qid")
+        .where(F.col(id_col) != F.col("_qid"))
+    )
+    dot = DOT.format(a=vec_col, b="_qvec")
+    na = NORM2.format(a=vec_col)
+    nb = NORM2.format(a="_qvec")
+    scored = cand.withColumn("cos", F.expr(f"{dot} / sqrt({na}) / sqrt({nb})"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col), F.col(id_col), "rank",
+            F.expr(P.floor_scaled_sql("cos", 6)).alias("cos_e6"),
+        )
+    )

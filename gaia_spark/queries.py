@@ -624,3 +624,7 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(mi).select(
         "n_cells", "n_links", F.expr(P.floor_scaled_sql("moran_i", 4)).alias("moran_e4")
     )
+
+
+# tranche 2: text analysis / dedup / similarity search (registers on import)
+from gaia_spark import queries_text  # noqa: E402, F401

@@ -1,0 +1,240 @@
+"""Registry tranche 2: text analysis, deduplication, similarity search —
+the training-data-pipeline operator families, each oracle-checked on the
+driver's documents/embeddings tables."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gaia_spark.functions import portable as P
+from gaia_spark.functions import text as T
+from gaia_spark.operators.simsearch import lsh_bucket_sql
+from gaia_spark.queries import load, register
+
+DUCK_WORDS = P.split_ws("text", P.DUCK)
+SPARK_WORDS = P.split_ws("text", P.SPARK)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_token_stats",
+    f"""
+    SELECT doc_id,
+           {T.token_count_sql('text', P.DUCK)} AS n_tokens,
+           length(text) AS n_chars_obs,
+           strlen(text) AS n_bytes,
+           CASE WHEN length(text) = strlen(text) THEN 1 ELSE 0 END AS is_ascii
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(T.token_count_sql("text", P.SPARK)).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.when(F.length("text") == F.octet_length("text"), 1).otherwise(0).cast("int").alias("is_ascii"),
+    )
+
+
+@register(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           {P.floor_scaled_sql(T.quality_score_sql('text', P.DUCK), 2)} AS quality_e2,
+           cast({T.stopword_count_sql('text')} as bigint) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(P.floor_scaled_sql(T.quality_score_sql("text", P.SPARK), 2)).alias("quality_e2"),
+        F.expr(T.stopword_count_sql("text")).cast("long").alias("n_stopwords"),
+    )
+
+
+@register(
+    "q_lang_id",
+    f"""
+    SELECT doc_id, lang, {T.lang_id_sql('text')} AS pred_lang
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", F.expr(T.lang_id_sql("text")).alias("pred_lang"))
+
+
+@register(
+    "q_fingerprint",
+    f"""
+    SELECT doc_id, {T.char_ngram_fingerprint_sql('text', P.DUCK)} AS fp60
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(T.char_ngram_fingerprint_sql("text", P.SPARK)).alias("fp60")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs,
+           cast(min(doc_id) as bigint) AS keeper
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+def _duck_minhash_ctes(n_hashes: int = 8, band_size: int = 2) -> str:
+    sh = T.shingles_sql("text", P.DUCK)
+    hashed = [P.md5_int60(f"'{k}:' || s", P.DUCK) for k in range(n_hashes)]
+    sigs = ", ".join(f"min({h}) AS sig_{k}" for k, h in enumerate(hashed))
+    n_bands = n_hashes // band_size
+    bands = ", ".join(
+        "concat("
+        + f"'{b}', '_', "
+        + ", '_', ".join(f"cast(sig_{b * band_size + j} as varchar)" for j in range(band_size))
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+    sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig)
+    """
+
+
+@register(
+    "q_minhash_pairs",
+    f"""
+    WITH {_duck_minhash_ctes()}
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b USING (band)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_simhash",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents),
+    h AS (SELECT doc_id, {P.md5_int60('w', P.DUCK)} AS h FROM w),
+    v AS (SELECT doc_id,
+          {', '.join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           cast({' + '.join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} as bigint) AS simhash
+    FROM v
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "q_jaccard_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+    w AS (SELECT DISTINCT doc_id, unnest({DUCK_WORDS}) AS w FROM docs),
+    sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+              FROM w a JOIN w b USING (w) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b,
+           {P.floor_scaled_sql('n_common / cast(sa.sz + sb.sz - n_common as double)', 4)} AS jaccard_e4
+    FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+    WHERE {P.floor_scaled_sql('n_common / cast(sa.sz + sb.sz - n_common as double)', 4)} >= 3000
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return ngram_jaccard_pairs(d, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> cast(e.embedding[i] as double) * cast(q.qe[i] as double)))"
+)
+_DUCK_NA = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double)))"
+)
+_DUCK_NB = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> cast(q.qe[i] as double) * cast(q.qe[i] as double)))"
+)
+
+
+@register(
+    "q_embed_knn",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid AS query_id, e.vec_id,
+             {_DUCK_DOT} / sqrt({_DUCK_NA}) / sqrt({_DUCK_NB}) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid),
+    r AS (SELECT query_id, vec_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    SELECT query_id, vec_id, cast(rank as int) AS rank,
+           {P.floor_scaled_sql('cos', 6)} AS cos_e6
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.simsearch import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=3)
+
+
+@register(
+    "q_embed_lsh_buckets",
+    f"""
+    SELECT {lsh_bucket_sql('embedding', 6, 64, P.DUCK)} AS bucket,
+           count(*) AS n_vecs, cast(min(vec_id) as bigint) AS min_vec
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.operators.simsearch import lsh_buckets
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_buckets(emb, n_planes=6).groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").cast("long").alias("min_vec")
+    )
