@@ -101,7 +101,7 @@ class PreparedPolygon:
         py = np.asarray(lats, dtype=np.float64)[:, None]
         y1, y2, x1, x2 = self.y1[None, :], self.y2[None, :], self.x1[None, :], self.x2[None, :]
         cond = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xs = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
         crossings = cond & (px < xs)
         return (np.count_nonzero(crossings, axis=1) % 2).astype(bool)

@@ -165,9 +165,7 @@ def clip_raster(raster: DataFrame, index) -> DataFrame:
     )
     hit = raster.join(F.broadcast(cover), ["zoom", "x", "y"], "inner")
 
-    bc = spark.sparkContext.broadcast(
-        {z: (p.y1.copy(), p.x1.copy()) for z, p in _prepared_of(index).items()}
-    )
+    bc = spark.sparkContext.broadcast(_prepared_of(index))
 
     def mask(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         polys = bc.value

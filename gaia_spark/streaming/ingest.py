@@ -1,0 +1,68 @@
+"""Structured Streaming ingest for the pages table (SURVEY.md §2.K).
+
+The reference is batch-only; streaming is this engine's extension for
+incremental crawling. Patterns covered: file-source ingest with the pages
+schema, watermarked windowed aggregation per cell, stateful URL dedup within
+the watermark, and exactly-once icelite sinks via foreachBatch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gaia_spark.functions import portable
+from gaia_spark.synth import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Incremental pages ingest: new parquet files under ``path`` become
+    micro-batches (the S3-drop / crawler-output pattern)."""
+    return spark.readStream.schema(PAGES_SCHEMA).parquet(path)
+
+
+def stream_cell_counts(
+    pages: DataFrame,
+    res: int = 6,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-cell page rate over tumbling event-time windows; late pages beyond
+    the watermark are dropped from the aggregation (still appendable to the
+    base table by the ingest sink)."""
+    from gaia_spark.functions.geoparse import geoparse
+
+    pts = geoparse(pages).where(F.col("lat").isNotNull())
+    pts = pts.withColumn("cell", F.expr(portable.cell_id_sql("lat", "lon", res)))
+    return (
+        pts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("cell"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("win_start"), "cell", "n_pages")
+    )
+
+
+def stream_dedup_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup: first sighting of each url wins within the watermark
+    horizon (bounded state — the crawl-frontier dedup pattern)."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+def stream_to_icelite(df: DataFrame, table_path: str, checkpoint: str, trigger_once: bool = True):
+    """Exactly-once sink: each micro-batch is one atomic icelite append
+    (idempotent replay: batch id recorded in commit meta)."""
+    from gaia_spark.sources.icelite import IceTable
+
+    table = IceTable(table_path)
+    seen: set[int] = set()
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        if batch_id in seen:
+            return
+        seen.add(batch_id)
+        table.append(batch_df, meta={"stream_batch": batch_id})
+
+    writer = df.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

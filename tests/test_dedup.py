@@ -1,0 +1,73 @@
+"""Dedup + clustering operators: Spark-side semantics beyond oracle parity."""
+
+import pyspark.sql.functions as F
+
+from gaia_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from gaia_spark.operators.stats import grid_dbscan
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),   # near dup of 0
+        (3, "completely different content about spark query engines"),
+        (4, "another unrelated document mentioning data pipelines"),
+        (5, "the quick brown fox jumps over the lazy dog yesterday"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = _docs(spark)
+    out = exact_dedup(d)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids  # dup group keeps min id
+    assert ids == {0, 2, 3, 4, 5}
+
+
+def test_minhash_finds_near_dups_not_unrelated(spark):
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (0, 1) in pairs            # identical docs always collide
+    assert (0, 2) in pairs or (0, 5) in pairs  # near dups collide on some band
+    assert (3, 4) not in pairs        # unrelated docs don't
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    h = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert h[0] == h[1]
+    assert ham(h[0], h[2]) < ham(h[0], h[3])
+
+
+def test_jaccard_scoped_by_lsh(spark):
+    d = _docs(spark)
+    cand = minhash_lsh_pairs(d)
+    out = {
+        (r.a, r.b): r.jaccard_e4
+        for r in ngram_jaccard_pairs(d, threshold=0.5, scope=cand).collect()
+    }
+    assert out[(0, 1)] == 10000  # identical => jaccard 1.0
+    assert all(v >= 5000 for v in out.values())
+
+
+def test_grid_dbscan_clusters_dense_cities(spark):
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.synth import synth_pages
+
+    pts = geoparse(synth_pages(spark, 600, partitions=2))
+    labels = grid_dbscan(pts, res=6, min_pts=5)
+    rows = labels.collect()
+    assert len(rows) > 0
+    n_clusters = len({r.cluster_id for r in rows})
+    assert 1 <= n_clusters <= len(rows)
+    # connectivity: every cell's label is the min cell id of its component —
+    # rerunning must give the identical labeling (deterministic fixpoint)
+    again = {(r.cell, r.cluster_id) for r in grid_dbscan(pts, res=6, min_pts=5).collect()}
+    assert again == {(r.cell, r.cluster_id) for r in rows}

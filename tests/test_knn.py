@@ -1,0 +1,67 @@
+"""Distance/kNN/near joins vs brute-force numpy (FIXTURES.md §7 distance row)."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from gaia_spark.functions.geoparse import geoparse
+from gaia_spark.functions.kernel import haversine_m
+from gaia_spark.operators.knn import knn_join_broadcast, knn_join_cells, near_join
+from gaia_spark.queries import site_points_pdf
+from gaia_spark.synth import synth_pages
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    df = geoparse(synth_pages(spark, 400, partitions=3)).where(F.col("lat").isNotNull()).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def sites():
+    return site_points_pdf()
+
+
+def brute_knn(points_pdf, sites, k):
+    s_lat = sites["lat"].to_numpy()
+    s_lon = sites["lon"].to_numpy()
+    s_id = sites["site_id"].to_numpy()
+    out = {}
+    for r in points_pdf.itertuples(index=False):
+        d = haversine_m(r.lat, r.lon, s_lat, s_lon)
+        order = np.lexsort((s_id, d))[:k]
+        out[r.url] = [(int(s_id[i]), float(d[i])) for i in order]
+    return out
+
+def test_knn_broadcast_matches_brute_force(spark, points, sites):
+    pdf = points.select("url", "lat", "lon").toPandas()
+    want = brute_knn(pdf, sites, 3)
+    got = {}
+    for r in knn_join_broadcast(points, sites, k=3).orderBy("url", "rank").collect():
+        got.setdefault(r.url, []).append((r.site_id, r.dist_m))
+    assert set(got) == set(want)
+    for url in want:
+        assert [s for s, _ in got[url]] == [s for s, _ in want[url]]
+        np.testing.assert_allclose(
+            [d for _, d in got[url]], [d for _, d in want[url]], rtol=1e-9
+        )
+
+
+def test_knn_cells_matches_broadcast(spark, points, sites):
+    sites_df = spark.createDataFrame(sites)
+    a = {(r.url, r.site_id) for r in knn_join_broadcast(points, sites, k=1).collect()}
+    b = {(r.url, r.site_id) for r in knn_join_cells(points, sites_df, k=1, res=5).collect()}
+    assert a == b
+
+
+def test_near_join_matches_brute_force(spark, points, sites):
+    pdf = points.select("url", "lat", "lon").toPandas()
+    radius = 750_000.0
+    want = set()
+    for r in pdf.itertuples(index=False):
+        d = haversine_m(r.lat, r.lon, sites["lat"].to_numpy(), sites["lon"].to_numpy())
+        for sid in sites["site_id"].to_numpy()[d <= radius]:
+            want.add((r.url, int(sid)))
+    got = {(r.url, r.site_id) for r in near_join(points, sites, radius).collect()}
+    assert got == want and len(want) > 0

@@ -1,0 +1,69 @@
+"""Declarative JSON pipeline (E1') + spark-submit job (E3') tests."""
+
+from gaia_spark.plans.pipeline import build_pipeline, run_pipeline_spec
+from gaia_spark.sources.icelite import IceTable
+
+
+def test_pipeline_spec_end_to_end(spark, tmp_path):
+    spec = {
+        "source": {"kind": "pages_synth", "n": 500, "partitions": 2},
+        "steps": [
+            {"op": "geoparse"},
+            {"op": "filter", "filters": [["lang", "in", ["en", "es", "de", "fr", "zh"]]]},
+            {"op": "cell", "res": 6},
+            {"op": "within", "zones": "synth16"},
+            {"op": "agg_count", "by": ["zone_id"], "alias": "n"},
+        ],
+        "sink": {"kind": "icelite", "path": str(tmp_path / "zc")},
+    }
+    df = run_pipeline_spec(spark, spec)
+    assert df.count() > 0
+    assert IceTable(str(tmp_path / "zc")).read(spark).count() == df.count()
+
+
+def test_pipeline_matches_fluent_api(spark):
+    from gaia_spark.engine import Engine
+    from gaia_spark.operators.spatial_join import ZoneIndex
+    from gaia_spark.synth import synth_pages, synth_zones_pdf
+
+    spec = {
+        "source": {"kind": "pages_synth", "n": 400, "partitions": 2},
+        "steps": [{"op": "geoparse"}, {"op": "within", "zones": "synth16"},
+                  {"op": "agg_count", "by": ["zone_id"], "alias": "n"}],
+    }
+    a = {(r.zone_id, r.n) for r in build_pipeline(spark, spec).collect()}
+    eng = Engine(spark)
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+    b = {
+        (r.zone_id, r.n)
+        for r in eng.frame(synth_pages(spark, 400, 2)).geoparse()
+        .join_zones(idx, "within").df.groupBy("zone_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert a == b
+
+
+def test_unknown_op_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown op"):
+        build_pipeline(spark, {"source": {"kind": "pages_synth", "n": 10}, "steps": [{"op": "nope"}]})
+
+
+def test_spark_submit_job_resumable(spark, tmp_path, monkeypatch):
+    """Run the jobs/spatial_join.py main() in-process (same code path that
+    spark-submit executes) and resume after an injected kill."""
+    import jobs.spatial_join as job
+
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    argv = [
+        "--pages", "synth:300", "--zones", "synth16",
+        "--output", out, "--lineage", lin, "--job-id", "t-job",
+    ]
+    job.main(argv)
+    n1 = IceTable(out).read(spark).count()
+    assert n1 > 0
+    # rerun: everything skipped, output unchanged
+    job.main(argv)
+    assert IceTable(out).read(spark).count() == n1

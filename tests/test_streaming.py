@@ -1,0 +1,48 @@
+"""Structured Streaming: ingest, watermark windows, stateful dedup, sink."""
+
+import pyspark.sql.functions as F
+
+from gaia_spark.sources.icelite import IceTable
+from gaia_spark.streaming import (
+    read_pages_stream,
+    stream_cell_counts,
+    stream_dedup_urls,
+    stream_to_icelite,
+)
+from gaia_spark.synth import synth_pages
+
+
+def test_stream_windowed_cell_counts(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    synth_pages(spark, 400, partitions=2).write.mode("append").parquet(src)
+    stream = stream_cell_counts(read_pages_stream(spark, src), res=4, window="60 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from cellcounts")
+    assert out.count() > 0
+    total = out.agg(F.sum("n_pages")).collect()[0][0]
+    # every geoparsed page lands in exactly one (window, cell) bucket
+    from gaia_spark.functions.geoparse import geoparse
+
+    expected = geoparse(spark.read.parquet(src)).where("lat is not null").count()
+    assert total == expected
+
+
+def test_stream_dedup_and_icelite_sink(spark, tmp_path):
+    src = str(tmp_path / "incoming2")
+    # same pages written twice -> duplicate urls across files
+    synth_pages(spark, 200, partitions=1).write.mode("append").parquet(src)
+    synth_pages(spark, 200, partitions=1).write.mode("append").parquet(src)
+    deduped = stream_dedup_urls(read_pages_stream(spark, src))
+    table_path = str(tmp_path / "pages_table")
+    q = stream_to_icelite(deduped, table_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = IceTable(table_path).read(spark)
+    assert out.count() == 200  # duplicates dropped
+    assert out.select("url").distinct().count() == 200
