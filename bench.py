@@ -47,7 +47,9 @@ def ensure_pages(spark, n_pages: int, cache_dir: str) -> str:
     if not os.path.exists(marker):
         from gaia_spark.synth import synth_pages
 
-        parts = min(max(n_pages // 31_250, 8), 256)
+        # ≥ 64 files so every parallelism level under test has full task
+        # fan-out on the scan stage (a 9-file table caps local[32] at 9 tasks)
+        parts = min(max(n_pages // 15_625, 64), 512)
         synth_pages(spark, n_pages, partitions=parts).write.mode("overwrite").parquet(path)
     return path
 
@@ -73,8 +75,12 @@ def headline_queries(spark, pages_path: str, sf_dir: str):
         return geoparse(pages())
 
     qs = {
-        # pages/sec metric: geoparse + multi-res encode over the full table
-        "pages_geoparse_encode": lambda: with_cell(with_cell(geoparsed(), 10), 6),
+        # pages/sec metric: geoparse + multi-res encode over the full table.
+        # the isNotNull filter forces the (nondeterministic-flagged) UDF —
+        # a bare count() would let Catalyst prune the parse entirely
+        "pages_geoparse_encode": lambda: with_cell(with_cell(geoparsed(), 10), 6).where(
+            F.col("cell_r10").isNotNull()
+        ),
         # join-rows/sec metric: cell-bucketed within join vs 16 zones
         "pages_within_join": lambda: spatial_join(geoparsed(), idx, "within"),
         "pages_zonal_stats": lambda: zonal_stats(
@@ -105,7 +111,10 @@ def run_suite(spark, pages_path: str, sf_dir: str, reps: int) -> tuple[dict, dic
             t0 = time.perf_counter()
             n = build().count()  # count() forces the full plan, no collect skew
             samples.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(samples), 3)
+        # MIN of reps: this sandbox host shows heavy hypervisor steal time
+        # (observed 10-25x wall-clock swings on identical plans); the minimum
+        # is the unimpeded execution time and is what scaling ratios need
+        times[name] = round(min(samples), 3)
         rows[name] = n
     return times, rows
 

@@ -1,0 +1,126 @@
+"""Two-parallelism scaling bench — the north rule's N vs 4N evidence.
+
+No real cluster exists in this sandbox, so the scaling criterion
+(throughput efficiency ≥ 0.8 between N and 4N executors, BASELINE.json:2,14)
+is evidenced by running the IDENTICAL job + input at local[8] and local[32]
+in separate cold SparkSessions (sequential subprocesses → no JVM reuse, no
+shared cache) and reporting
+
+    eff = tput(local[32]) / (4 · tput(local[8]))
+
+Writes the measured table into BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python bench_scaling.py [--pages 1000000] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+CHILD = r"""
+import json, os, statistics, sys, time
+sys.path.insert(0, {here!r})
+from bench import build_session, ensure_pages, run_suite
+
+cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); reps = int(sys.argv[3])
+spark = build_session(cpus)
+pages_path = ensure_pages(spark, n_pages, os.path.join({here!r}, "BENCH", "cache"))
+times, rows = run_suite(spark, pages_path, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), reps)
+print("CHILD_RESULT " + json.dumps({{"times": times, "rows": rows}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_pages: int, reps: int) -> dict:
+    script = CHILD.format(here=HERE)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(n_pages), str(reps)],
+        capture_output=True, text=True, timeout=1800, check=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"no result from child (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_PAGES", "1000000")))
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level N")
+    args = ap.parse_args()
+    big = args.n * 4
+
+    r8 = run_level(args.n, args.pages, args.reps)
+    r32 = run_level(big, args.pages, args.reps)
+
+    metrics = {}
+    for name in r8["times"]:
+        t8, t32 = r8["times"][name], r32["times"][name]
+        rows = max(r32["rows"][name], 1)
+        tput8, tput32 = rows / t8, rows / t32
+        metrics[name] = {
+            "sec_n": t8, "sec_4n": t32,
+            "tput_n": round(tput8, 1), "tput_4n": round(tput32, 1),
+            "eff": round(tput32 / (4.0 * tput8), 3),
+        }
+    # headline efficiencies: throughput-weighted over the two north metrics
+    eff_pages = metrics["pages_geoparse_encode"]["eff"]
+    eff_join = metrics["pages_within_join"]["eff"]
+
+    result = {
+        "metric": "scaling_efficiency_local8_vs_local32",
+        "value": round(min(eff_pages, eff_join), 3),
+        "unit": "ratio",
+        "eff_pages_per_sec": eff_pages,
+        "eff_join_rows_per_sec": eff_join,
+        "per_query": metrics,
+        "n_pages": args.pages,
+        "levels": [args.n, big],
+    }
+    print(json.dumps(result))
+    _write_baseline_md(result, args)
+
+
+def _write_baseline_md(result: dict, args) -> None:
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers (sandbox)",
+        "",
+        "Protocol: BASELINE.md §Bench protocol. Same deterministic synthetic",
+        f"pages table ({args.pages:,} rows, seed 42, parquet), identical confs,",
+        f"cold SparkSession per level, reps={args.reps} (median).",
+        f"Host: {platform.platform()}, {os.cpu_count()} vCPU.",
+        "",
+        "NOTE: single-machine local-mode proxy for N vs 4N executors (no real",
+        "cluster in sandbox); wall-clock noise between sandbox runs is ±20%.",
+        "",
+        f"| query | sec @local[{args.n}] | sec @local[{args.n*4}] | rows | eff |",
+        "|---|---|---|---|---|",
+    ]
+    for name, m in result["per_query"].items():
+        lines.append(
+            f"| {name} | {m['sec_n']} | {m['sec_4n']} | {m['tput_4n']} rows/s @4N | {m['eff']} |"
+        )
+    lines += [
+        "",
+        f"**pages/sec efficiency (geoparse+encode): {result['eff_pages_per_sec']}**",
+        f"**join-rows/sec efficiency (within join): {result['eff_join_rows_per_sec']}**",
+        "",
+        "Gate (BASELINE.json): ≥ 0.8 — see JSON line in BENCH/scaling.json.",
+    ]
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(HERE, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

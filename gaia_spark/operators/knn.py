@@ -45,11 +45,26 @@ def knn_join_broadcast(
     site_key: str = "site_id",
     site_lat: str = "lat",
     site_lon: str = "lon",
+    impl: str = "auto",
 ) -> DataFrame:
     """Top-k nearest sites per point; returns (point_key, site_id, dist_m, rank).
 
-    Ties broken by site id ascending (deterministic, oracle-mirrorable).
+    Ties broken by (distance, site id) ascending (deterministic,
+    oracle-mirrorable). Two implementations:
+
+    - ``sql``  — the site list rides along as a broadcast array column;
+      per point, ``array_sort(transform(sites, s -> (dist, id)))`` picks the
+      top k entirely inside the JVM (no Python stage). O(m log m) per row —
+      the right plan for m up to a few hundred sites.
+    - ``arrow`` — vectorized numpy (batch × m) haversine matrix via
+      mapInPandas; wins for large m where BLAS-style batching matters.
+
+    ``auto`` picks sql for m ≤ 512.
     """
+    if impl == "auto":
+        impl = "sql" if len(sites_pdf) <= 512 else "arrow"
+    if impl == "sql":
+        return _knn_broadcast_sql(points, sites_pdf, k, point_key, site_key, site_lat, site_lon)
     s_ids = sites_pdf[site_key].to_numpy(dtype=np.int64)
     order = np.argsort(s_ids)
     s_ids = s_ids[order]
@@ -96,6 +111,38 @@ def knn_join_broadcast(
         topk, f"point_key {key_type}, site_id long, dist_m double, rank int"
     )
     return out.withColumnRenamed("point_key", point_key)
+
+
+def _knn_broadcast_sql(
+    points: DataFrame,
+    sites_pdf: pd.DataFrame,
+    k: int,
+    point_key: str,
+    site_key: str,
+    site_lat: str,
+    site_lon: str,
+) -> DataFrame:
+    spark = points.sparkSession
+    sites = spark.createDataFrame(
+        sites_pdf[[site_key, site_lat, site_lon]].rename(
+            columns={site_key: "sid", site_lat: "slat", site_lon: "slon"}
+        )
+    ).agg(F.collect_list(F.struct("sid", "slat", "slon")).alias("_sites"))
+    dist = portable.haversine_m_sql("lat", "lon", "s.slat", "s.slon")
+    topk = (
+        f"slice(array_sort(transform(_sites, s -> "
+        f"struct({dist} AS d, s.sid AS sid))), 1, {k})"
+    )
+    pts = points.where(F.col("lat").isNotNull()).join(F.broadcast(sites))
+    return pts.select(
+        F.col(point_key),
+        F.posexplode(F.expr(topk)).alias("_pos", "_best"),
+    ).select(
+        point_key,
+        F.col("_best.sid").alias("site_id"),
+        F.col("_best.d").alias("dist_m"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
 
 
 def distance_to_nearest(points: DataFrame, sites_pdf: pd.DataFrame, **kw) -> DataFrame:

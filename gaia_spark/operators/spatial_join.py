@@ -63,24 +63,32 @@ class ZoneIndex:
             vlats = np.array([v["lat"] for v in z.vertices], dtype=np.float64)
             vlons = np.array([v["lon"] for v in z.vertices], dtype=np.float64)
             prep = PreparedPolygon(vlats, vlons)
+            edges = None
             if z.kind == "poly":
                 prepared[int(z.zone_id)] = (vlats, vlons)
+                # precompiled edge table shipped INTO the broadcast cover so
+                # refinement can run as JVM higher-order functions (no Arrow)
+                edges = [
+                    {"y1": float(a1), "x1": float(o1), "y2": float(a2), "x2": float(o2)}
+                    for a1, o1, a2, o2 in zip(prep.y1, prep.x1, prep.y2, prep.x2)
+                ]
             full, partial = polygon_cover(prep, res)
             for c in full:
-                rows.append((int(z.zone_id), int(c), True, z.kind, z.min_lat, z.min_lon, z.max_lat, z.max_lon))
+                rows.append((int(z.zone_id), int(c), True, z.kind, z.min_lat, z.min_lon, z.max_lat, z.max_lon, edges))
             for c in partial:
-                rows.append((int(z.zone_id), int(c), False, z.kind, z.min_lat, z.min_lon, z.max_lat, z.max_lon))
+                rows.append((int(z.zone_id), int(c), False, z.kind, z.min_lat, z.min_lon, z.max_lat, z.max_lon, edges))
         cover = pd.DataFrame(
             rows,
-            columns=["zone_id", "cell", "full", "kind", "min_lat", "min_lon", "max_lat", "max_lon"],
+            columns=["zone_id", "cell", "full", "kind", "min_lat", "min_lon", "max_lat", "max_lon", "edges"],
         )
         return cls(res=res, cover_pdf=cover, prepared=prepared, zones_pdf=zones_pdf)
 
     def cover_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
-            self.cover_pdf,
+            self.cover_pdf.to_dict("records"),
             "zone_id long, cell long, full boolean, kind string, "
-            "min_lat double, min_lon double, max_lat double, max_lon double",
+            "min_lat double, min_lon double, max_lat double, max_lon double, "
+            "edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
         )
 
 
@@ -120,6 +128,45 @@ def _pip_refine_udf(spark: SparkSession, prepared: dict[int, tuple[np.ndarray, n
     return pip
 
 
+BOUNDARY_EPS2 = 1e-18  # (1e-9 deg)² — matches kernel.PreparedPolygon.on_boundary
+
+
+def _raycast_sql(lat: str = "lat", lon: str = "lon") -> str:
+    """Even-odd ray casting over the cover row's ``edges`` array — the SAME
+    formula as kernel.PreparedPolygon.contains, but evaluated JVM-side by
+    Catalyst's higher-order functions: zero Python, zero Arrow transfer.
+    Horizontal edges self-exclude via the (y1 > lat) != (y2 > lat) guard
+    (the division then yields ±Infinity, and the AND is already false)."""
+    return (
+        f"(aggregate(edges, 0L, (acc, e) -> acc + (CASE WHEN "
+        f"((e.y1 > {lat}) != (e.y2 > {lat})) AND "
+        f"({lon} < e.x1 + ({lat} - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)) "
+        f"THEN 1L ELSE 0L END)) % 2) = 1"
+    )
+
+
+def _boundary_sql(lat: str = "lat", lon: str = "lon") -> str:
+    """min point-to-edge squared distance ≤ eps² (kernel.on_boundary twin).
+
+    Higher-order functions are interpreted (not codegen'd), so the segment
+    distance uses the compact form d² = u + t·(t·len2 − 2·dot) with
+    t = clamp01(dot/len2), u = |p−a|² — one transform pass + array_min,
+    ~half the per-edge expression nodes of the naive projection form.
+    Equivalent algebra; equals kernel.on_boundary to fp rounding.
+    """
+    dx, dy = "(e.x2 - e.x1)", "(e.y2 - e.y1)"
+    px, py = f"({lon} - e.x1)", f"({lat} - e.y1)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    dot = f"({px} * {dx} + {py} * {dy})"
+    u = f"({px} * {px} + {py} * {py})"
+    t = f"least(cast(1 as double), greatest(cast(0 as double), {dot} / {len2}))"
+    d2 = f"({u} + {t} * ({t} * {len2} - 2 * {dot}))"
+    return (
+        f"array_min(transform(edges, e -> "
+        f"CASE WHEN {len2} = 0 THEN {u} ELSE {d2} END)) <= {BOUNDARY_EPS2}"
+    )
+
+
 def with_cell(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon", out: str | None = None) -> DataFrame:
     """Attach the packed grid-cell id — pure SQL math, codegen'd, and
     mirrored verbatim by the DuckDB oracle (portable.cell_id_sql)."""
@@ -134,6 +181,7 @@ def spatial_join(
     point_key: str = "url",
     strategy: str = "broadcast",
     n_salt: int = 8,
+    refine: str = "sql",
 ) -> DataFrame:
     """Two-phase cell-bucketed spatial join of points against a zone index.
 
@@ -143,7 +191,7 @@ def spatial_join(
     how='anti' → points matching none (DisjointProcess).
     """
     if predicate == "disjoint":
-        return spatial_join(points, index, "intersects", "anti", point_key, strategy, n_salt)
+        return spatial_join(points, index, "intersects", "anti", point_key, strategy, n_salt, refine)
     if predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     if how not in ("inner", "semi", "anti"):
@@ -196,14 +244,29 @@ def spatial_join(
     jvm_decided = full_ok | (is_rect & rect_ok)
 
     needs_pip = is_poly & ~full_ok
-    pip = _pip_refine_udf(spark, index.prepared, pip_mode)
-    pip_ok = needs_pip & pip(
-        F.when(needs_pip, F.col("zone_id")), lat, lon
-    )
+    if refine == "sql":
+        # default: ray-cast + boundary test over the broadcast edge arrays,
+        # entirely inside the JVM — no Python stage in the join at all.
+        # CASE nesting short-circuits the (pricier) boundary test behind the
+        # raycast verdict, so it only runs for rows it could actually flip.
+        rc, bd = _raycast_sql(), _boundary_sql()
+        if pip_mode == "interior":
+            poly_ok = F.expr(f"CASE WHEN {rc} THEN NOT ({bd}) ELSE false END")
+        elif pip_mode == "covers":
+            poly_ok = F.expr(f"CASE WHEN {rc} THEN true ELSE ({bd}) END")
+        else:
+            poly_ok = F.expr(bd)
+        pip_ok = needs_pip & poly_ok
+    else:  # refine == 'arrow': vectorized numpy kernels via pandas UDF
+        pip = _pip_refine_udf(spark, index.prepared, pip_mode)
+        pip_ok = needs_pip & pip(F.when(needs_pip, F.col("zone_id")), lat, lon)
     matched = cand.where(jvm_decided | pip_ok)
 
     if how == "inner":
-        return matched.drop("_cell", "_salt", "cell", "full", "kind", "min_lat", "min_lon", "max_lat", "max_lon")
+        return matched.drop(
+            "_cell", "_salt", "cell", "full", "kind",
+            "min_lat", "min_lon", "max_lat", "max_lon", "edges",
+        )
     hits = matched.select(point_key).distinct()
     join_type = "left_semi" if how == "semi" else "left_anti"
     return points.join(hits, point_key, join_type)

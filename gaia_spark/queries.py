@@ -626,5 +626,6 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# tranche 2: text analysis / dedup / similarity search (registers on import)
+# tranche 2+3: text/dedup/similarity + event analytics (register on import)
 from gaia_spark import queries_text  # noqa: E402, F401
+from gaia_spark import queries_events  # noqa: E402, F401

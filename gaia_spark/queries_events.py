@@ -1,0 +1,116 @@
+"""Registry tranche 3: event-stream analytics — sessionization, JSON
+extraction, distinct aggregation, time bucketing (SURVEY.md §2.G/§2.H)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gaia_spark.functions import portable as P
+from gaia_spark.queries import load, register
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_id,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g)
+    SELECT user_id, cast(session_no as bigint) AS session_no,
+           count(*) AS n_events,
+           cast(floor(date_part('epoch', max(ts) - min(ts))) as bigint) AS dur_s
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the batch
+    twin of the streaming session_window path."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    g = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") <= 1800, 0
+        ).otherwise(1),
+    )
+    s = g.withColumn("session_no", F.sum("new_s").over(cum).cast("long"))
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.floor(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")))
+        .cast("long")
+        .alias("dur_s"),
+    )
+
+
+@register(
+    "q_events_json",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).cast("long").alias("sum_k"),
+    )
+
+
+@register(
+    "q_distinct_users",
+    f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           {P.floor_scaled_sql('sum(value)', 2)} AS sum_value_e2
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.expr(P.floor_scaled_sql("sum(value)", 2)).alias("sum_value_e2"),
+    )
+
+
+@register(
+    "q_time_buckets",
+    """
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_union_all",
+    """
+    SELECT kind, count(*) AS n FROM (
+      SELECT 'hi' AS kind, l_orderkey FROM lineitem WHERE l_quantity >= 25
+      UNION ALL
+      SELECT 'lo' AS kind, l_orderkey FROM lineitem WHERE l_quantity < 25
+    ) GROUP BY kind
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnionProcess semantics: schema-aligned append, NO dedup."""
+    from gaia_spark.operators.setops import union_features
+
+    li = load(spark, sf_dir, "lineitem")
+    hi = li.where("l_quantity >= 25").select(F.lit("hi").alias("kind"), "l_orderkey")
+    lo = li.where("l_quantity < 25").select(F.lit("lo").alias("kind"), "l_orderkey")
+    return union_features(hi, lo).groupBy("kind").agg(F.count("*").alias("n"))

@@ -1,0 +1,58 @@
+"""Per-feature scalar geometry: buffer / centroid / area / length (§2.E)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from gaia_spark.functions.kernel import EARTH_RADIUS_M, haversine_m
+from gaia_spark.operators.scalar_geo import (
+    add_buffer,
+    combined_centroid,
+    ring_area_m2,
+    ring_centroid,
+    ring_length_m,
+)
+from gaia_spark.synth import synth_zones_pdf, zones_df
+
+
+def test_area_and_length_columns(spark):
+    z = zones_df(spark, synth_zones_pdf(16))
+    out = z.select(
+        "zone_id", "kind", "min_lat", "max_lat", "min_lon", "max_lon",
+        ring_area_m2("vertices").alias("area"),
+        ring_length_m("vertices").alias("length"),
+    ).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r.area > 0 and r.length > 0
+        if r.kind == "rect":
+            exp = (
+                EARTH_RADIUS_M ** 2
+                * np.radians(r.max_lon - r.min_lon)
+                * abs(np.sin(np.radians(r.max_lat)) - np.sin(np.radians(r.min_lat)))
+            )
+            np.testing.assert_allclose(r.area, exp, rtol=1e-9)
+
+
+def test_centroid_of_rect_is_bbox_center(spark):
+    z = zones_df(spark, synth_zones_pdf(16)).where("kind = 'rect'")
+    out = z.select("min_lat", "max_lat", "min_lon", "max_lon", ring_centroid("vertices").alias("c")).collect()
+    for r in out:
+        np.testing.assert_allclose(r.c.lat, (r.min_lat + r.max_lat) / 2, atol=1e-9)
+        np.testing.assert_allclose(r.c.lon, (r.min_lon + r.max_lon) / 2, atol=1e-9)
+
+
+def test_combined_centroid(spark):
+    pts = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 20.0, 40.0), (3, None, None)], "id long, lat double, lon double"
+    )
+    r = combined_centroid(pts).collect()[0]
+    assert (r.centroid_lat, r.centroid_lon) == (15.0, 30.0)
+
+
+def test_buffer_ngon_radius(spark):
+    pts = spark.createDataFrame([(1, 45.0, 10.0)], "id long, lat double, lon double")
+    ring = add_buffer(pts, 50_000.0).collect()[0].buffer
+    assert len(ring) == 33  # 32-gon closed
+    for v in ring[:-1]:
+        d = float(haversine_m(45.0, 10.0, v.lat, v.lon))
+        np.testing.assert_allclose(d, 50_000.0, rtol=1e-6)

@@ -95,6 +95,23 @@ def test_overlapping_zones_yield_multiple_rows(points, points_pdf, zones_pdf, in
     assert per_url == int((cnt > 1).sum())
 
 
+@pytest.mark.parametrize("predicate", ["within", "intersects", "touches"])
+def test_sql_refine_equals_arrow_refine(points, index, predicate):
+    """The JVM higher-order-function refinement and the Arrow numpy kernels
+    implement the same formulas — outputs must be identical."""
+    a = {
+        (r.url, r.zone_id)
+        for r in spatial_join(points, index, predicate, refine="sql")
+        .select("url", "zone_id").collect()
+    }
+    b = {
+        (r.url, r.zone_id)
+        for r in spatial_join(points, index, predicate, refine="arrow")
+        .select("url", "zone_id").collect()
+    }
+    assert a == b
+
+
 def test_salted_smj_same_result(points, index):
     a = {
         (r.url, r.zone_id)
