@@ -76,10 +76,11 @@ def headline_queries(spark, pages_path: str, sf_dir: str):
 
     qs = {
         # pages/sec metric: geoparse + multi-res encode over the full table.
-        # the isNotNull filter forces the (nondeterministic-flagged) UDF —
-        # a bare count() would let Catalyst prune the parse entirely
+        # filter on lat (nullable UDF output) forces the parse — a bare
+        # count() lets Catalyst prune the UDF, and cell ids are clamped
+        # non-nullable so filtering on them constant-folds away
         "pages_geoparse_encode": lambda: with_cell(with_cell(geoparsed(), 10), 6).where(
-            F.col("cell_r10").isNotNull()
+            F.col("lat").isNotNull()
         ),
         # join-rows/sec metric: cell-bucketed within join vs 16 zones
         "pages_within_join": lambda: spatial_join(geoparsed(), idx, "within"),
@@ -104,10 +105,17 @@ def headline_queries(spark, pages_path: str, sf_dir: str):
 def run_suite(spark, pages_path: str, sf_dir: str, reps: int) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    only_prefix = os.environ.get("SPARK_GRAFT_ONLY", "")
     for name, build in headline_queries(spark, pages_path, sf_dir).items():
+        if only_prefix and not name.startswith(only_prefix):
+            continue
         samples = []
         n = 0
         for _ in range(reps):
+            # operators like point_tile_pyramid persist() intermediates;
+            # without this, Spark's CacheManager plan-matches rep 2+ onto
+            # rep 1's cache and the bench measures cached reads
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = build().count()  # count() forces the full plan, no collect skew
             samples.append(time.perf_counter() - t0)

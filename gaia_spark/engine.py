@@ -54,6 +54,32 @@ class GaiaFrame:
     def tile_pyramid(self, max_zoom: int, min_zoom: int = 0) -> "GaiaFrame":
         return GaiaFrame(point_tile_pyramid(self.df, max_zoom, min_zoom))
 
+    # -- training-data pipeline verbs -----------------------------------------
+    def dedup_exact(self, text_col: str = "text", id_col: str = "doc_id") -> "GaiaFrame":
+        from gaia_spark.operators.dedup import exact_dedup
+
+        return GaiaFrame(exact_dedup(self.df, text_col, id_col))
+
+    def near_dup_pairs(self, id_col: str = "doc_id", text_col: str = "text", **kw) -> "GaiaFrame":
+        from gaia_spark.operators.dedup import minhash_lsh_pairs
+
+        return GaiaFrame(minhash_lsh_pairs(self.df, id_col, text_col, **kw))
+
+    def cosine_topk(self, queries, k: int = 5, **kw) -> "GaiaFrame":
+        from gaia_spark.operators.simsearch import cosine_topk
+
+        return GaiaFrame(cosine_topk(self.df, queries, k, **kw))
+
+    def cluster(self, res: int, min_pts: int, **kw) -> "GaiaFrame":
+        from gaia_spark.operators.stats import grid_dbscan
+
+        return GaiaFrame(grid_dbscan(self.df, res, min_pts, **kw))
+
+    def to_geojson(self, props: list[str]) -> "GaiaFrame":
+        from gaia_spark.sources.geojson import points_to_geojson
+
+        return GaiaFrame(points_to_geojson(self.df, props))
+
 
 class Engine:
     def __init__(self, spark: SparkSession):

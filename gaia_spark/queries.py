@@ -122,6 +122,12 @@ def _zone_index():
     return ZoneIndex.build(oracle_zones_pdf())
 
 
+def _import_crs():
+    from gaia_spark.functions import crs
+
+    return crs
+
+
 def site_points_pdf() -> pd.DataFrame:
     """25 deterministic sites (key-derived from ids 1..25, offset stream)."""
     import numpy as np
@@ -623,6 +629,39 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(w.agg(F.count("*").alias("n_links")))
     return counts.crossJoin(mi).select(
         "n_cells", "n_links", F.expr(P.floor_scaled_sql("moran_i", 4)).alias("moran_e4")
+    )
+
+
+@register(
+    "q_mercator_roundtrip",
+    f"""
+    WITH {PTS_CTE},
+    m AS (SELECT c_custkey, lat, lon,
+          ({_import_crs().merc_x_sql('lon')}) AS mx,
+          ({_import_crs().merc_y_sql('lat')}) AS my FROM pts)
+    SELECT c_custkey,
+           {P.floor_scaled_sql('mx', 1)} AS mx_e1,
+           {P.floor_scaled_sql('my', 1)} AS my_e1,
+           {P.floor_scaled_sql(_import_crs().inv_merc_lat_sql('my') + ' - lat', 6)} AS lat_err_e6,
+           {P.floor_scaled_sql(_import_crs().inv_merc_lon_sql('mx') + ' - lon', 6)} AS lon_err_e6
+    FROM m
+    """,
+)
+def q_mercator_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS normalization (reproject role): WGS84 -> EPSG:3857 meters and
+    back — pure column math in both engines; roundtrip error pinned ~0."""
+    from gaia_spark.functions import crs
+
+    pts = customer_points(spark, sf_dir)
+    m = pts.withColumn("mx", F.expr(crs.merc_x_sql("lon"))).withColumn(
+        "my", F.expr(crs.merc_y_sql("lat"))
+    )
+    return m.select(
+        "c_custkey",
+        F.expr(P.floor_scaled_sql("mx", 1)).alias("mx_e1"),
+        F.expr(P.floor_scaled_sql("my", 1)).alias("my_e1"),
+        F.expr(P.floor_scaled_sql(crs.inv_merc_lat_sql("my") + " - lat", 6)).alias("lat_err_e6"),
+        F.expr(P.floor_scaled_sql(crs.inv_merc_lon_sql("mx") + " - lon", 6)).alias("lon_err_e6"),
     )
 
 

@@ -33,16 +33,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # ts is TIMESTAMP_NTZ: Spark 4 forbids direct numeric casts; go through
+    # TIMESTAMP (session TZ pinned to UTC, so epochs equal DuckDB's)
+    epoch = F.col("ts").cast("timestamp").cast("double")
     g = e.withColumn(
         "new_s",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") <= 1800, 0
-        ).otherwise(1),
+        F.when(epoch - F.lag(epoch).over(w) <= 1800, 0).otherwise(1),
     )
     s = g.withColumn("session_no", F.sum("new_s").over(cum).cast("long"))
     return s.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        F.floor(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")))
+        F.floor(
+            F.max(F.col("ts").cast("timestamp").cast("double"))
+            - F.min(F.col("ts").cast("timestamp").cast("double"))
+        )
         .cast("long")
         .alias("dur_s"),
     )

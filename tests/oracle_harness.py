@@ -31,7 +31,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s) or str(s.dtype).startswith(("Int", "UInt")):
             df[c] = s.astype("float64")  # unify int widths + allow NaN
         elif pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+            dt = pd.to_datetime(s)
+            if getattr(dt.dtype, "tz", None) is not None:
+                dt = dt.dt.tz_localize(None)
+            df[c] = dt.astype("datetime64[ns]")
         elif s.dtype == object:
             df[c] = s.astype(str).where(s.notna(), None)
     df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
