@@ -29,11 +29,19 @@ import json, os, statistics, sys, time
 sys.path.insert(0, {here!r})
 from bench import build_session, ensure_pages, run_suite
 
+def cpu_ticks():
+    f = open("/proc/stat").readline().split()
+    total = sum(int(x) for x in f[1:])
+    return total, int(f[8])  # total, steal
+
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = build_session(cpus)
 pages_path = ensure_pages(spark, n_pages, os.path.join({here!r}, "BENCH", "cache"))
+t0, s0 = cpu_ticks()
 times, rows = run_suite(spark, pages_path, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), reps)
-print("CHILD_RESULT " + json.dumps({{"times": times, "rows": rows}}))
+t1, s1 = cpu_ticks()
+steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+print("CHILD_RESULT " + json.dumps({{"times": times, "rows": rows, "steal_pct": steal_pct}}))
 spark.stop()
 """
 
@@ -76,7 +84,7 @@ def main() -> None:
     eff_join = metrics["pages_within_join"]["eff"]
 
     result = {
-        "metric": "scaling_efficiency_local8_vs_local32",
+        "metric": "scaling_efficiency_NvS4N",
         "value": round(min(eff_pages, eff_join), 3),
         "unit": "ratio",
         "eff_pages_per_sec": eff_pages,
@@ -84,6 +92,7 @@ def main() -> None:
         "per_query": metrics,
         "n_pages": args.pages,
         "levels": [args.n, big],
+        "steal_pct": {str(args.n): r8.get("steal_pct"), str(big): r32.get("steal_pct")},
     }
     print(json.dumps(result))
     _write_baseline_md(result, args)
@@ -112,6 +121,9 @@ def _write_baseline_md(result: dict, args) -> None:
         "",
         f"**pages/sec efficiency (geoparse+encode): {result['eff_pages_per_sec']}**",
         f"**join-rows/sec efficiency (within join): {result['eff_join_rows_per_sec']}**",
+        "",
+        f"Hypervisor steal during runs: {result.get('steal_pct')} (% of CPU ticks;",
+        "this host is oversubscribed — efficiencies are lower bounds).",
         "",
         "Gate (BASELINE.json): ≥ 0.8 — see JSON line in BENCH/scaling.json.",
     ]

@@ -165,14 +165,29 @@ def near_join(
     # resolution: cells comparable to the radius
     deg = max(radius_m / 111_320.0, 1e-5)
     res = int(np.clip(round(np.log2(360.0 / deg) - 1), 2, 14))
+    n = 1 << res
+    cell_h_deg, cell_w_deg = 180.0 / n, 360.0 / n
     rows = []
     for s in sites_pdf.itertuples(index=False):
         sid = int(getattr(s, site_key))
         slat, slon = float(s.lat), float(s.lon)
-        ring_r = int(np.ceil(deg / (180.0 / (1 << res)))) + 1
-        c = cell_encode(np.array([slat]), np.array([slon]), res)[0]
-        for cell in kring(int(c), res, ring_r):
-            rows.append((sid, slat, slon, int(cell)))
+        # latitude extent is uniform; longitude extent grows with 1/cos(lat)
+        # toward the poles — size the x-ring at the worst latitude the disc
+        # can reach, else high-latitude pairs are silently missed
+        lat_deg = deg
+        max_abs_lat = min(89.9, abs(slat) + lat_deg)
+        lon_deg = deg / max(np.cos(np.radians(max_abs_lat)), 1e-3)
+        ring_y = int(np.ceil(lat_deg / cell_h_deg)) + 1
+        ring_x = min(int(np.ceil(lon_deg / cell_w_deg)) + 1, n // 2)
+        c = int(cell_encode(np.array([slat]), np.array([slon]), res)[0])
+        cx, cy = c % n, c // n
+        for dy in range(-ring_y, ring_y + 1):
+            yy = cy + dy
+            if yy < 0 or yy >= n:
+                continue
+            for dx in range(-ring_x, ring_x + 1):
+                xx = (cx + dx) % n
+                rows.append((sid, slat, slon, yy * n + xx))
     cover = spark.createDataFrame(
         pd.DataFrame(rows, columns=["site_id", "site_lat", "site_lon", "cell"]),
         "site_id long, site_lat double, site_lon double, cell long",

@@ -55,6 +55,26 @@ def test_knn_cells_matches_broadcast(spark, points, sites):
     assert a == b
 
 
+def test_near_join_high_latitude_no_misses(spark):
+    """Regression: near the poles a fixed radius spans many longitude
+    degrees; the cover's x-ring must widen with 1/cos(lat) or pairs vanish."""
+    import pandas as pd
+
+    sites = pd.DataFrame({"site_id": [1], "lat": [83.0], "lon": [10.0]})
+    # points along lat 83 at increasing lon offsets; 1 deg lon ≈ 13.6 km here
+    pts = spark.createDataFrame(
+        [(f"p{i}", 83.0, 10.0 + i * 5.0) for i in range(8)],
+        "url string, lat double, lon double",
+    )
+    got = {r.url for r in near_join(pts, sites, 500_000.0).collect()}
+    want = set()
+    for i in range(8):
+        if float(haversine_m(83.0, 10.0, 83.0, 10.0 + i * 5.0)) <= 500_000.0:
+            want.add(f"p{i}")
+    assert got == want
+    assert len(want) >= 5  # several multi-cell-away points must be found
+
+
 def test_near_join_matches_brute_force(spark, points, sites):
     pdf = points.select("url", "lat", "lon").toPandas()
     radius = 750_000.0

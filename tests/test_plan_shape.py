@@ -44,8 +44,10 @@ def test_spatial_join_is_broadcast_and_python_free(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_knn_sql_path_is_python_free_after_geoparse(spark):
-    pts = geoparse(synth_pages(spark, 300, partitions=2))
+def test_knn_sql_path_is_python_free_after_geoparse(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    synth_pages(spark, 300, partitions=2).write.parquet(path)
+    pts = geoparse(spark.read.parquet(path))
     knn = knn_join_broadcast(pts, site_points_pdf(), k=2)
     plan = plan_of(knn)
     assert plan.count("ArrowEvalPython") == 1  # geoparse only
