@@ -54,7 +54,24 @@ def ensure_pages(spark, n_pages: int, cache_dir: str) -> str:
     return path
 
 
-def headline_queries(spark, pages_path: str, sf_dir: str):
+def ensure_points(spark, n_pages: int, cache_dir: str) -> str:
+    """Materialized geoparsed points (url, lat, lon) — isolates the JVM-only
+    join metric from the Python geoparse stage. (Python UDF workers run on
+    cores OUTSIDE local[N]'s task slots, so a UDF-bearing job at local[2]
+    effectively uses ~4 cores and corrupts N-vs-4N scaling ratios.)"""
+    path = os.path.join(cache_dir, f"points_{n_pages}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from gaia_spark.functions.geoparse import geoparse
+
+        pages = spark.read.parquet(ensure_pages(spark, n_pages, cache_dir))
+        geoparse(pages).where("lat is not null").select("url", "lat", "lon").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | None = None):
     """name -> (build_df, rows_metric) — rows_metric counts throughput rows."""
     import pyspark.sql.functions as F
 
@@ -84,6 +101,13 @@ def headline_queries(spark, pages_path: str, sf_dir: str):
         ),
         # join-rows/sec metric: cell-bucketed within join vs 16 zones
         "pages_within_join": lambda: spatial_join(geoparsed(), idx, "within"),
+        # join operator isolated (pre-parsed points, pure JVM end to end) —
+        # the scaling-gate variant of join-rows/sec
+        "points_within_join": lambda: spatial_join(
+            spark.read.parquet(points_path), idx, "within"
+        )
+        if points_path
+        else spatial_join(geoparsed(), idx, "within"),
         "pages_zonal_stats": lambda: zonal_stats(
             spatial_join(
                 geoparsed().withColumn("val", F.length("text").cast("double")), idx, "within"
@@ -111,12 +135,16 @@ def headline_queries(spark, pages_path: str, sf_dir: str):
     return qs
 
 
-def run_suite(spark, pages_path: str, sf_dir: str, reps: int) -> tuple[dict, dict]:
+def run_suite(
+    spark, pages_path: str, sf_dir: str, reps: int, points_path: str | None = None
+) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     only_prefix = os.environ.get("SPARK_GRAFT_ONLY", "")
-    for name, build in headline_queries(spark, pages_path, sf_dir).items():
-        if only_prefix and not name.startswith(only_prefix):
+    for name, build in headline_queries(spark, pages_path, sf_dir, points_path).items():
+        if only_prefix and not any(
+            name.startswith(p) for p in only_prefix.split(",")
+        ):
             continue
         samples = []
         n = 0
@@ -151,8 +179,9 @@ def main() -> None:
 
     spark = build_session(cpus)
     pages_path = ensure_pages(spark, n_pages, cache_dir)
+    points_path = ensure_points(spark, n_pages, cache_dir)
     t0, s0 = cpu_ticks()
-    times, rows = run_suite(spark, pages_path, sf_dir, reps)
+    times, rows = run_suite(spark, pages_path, sf_dir, reps, points_path)
     t1, s1 = cpu_ticks()
 
     total = round(sum(times.values()), 3)

@@ -34,11 +34,15 @@ def cpu_ticks():
     total = sum(int(x) for x in f[1:])
     return total, int(f[8])  # total, steal
 
+from bench import ensure_points
+
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = build_session(cpus)
-pages_path = ensure_pages(spark, n_pages, os.path.join({here!r}, "BENCH", "cache"))
+cache = os.path.join({here!r}, "BENCH", "cache")
+pages_path = ensure_pages(spark, n_pages, cache)
+points_path = ensure_points(spark, n_pages, cache)
 t0, s0 = cpu_ticks()
-times, rows = run_suite(spark, pages_path, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), reps)
+times, rows = run_suite(spark, pages_path, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), reps, points_path)
 t1, s1 = cpu_ticks()
 steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
 print("CHILD_RESULT " + json.dumps({{"times": times, "rows": rows, "steal_pct": steal_pct}}))
@@ -79,9 +83,10 @@ def main() -> None:
             "tput_n": round(tput8, 1), "tput_4n": round(tput32, 1),
             "eff": round(tput32 / (4.0 * tput8), 3),
         }
-    # headline efficiencies: throughput-weighted over the two north metrics
+    # headline efficiencies over the two north metrics; the join gate uses
+    # the isolated JVM-only join (points_within_join) when present
     eff_pages = metrics["pages_geoparse_encode"]["eff"]
-    eff_join = metrics["pages_within_join"]["eff"]
+    eff_join = metrics.get("points_within_join", metrics["pages_within_join"])["eff"]
 
     result = {
         "metric": "scaling_efficiency_NvS4N",

@@ -167,6 +167,67 @@ def _boundary_sql(lat: str = "lat", lon: str = "lon") -> str:
     )
 
 
+def _codegen_raycast(lats: np.ndarray, lons: np.ndarray, lat: str = "lat", lon: str = "lon") -> str:
+    """Zone-specialized even-odd ray cast with the edge constants inlined as
+    literals — no arrays, no lambdas, whole-stage-codegen-able. Horizontal
+    edges are dropped at build time; each edge's slope is prefolded."""
+    terms = []
+    for y1, x1, y2, x2 in zip(lats[:-1], lons[:-1], lats[1:], lons[1:]):
+        y1, x1, y2, x2 = float(y1), float(x1), float(y2), float(x2)  # plain reprs
+        if y1 == y2:
+            continue  # never crossed by the half-open rule
+        m = (x2 - x1) / (y2 - y1)
+        cond = (
+            f"(({y1!r} > {lat}) != ({y2!r} > {lat})) AND "
+            f"({lon} < {x1!r} + ({lat} - {y1!r}) * {m!r})"
+        )
+        terms.append(f"(CASE WHEN {cond} THEN 1 ELSE 0 END)")
+    if not terms:
+        return "false"
+    return f"(({' + '.join(terms)}) % 2) = 1"
+
+
+def _codegen_boundary(lats: np.ndarray, lons: np.ndarray, lat: str = "lat", lon: str = "lon") -> str:
+    """Zone-specialized boundary test: min over edges of the compact segment
+    distance with len2/deltas prefolded to literals."""
+    ds = []
+    for y1, x1, y2, x2 in zip(lats[:-1], lons[:-1], lats[1:], lons[1:]):
+        y1, x1, y2, x2 = float(y1), float(x1), float(y2), float(x2)
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        px, py = f"({lon} - {x1!r})", f"({lat} - {y1!r})"
+        u = f"({px} * {px} + {py} * {py})"
+        if len2 == 0:
+            ds.append(u)
+            continue
+        dot = f"({px} * {dx!r} + {py} * {dy!r})"
+        t = f"least(cast(1 as double), greatest(cast(0 as double), {dot} / {len2!r}))"
+        ds.append(f"({u} + {t} * ({t} * {len2!r} - 2 * {dot}))")
+    if not ds:
+        return "false"
+    return f"least({', '.join(ds)}) <= {BOUNDARY_EPS2}" if len(ds) > 1 else f"({ds[0]}) <= {BOUNDARY_EPS2}"
+
+
+def _codegen_poly_predicate(
+    prepared: dict[int, tuple[np.ndarray, np.ndarray]], pip_mode: str
+) -> "F.Column":
+    """CASE zone_id WHEN ... dispatch over zone-specialized predicates."""
+    branches = []
+    for zid, (vlats, vlons) in sorted(prepared.items()):
+        rc = _codegen_raycast(vlats, vlons)
+        bd = _codegen_boundary(vlats, vlons)
+        if pip_mode == "interior":
+            body = f"CASE WHEN {rc} THEN NOT ({bd}) ELSE false END"
+        elif pip_mode == "covers":
+            body = f"CASE WHEN {rc} THEN true ELSE ({bd}) END"
+        else:
+            body = bd
+        branches.append(f"WHEN zone_id = {zid} THEN ({body})")
+    if not branches:
+        return F.lit(False)
+    return F.expr("CASE " + " ".join(branches) + " ELSE false END")
+
+
 def with_cell(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon", out: str | None = None) -> DataFrame:
     """Attach the packed grid-cell id — pure SQL math, codegen'd, and
     mirrored verbatim by the DuckDB oracle (portable.cell_id_sql)."""
@@ -181,7 +242,7 @@ def spatial_join(
     point_key: str = "url",
     strategy: str = "broadcast",
     n_salt: int = 8,
-    refine: str = "sql",
+    refine: str = "auto",
 ) -> DataFrame:
     """Two-phase cell-bucketed spatial join of points against a zone index.
 
@@ -244,7 +305,14 @@ def spatial_join(
     jvm_decided = full_ok | (is_rect & rect_ok)
 
     needs_pip = is_poly & ~full_ok
-    if refine == "sql":
+    if refine == "auto":
+        total_edges = sum(len(v[0]) for v in index.prepared.values())
+        refine = "codegen" if 0 < total_edges <= 512 else "sql"
+    if refine == "codegen":
+        # small zone sets: specialize per zone with literal edge constants —
+        # straight-line whole-stage-codegen arithmetic, no arrays/lambdas
+        pip_ok = needs_pip & _codegen_poly_predicate(index.prepared, pip_mode)
+    elif refine == "sql":
         # default: ray-cast + boundary test over the broadcast edge arrays,
         # entirely inside the JVM — no Python stage in the join at all.
         # CASE nesting short-circuits the (pricier) boundary test behind the

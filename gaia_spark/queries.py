@@ -665,6 +665,7 @@ def q_mercator_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# tranche 2+3: text/dedup/similarity + event analytics (register on import)
+# tranche 2-4: text/dedup/similarity, event analytics, rows-only operators
 from gaia_spark import queries_text  # noqa: E402, F401
 from gaia_spark import queries_events  # noqa: E402, F401
+from gaia_spark import queries_misc  # noqa: E402, F401

@@ -24,3 +24,16 @@ def test_registry_covers_contract():
     assert ORACLE_NAMES  # non-empty
     for n in ORACLE_NAMES:
         assert Q.REGISTRY[n].spark is not None
+
+
+ROWS_ONLY = sorted(n for n, q in Q.REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_are_deterministic(spark, name):
+    q = Q.REGISTRY[name]
+    a = q.spark(spark, SF_DIR)
+    n1 = a.count()
+    n2 = q.spark(spark, SF_DIR).count()
+    assert n1 == n2 and n1 >= 0
+    assert len(a.schema.fields) > 0

@@ -96,20 +96,18 @@ def test_overlapping_zones_yield_multiple_rows(points, points_pdf, zones_pdf, in
 
 
 @pytest.mark.parametrize("predicate", ["within", "intersects", "touches"])
-def test_sql_refine_equals_arrow_refine(points, index, predicate):
-    """The JVM higher-order-function refinement and the Arrow numpy kernels
-    implement the same formulas — outputs must be identical."""
-    a = {
-        (r.url, r.zone_id)
-        for r in spatial_join(points, index, predicate, refine="sql")
-        .select("url", "zone_id").collect()
-    }
-    b = {
-        (r.url, r.zone_id)
-        for r in spatial_join(points, index, predicate, refine="arrow")
-        .select("url", "zone_id").collect()
-    }
-    assert a == b
+def test_refine_paths_equivalent(points, index, predicate):
+    """All three refinement backends — interpreted HOFs over edge arrays,
+    zone-specialized codegen literals, Arrow numpy kernels — must agree."""
+    results = [
+        {
+            (r.url, r.zone_id)
+            for r in spatial_join(points, index, predicate, refine=refine)
+            .select("url", "zone_id").collect()
+        }
+        for refine in ("sql", "codegen", "arrow")
+    ]
+    assert results[0] == results[1] == results[2]
 
 
 def test_salted_smj_same_result(points, index):
