@@ -71,6 +71,28 @@ def ensure_points(spark, n_pages: int, cache_dir: str) -> str:
     return path
 
 
+def ensure_points_synth(spark, n_points: int, cache_dir: str) -> str:
+    """Large synthetic point table generated JVM-side (key-derived lat/lon,
+    no Python anywhere) — sized to amortize fixed job overheads when
+    measuring the isolated join's N-vs-4N scaling."""
+    import pyspark.sql.functions as F
+
+    path = os.path.join(cache_dir, f"points_synth_{n_points}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        parts = min(max(n_points // 250_000, 64), 512)
+        df = (
+            spark.range(0, n_points, numPartitions=parts)
+            .select(
+                F.col("id").cast("string").alias("url"),
+                F.expr("((id * 7919) % 17000000) / cast(100000 as double) - 85.0").alias("lat"),
+                F.expr("((id * 104729) % 36000000) / cast(100000 as double) - 180.0").alias("lon"),
+            )
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
 def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | None = None):
     """name -> (build_df, rows_metric) — rows_metric counts throughput rows."""
     import pyspark.sql.functions as F

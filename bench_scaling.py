@@ -34,13 +34,17 @@ def cpu_ticks():
     total = sum(int(x) for x in f[1:])
     return total, int(f[8])  # total, steal
 
-from bench import ensure_points
+from bench import ensure_points, ensure_points_synth
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = build_session(cpus)
 cache = os.path.join({here!r}, "BENCH", "cache")
 pages_path = ensure_pages(spark, n_pages, cache)
-points_path = ensure_points(spark, n_pages, cache)
+join_points = int(os.environ.get("SPARK_GRAFT_JOIN_POINTS", "0"))
+if join_points:
+    points_path = ensure_points_synth(spark, join_points, cache)
+else:
+    points_path = ensure_points(spark, n_pages, cache)
 t0, s0 = cpu_ticks()
 times, rows = run_suite(spark, pages_path, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), reps, points_path)
 t1, s1 = cpu_ticks()
@@ -86,7 +90,8 @@ def main() -> None:
     # headline efficiencies over the two north metrics; the join gate uses
     # the isolated JVM-only join (points_within_join) when present
     eff_pages = metrics["pages_geoparse_encode"]["eff"]
-    eff_join = metrics.get("points_within_join", metrics["pages_within_join"])["eff"]
+    join_key = "points_within_join" if "points_within_join" in metrics else "pages_within_join"
+    eff_join = metrics[join_key]["eff"]
 
     result = {
         "metric": "scaling_efficiency_NvS4N",
