@@ -632,6 +632,40 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOUCH_PTS = (
+    "spts AS (SELECT s_suppkey, "
+    "CASE WHEN s_suppkey % 2 = 0 THEN -80.0 ELSE -54.0 END AS lat, "
+    "(-170.0 + s_suppkey * 1.5) AS lon FROM supplier)"
+)
+
+
+@register(
+    "q_touches",
+    f"""
+    WITH {_TOUCH_PTS}, {ZONES_CTE}
+    SELECT s_suppkey, zone_id
+    FROM spts JOIN zones
+      ON lat BETWEEN min_lat AND max_lat AND lon BETWEEN min_lon AND max_lon
+     AND (lat = min_lat OR lat = max_lat OR lon = min_lon OR lon = max_lon)
+    """,
+)
+def q_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TouchesProcess: points constructed exactly ON zone boundary lines
+    (exact double equality — identical literal arithmetic in both engines)."""
+    from gaia_spark.operators.spatial_join import spatial_join
+
+    pts = (
+        load(spark, sf_dir, "supplier")
+        .withColumn(
+            "lat",
+            F.when(F.col("s_suppkey") % 2 == 0, F.lit(-80.0)).otherwise(F.lit(-54.0)),
+        )
+        .withColumn("lon", F.expr("-170.0 + s_suppkey * 1.5"))
+    )
+    joined = spatial_join(pts, _zone_index(), predicate="touches", point_key="s_suppkey")
+    return joined.select("s_suppkey", "zone_id")
+
+
 @register(
     "q_mercator_roundtrip",
     f"""
