@@ -1,0 +1,63 @@
+"""As-of (backward nearest-in-time) join — SURVEY.md §2.C interval/as-of.
+
+For each left row, attach the latest right row with the same key and
+``ts_right <= ts_left``. Spark has no ASOF join operator; the scalable
+realization is the union + last-non-null-window trick:
+
+    tag both sides, UNION ALL, window per key ordered by (ts, tag),
+    carry the right side's payload forward with last(ignorenulls=True),
+    keep only left rows.
+
+One shuffle on the key, no range explosion, no driver loops — the same
+plan shape Flink/Kafka-streams use for temporal joins. Right rows with
+duplicate (key, ts) are deduped to the max sequence id first so the pick
+is deterministic (DuckDB's ASOF JOIN oracle mirrors this).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload: list[str],
+    seq: str | None = None,
+) -> DataFrame:
+    """Returns left columns + right ``payload`` columns (null when no right
+    row precedes). ``seq``: tiebreak column for duplicate right (key, ts)."""
+    if seq is not None:
+        w_dedup = Window.partitionBy(key, ts).orderBy(F.desc(seq))
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    l_tag = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_r_{p}") for p in payload],
+        F.struct(*left.columns).alias("_l"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_tag"),
+        *[F.col(p).alias(f"_r_{p}") for p in payload],
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col("_tag").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = u.select(
+        "_l",
+        "_tag",
+        *[F.last(f"_r_{p}", ignorenulls=True).over(w).alias(f"_c_{p}") for p in payload],
+    ).where(F.col("_tag") == 1)
+    out = carried.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_c_{p}").alias(f"asof_{p}") for p in payload],
+    )
+    return out

@@ -184,14 +184,17 @@ def _pages_batch(i: np.ndarray, seed: int = SEED) -> pd.DataFrame:
     )
 
 
-def synth_pages(spark: SparkSession, n: int, partitions: int = 32, seed: int = SEED) -> DataFrame:
-    """Distributed deterministic pages table: n rows, pure function of index."""
+def synth_pages(
+    spark: SparkSession, n: int, partitions: int = 32, seed: int = SEED, start: int = 0
+) -> DataFrame:
+    """Distributed deterministic pages table: rows [start, n), pure function
+    of row index — any index range regenerates identical values."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield _pages_batch(b["id"].to_numpy(), seed)
 
-    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
+    return spark.range(start, n, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
 
 
 def synth_pages_pdf(n: int, seed: int = SEED) -> pd.DataFrame:
