@@ -89,6 +89,38 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_filter_list",
+    """
+    SELECT p_brand, count(*) AS n,
+           cast(sum(p_size) as bigint) AS sum_size
+    FROM part
+    WHERE p_size > 20 AND p_type LIKE '%ECO%'
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    GROUP BY p_brand
+    """,
+)
+def q_filter_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference filter-list semantics ([R] gaia/filters.py :: filter_pandas):
+    [[attr, op, value], ...] applied through the declarative pipeline op."""
+    from gaia_spark.plans.pipeline import OPS
+
+    part = load(spark, sf_dir, "part")
+    filtered = OPS["filter"](
+        part,
+        {
+            "filters": [
+                ["p_size", ">", 20],
+                ["p_type", "contains", "ECO"],
+                ["p_brand", "in", ["Brand#1", "Brand#2", "Brand#3"]],
+            ]
+        },
+    )
+    return filtered.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.sum("p_size").cast("long").alias("sum_size")
+    )
+
+
+@register(
     "q_time_buckets",
     """
     SELECT date_trunc('hour', ts) AS hour, count(*) AS n

@@ -110,6 +110,30 @@ def test_refine_paths_equivalent(points, index, predicate):
     assert results[0] == results[1] == results[2]
 
 
+def test_hot_cell_skew_salting_correct(spark, index):
+    """M4 skew case: 80% of points crammed into ONE cell — the salted SMJ
+    path must still produce exactly the broadcast path's pairs (no lost or
+    duplicated matches when the cover is replicated across salts)."""
+    z = synth_zones_pdf(16)
+    hot_lat = float(z.iloc[0]["min_lat"]) + 0.01
+    hot_lon = float(z.iloc[0]["min_lon"]) + 0.01
+    rows = [(f"hot{i}", hot_lat, hot_lon) for i in range(800)]
+    rows += [(f"cold{i}", float(-80 + i % 160), float(-170 + (i * 7) % 340)) for i in range(200)]
+    pts = spark.createDataFrame(rows, "url string, lat double, lon double")
+    a = {
+        (r.url, r.zone_id)
+        for r in spatial_join(pts, index, "intersects", strategy="broadcast")
+        .select("url", "zone_id").collect()
+    }
+    b = {
+        (r.url, r.zone_id)
+        for r in spatial_join(pts, index, "intersects", strategy="smj_salted", n_salt=8)
+        .select("url", "zone_id").collect()
+    }
+    assert a == b
+    assert sum(1 for u, _ in a if u.startswith("hot")) >= 800  # hot cell matched
+
+
 def test_salted_smj_same_result(points, index):
     a = {
         (r.url, r.zone_id)
