@@ -68,28 +68,55 @@ def destination_point(lat, lon, bearing_rad, dist_m):
 # point-in-polygon over precompiled edge tables ("prepared geometry")
 # ---------------------------------------------------------------------------
 
+def _close_ring(lats: np.ndarray, lons: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    if lats[0] != lats[-1] or lons[0] != lons[-1]:
+        lats = np.append(lats, lats[0])
+        lons = np.append(lons, lons[0])
+    return lats, lons
+
+
 class PreparedPolygon:
-    """Precompiled edge table for a single ring polygon.
+    """Precompiled edge tables for a polygon — one outer ring, or several
+    rings (interior rings = holes; disjoint outer rings = multipolygon).
 
     Plays the role of shapely's prepared geometry in the reference's
     ``WithinProcess``/``IntersectsProcess`` (``[R] gaia/geo/
     processes_vector.py``): vertices are split into parallel edge arrays once
-    so each refinement batch is pure vectorized numpy.
+    so each refinement batch is pure vectorized numpy. Containment is the
+    EVEN-ODD rule over the union of all ring edges, which handles holes and
+    multipolygons with the identical crossing-parity formula — a point inside
+    a hole crosses both the outer and the hole boundary (even → outside).
     """
 
-    __slots__ = ("x1", "y1", "x2", "y2", "min_lat", "max_lat", "min_lon", "max_lon")
+    __slots__ = ("x1", "y1", "x2", "y2", "min_lat", "max_lat", "min_lon", "max_lon", "rings")
 
     def __init__(self, lats: np.ndarray, lons: np.ndarray):
-        lats = np.asarray(lats, dtype=np.float64)
-        lons = np.asarray(lons, dtype=np.float64)
-        if lats[0] != lats[-1] or lons[0] != lons[-1]:  # close the ring
-            lats = np.append(lats, lats[0])
-            lons = np.append(lons, lons[0])
-        # edges: (y1,x1) -> (y2,x2); x=lon, y=lat
-        self.y1, self.x1 = lats[:-1], lons[:-1]
-        self.y2, self.x2 = lats[1:], lons[1:]
-        self.min_lat, self.max_lat = float(lats.min()), float(lats.max())
-        self.min_lon, self.max_lon = float(lons.min()), float(lons.max())
+        self._init_from_rings([(lats, lons)])
+
+    @classmethod
+    def from_rings(cls, rings: list[tuple[np.ndarray, np.ndarray]]) -> "PreparedPolygon":
+        """Build from [(ring_lats, ring_lons), ...] — ring 0 outer, further
+        rings holes (or extra outer rings for a multipolygon)."""
+        obj = cls.__new__(cls)
+        obj._init_from_rings(rings)
+        return obj
+
+    def _init_from_rings(self, rings: list[tuple[np.ndarray, np.ndarray]]) -> None:
+        closed = [_close_ring(la, lo) for la, lo in rings]
+        self.rings = [(la.copy(), lo.copy()) for la, lo in closed]
+        # edges: (y1,x1) -> (y2,x2); x=lon, y=lat — concatenated across rings
+        # (ring-closing vertices never create a cross-ring edge: each ring
+        # contributes its own N-1 edges)
+        self.y1 = np.concatenate([la[:-1] for la, _ in closed])
+        self.x1 = np.concatenate([lo[:-1] for _, lo in closed])
+        self.y2 = np.concatenate([la[1:] for la, _ in closed])
+        self.x2 = np.concatenate([lo[1:] for _, lo in closed])
+        self.min_lat = float(min(la.min() for la, _ in closed))
+        self.max_lat = float(max(la.max() for la, _ in closed))
+        self.min_lon = float(min(lo.min() for _, lo in closed))
+        self.max_lon = float(max(lo.max() for _, lo in closed))
 
     def contains(self, lats, lons) -> np.ndarray:
         """Even-odd (ray-casting) interior test; boundary is half-open.
@@ -296,14 +323,16 @@ def bbox_cover(min_lat, min_lon, max_lat, max_lon, res: int) -> np.ndarray:
 
 
 def polygon_cover(prep: PreparedPolygon, res: int) -> tuple[np.ndarray, np.ndarray]:
-    """(full_cells, partial_cells) cover of a polygon at resolution ``res``.
+    """(full_cells, partial_cells) cover of a (multi-ring) polygon at ``res``.
 
-    A cell is *full* when all 4 corners and the center are covered and no
-    polygon vertex lies strictly inside it (sufficient for the convex rings
-    this engine generates; non-convex rings degrade to *partial*, which is
-    conservative — refinement still decides membership). Every other bbox
-    cell is *partial*: over-covering is safe (refinement rejects
-    non-members), under-covering would lose matches.
+    Classification rule, exact for ARBITRARY simple rings (convex or not,
+    holes, multipolygons): if no boundary edge's bbox overlaps a cell, the
+    boundary cannot pass through it, so the cell is entirely inside or
+    entirely outside — the covered probe points decide which. Cells the
+    boundary may pass through are *partial* (refinement decides membership);
+    entirely-outside cells (bbox corners, hole interiors) are DROPPED from
+    the cover. Edge-bbox overlap over-approximates edge-cell intersection,
+    which only ever demotes full→partial (safe, never wrong).
     """
     cells = bbox_cover(prep.min_lat, prep.min_lon, prep.max_lat, prep.max_lon, res)
     n = 1 << res
@@ -318,12 +347,16 @@ def polygon_cover(prep: PreparedPolygon, res: int) -> tuple[np.ndarray, np.ndarr
     flat_cov = prep.covers(corner_lats.ravel(), corner_lons.ravel()).reshape(-1, 5)
     n_cov = flat_cov.sum(axis=1)
 
-    # polygon vertices inside a cell force that cell to partial
-    vx = np.floor((prep.x1 + 180.0) / 360.0 * n).astype(np.int64)
-    vy = np.floor((90.0 - prep.y1) / 180.0 * n).astype(np.int64)
-    vx, vy = np.clip(vx, 0, n - 1), np.clip(vy, 0, n - 1)
-    vertex_cells = set((vy * n + vx).tolist())
-    has_vertex = np.array([c in vertex_cells for c in cells.tolist()])
+    # does any edge's bbox overlap the cell? (cells × edges, closed compare)
+    e_minx = np.minimum(prep.x1, prep.x2)[None, :]
+    e_maxx = np.maximum(prep.x1, prep.x2)[None, :]
+    e_miny = np.minimum(prep.y1, prep.y2)[None, :]
+    e_maxy = np.maximum(prep.y1, prep.y2)[None, :]
+    overlap = (
+        (e_minx <= lon1[:, None]) & (e_maxx >= lon0[:, None])
+        & (e_miny <= lat1[:, None]) & (e_maxy >= lat0[:, None])
+    ).any(axis=1)
 
-    full = (n_cov == 5) & ~has_vertex
-    return cells[full], cells[~full]
+    full = (n_cov == 5) & ~overlap
+    outside = (n_cov == 0) & ~overlap
+    return cells[full], cells[~full & ~outside]

@@ -37,14 +37,21 @@ def asof_join(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+    # the whole payload is carried as ONE struct under a single
+    # last(ignorenulls=True): every asof_* column then comes from the SAME
+    # matched right row — carrying columns independently would backfill a
+    # NULL payload value from an older right row, silently mixing rows.
+    r_struct = F.struct(*[F.col(p).alias(p) for p in payload])
     l_tag = left.select(
         F.col(key), F.col(ts), F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_r_{p}") for p in payload],
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
         F.struct(*left.columns).alias("_l"),
     )
     r_tag = right.select(
         F.col(key), F.col(ts), F.lit(0).alias("_tag"),
-        *[F.col(p).alias(f"_r_{p}") for p in payload],
+        r_struct.alias("_r"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
     )
     u = l_tag.unionByName(r_tag)
@@ -54,10 +61,10 @@ def asof_join(
     carried = u.select(
         "_l",
         "_tag",
-        *[F.last(f"_r_{p}", ignorenulls=True).over(w).alias(f"_c_{p}") for p in payload],
+        F.last("_r", ignorenulls=True).over(w).alias("_c"),
     ).where(F.col("_tag") == 1)
     out = carried.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c_{p}").alias(f"asof_{p}") for p in payload],
+        *[F.col(f"_c.{p}").alias(f"asof_{p}") for p in payload],
     )
     return out

@@ -27,13 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from gaia_spark.functions import portable
-from gaia_spark.functions.kernel import (
-    cell_encode,
-    haversine_m,
-    kring,
-    ring_lower_bound_m,
-    ring_only,
-)
+from gaia_spark.functions.kernel import cell_encode, haversine_m
 from gaia_spark.operators.spatial_join import with_cell
 
 
@@ -202,6 +196,19 @@ def near_join(
     )
 
 
+def _ring_offsets(rho: int) -> list[tuple[int, int]]:
+    """(dx, dy) offsets at exactly Chebyshev distance ``rho`` (hollow ring,
+    8·rho offsets; the single (0,0) for rho=0)."""
+    if rho == 0:
+        return [(0, 0)]
+    out = []
+    for dx in range(-rho, rho + 1):
+        for dy in range(-rho, rho + 1):
+            if max(abs(dx), abs(dy)) == rho:
+                out.append((dx, dy))
+    return out
+
+
 def knn_join_cells(
     points: DataFrame,
     sites_df: DataFrame,
@@ -213,18 +220,23 @@ def knn_join_cells(
 ) -> DataFrame:
     """Distributed kNN via iterative cell-ring expansion (both sides large).
 
-    Round ρ joins still-unsettled points against the sites exploded to their
-    ring-ρ cells only (hollow rings — no candidate is generated twice), keeps
-    a running top-k per point, and settles points whose k-th distance beats
-    the next ring's conservative lower bound. The driver loop is bounded;
-    stragglers that never settle (polar cells) fall back to comparing against
-    every remaining ring at once in the final round.
+    The site side stays a DataFrame end to end: round ρ explodes each site
+    across the 8ρ hollow-ring cell OFFSETS (a tiny literal array — the only
+    driver-built object), joins still-unsettled points on cell, keeps a
+    running top-k per point, and settles points whose k-th distance beats the
+    next ring's conservative lower bound. Candidates are deduped on
+    (point, site) before every ranking — longitude wrap and the final
+    fallback can regenerate a pair, and a duplicate surviving row_number
+    would displace a true k-th neighbor. The bounded final round compares
+    the (small) unsettled remainder against all sites directly.
     """
-    spark = points.sparkSession
     n = 1 << res
-    sites_pdf = sites_df.select(
-        F.col(site_key).alias("site_id"), F.col("lat").alias("site_lat"), F.col("lon").alias("site_lon")
-    ).toPandas()
+    sites = sites_df.select(
+        F.col(site_key).alias("site_id"),
+        F.col("lat").alias("site_lat"),
+        F.col("lon").alias("site_lon"),
+    ).withColumn("_sc", F.expr(portable.cell_id_sql("site_lat", "site_lon", res)))
+    sites = sites.persist()
 
     pts = (
         points.where(F.col("lat").isNotNull())
@@ -233,68 +245,72 @@ def knn_join_cells(
     )
     pending = pts
     best: DataFrame | None = None
-    s_cells = cell_encode(sites_pdf["site_lat"].to_numpy(), sites_pdf["site_lon"].to_numpy(), res)
+    topk_w = Window.partitionBy("_pk").orderBy(F.asc("dist_m"), F.asc("site_id"))
 
+    def _merge_topk(acc: DataFrame | None, cand: DataFrame) -> DataFrame:
+        merged = cand if acc is None else acc.unionByName(cand)
+        return (
+            merged.dropDuplicates(["_pk", "site_id"])
+            .withColumn("_rn", F.row_number().over(topk_w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)  # cut the iterative lineage
+        )
+
+    dist = F.expr(portable.haversine_m_sql("lat", "lon", "site_lat", "site_lon"))
     for rho in range(max_rounds + 1):
         last = rho == max_rounds
-        rows = []
-        for i, sc in enumerate(s_cells):
-            ring = (
-                kring(int(sc), res, n)  # everything
-                if last
-                else ring_only(int(sc), res, rho)
+        if last:
+            # bounded fallback: whatever never settled (polar/sparse regions)
+            # compares against every site — the remainder is small by now
+            cand = pending.crossJoin(sites.drop("_sc"))
+        else:
+            offs = F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in _ring_offsets(rho)
+                ]
             )
-            for cell in ring:
-                rows.append((int(sites_pdf["site_id"].iloc[i]), float(sites_pdf["site_lat"].iloc[i]), float(sites_pdf["site_lon"].iloc[i]), int(cell)))
-        if rows:
-            cover = spark.createDataFrame(
-                pd.DataFrame(rows, columns=["site_id", "site_lat", "site_lon", "cell"]).drop_duplicates(),
-                "site_id long, site_lat double, site_lon double, cell long",
+            cover = (
+                sites.withColumn("_o", F.explode(offs))
+                .select(
+                    "site_id",
+                    "site_lat",
+                    "site_lon",
+                    (F.expr(portable.idiv_sql("_sc", n)) + F.col("_o.dy")).alias("_y"),
+                    F.pmod(F.col("_sc") % n + F.col("_o.dx"), F.lit(n)).alias("_x"),
+                )
+                .where((F.col("_y") >= 0) & (F.col("_y") < n))
+                .select("site_id", "site_lat", "site_lon", (F.col("_y") * n + F.col("_x")).alias("cell"))
             )
-            dist = F.expr(portable.haversine_m_sql("lat", "lon", "site_lat", "site_lon"))
-            cand = (
-                pending.join(F.broadcast(cover), pending["_cell"] == cover["cell"], "inner")
-                .withColumn("dist_m", dist)
-                .select("_pk", "lat", "lon", "_cell", "site_id", "dist_m")
-            )
-            best = cand if best is None else best.unionByName(cand)
-            w = Window.partitionBy("_pk").orderBy(F.asc("dist_m"), F.asc("site_id"))
-            best = (
-                best.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= k)
-                .drop("_rn")
-                .localCheckpoint(eager=True)  # cut the iterative lineage
-            )
+            cand = pending.join(cover, pending["_cell"] == cover["cell"], "inner")
+        cand = cand.withColumn("dist_m", dist).select("_pk", "lat", "lon", "_cell", "site_id", "dist_m")
+        best = _merge_topk(best, cand)
         if last:
             break
         # settle points: k candidates found and kth dist < next ring bound
-        settled_keys = None
-        if best is not None:
-            agg = best.groupBy("_pk", "lat").agg(
-                F.count("*").alias("_nc"), F.max("dist_m").alias("_dk")
-            )
-            # lower bound on distance to any cell in rings > rho, mirroring
-            # kernel.ring_lower_bound_m(lat, res, rho+1) as a pure expression
-            cell_h_deg = 180.0 / n
-            vert = F.lit(rho * cell_h_deg * 110_000.0)
-            max_abs_lat = F.least(F.lit(90.0), F.abs(F.col("lat")) + F.lit((rho + 2) * cell_h_deg))
-            horiz = (
-                F.lit(rho * (360.0 / n) * 111_320.0)
-                * F.greatest(F.lit(0.0), F.cos(F.radians(max_abs_lat)))
-            )
-            settled_keys = agg.where(
-                (F.col("_nc") >= k) & (F.col("_dk") < F.least(vert, horiz))
-            ).select("_pk")
-        if settled_keys is not None:
-            pending = pending.join(settled_keys, "_pk", "left_anti").localCheckpoint(eager=True)
+        agg = best.groupBy("_pk", "lat").agg(
+            F.count("*").alias("_nc"), F.max("dist_m").alias("_dk")
+        )
+        # lower bound on distance to any cell in rings > rho, mirroring
+        # kernel.ring_lower_bound_m(lat, res, rho+1) as a pure expression
+        cell_h_deg = 180.0 / n
+        vert = F.lit(rho * cell_h_deg * 110_000.0)
+        max_abs_lat = F.least(F.lit(90.0), F.abs(F.col("lat")) + F.lit((rho + 2) * cell_h_deg))
+        horiz = (
+            F.lit(rho * (360.0 / n) * 111_320.0)
+            * F.greatest(F.lit(0.0), F.cos(F.radians(max_abs_lat)))
+        )
+        settled_keys = agg.where(
+            (F.col("_nc") >= k) & (F.col("_dk") < F.least(vert, horiz))
+        ).select("_pk")
+        pending = pending.join(settled_keys, "_pk", "left_anti").localCheckpoint(eager=True)
         if pending.isEmpty():
             break
 
+    sites.unpersist()
     assert best is not None
     return (
-        best.withColumn(
-            "rank",
-            F.row_number().over(Window.partitionBy("_pk").orderBy(F.asc("dist_m"), F.asc("site_id"))),
-        )
+        best.withColumn("rank", F.row_number().over(topk_w))
         .select(F.col("_pk").alias(point_key), "site_id", "dist_m", "rank")
     )

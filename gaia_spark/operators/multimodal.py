@@ -17,15 +17,20 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-MAGIC = {
-    b"\x89PNG": "image/png",
-    b"\xff\xd8\xff": "image/jpeg",
-    b"GIF8": "image/gif",
-    b"RIFF": "audio/wav",  # (or webp; disambiguated at offset 8 in real decode)
-    b"<htm": "text/html",
-    b"<html": "text/html",
-    b"ID3": "audio/mpeg",
-}
+# magic-byte table, most specific first; matched on hex so non-ASCII magics
+# (PNG \x89, JPEG \xff\xd8\xff — the two most common web image types) detect.
+MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"<html", "text/html"),
+    (b"<htm", "text/html"),
+    (b"<!DOC", "text/html"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"%PDF", "application/pdf"),
+]
 
 
 class DecodeUnavailable(NotImplementedError):
@@ -33,17 +38,32 @@ class DecodeUnavailable(NotImplementedError):
 
 
 def sniff_mime(df: DataFrame, bin_col: str = "html", out: str = "mime") -> DataFrame:
-    """Magic-byte MIME sniffing — pure JVM (substring on binary)."""
-    head = F.substring(F.col(bin_col).cast("string"), 1, 5)
+    """Magic-byte MIME sniffing — pure JVM: compare hex(substring(binary))
+    against the magic's hex, so non-UTF8 magic bytes survive (casting binary
+    to string mangles \\x89/\\xff prefixes and can never match PNG/JPEG).
+
+    RIFF containers are disambiguated by the format tag at offset 9..12
+    (WEBP / WAVE / AVI ), as real sniffers do."""
+    col = F.col(bin_col)
+
+    def has_prefix(magic: bytes, offset: int = 1):
+        return F.expr(
+            f"hex(substring({bin_col}, {offset}, {len(magic)})) = '{magic.hex().upper()}'"
+        )
+
     expr = F.lit("application/octet-stream")
-    for magic, mime in MAGIC.items():
-        try:
-            m = magic.decode("ascii")
-        except UnicodeDecodeError:
-            continue
-        expr = F.when(head.startswith(m), F.lit(mime)).otherwise(expr)
+    # build innermost-first so earlier (more specific) magics win
+    for magic, mime in reversed(MAGIC):
+        expr = F.when(has_prefix(magic), F.lit(mime)).otherwise(expr)
+    expr = F.when(
+        has_prefix(b"RIFF"),
+        F.when(has_prefix(b"WEBP", 9), F.lit("image/webp"))
+        .when(has_prefix(b"WAVE", 9), F.lit("audio/wav"))
+        .when(has_prefix(b"AVI ", 9), F.lit("video/avi"))
+        .otherwise(F.lit("application/octet-stream")),
+    ).otherwise(expr)
     return df.withColumn(out, expr).withColumn(
-        f"{bin_col}_bytes", F.length(F.col(bin_col)).cast("long")
+        f"{bin_col}_bytes", F.length(col).cast("long")
     )
 
 

@@ -179,7 +179,7 @@ def clip_raster(raster: DataFrame, index) -> DataFrame:
                     lats = np.linspace(lat1, lat0, TILE_PX, endpoint=False) - (lat1 - lat0) / (2 * TILE_PX)
                     lons = np.linspace(lon0, lon1, TILE_PX, endpoint=False) + (lon1 - lon0) / (2 * TILE_PX)
                     glon, glat = np.meshgrid(lons, lats)
-                    prep = PreparedPolygon(*polys[int(row.zone_id)])
+                    prep = PreparedPolygon.from_rings(polys[int(row.zone_id)])
                     keep = prep.covers(glat.ravel(), glon.ravel())
                     px = np.where(keep, px, np.nan).astype(np.float32)
                 out.append((z, x, y, int(row.band), px.tolist()))
@@ -188,25 +188,25 @@ def clip_raster(raster: DataFrame, index) -> DataFrame:
     return hit.mapInPandas(mask, RASTER_SCHEMA)
 
 
-def _prepared_of(index) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    """All zones of a ZoneIndex as vertex rings (rects get 5-point rings)."""
+def _prepared_of(index) -> dict[int, list[tuple[np.ndarray, np.ndarray]]]:
+    """All zones of a ZoneIndex as ring lists (rects get 5-point rings)."""
     out = dict(index.prepared)
     for z in index.zones_pdf.itertuples(index=False):
         zid = int(z.zone_id)
         if zid not in out:
             la0, lo0, la1, lo1 = z.min_lat, z.min_lon, z.max_lat, z.max_lon
-            out[zid] = (
+            out[zid] = [(
                 np.array([la0, la0, la1, la1, la0]),
                 np.array([lo0, lo1, lo1, lo0, lo0]),
-            )
+            )]
     return out
 
 
-def _tile_cover(ring: tuple[np.ndarray, np.ndarray], zoom: int):
-    """Full/partial XYZ tile cover of a vertex ring (Mercator grid)."""
+def _tile_cover(rings: list[tuple[np.ndarray, np.ndarray]], zoom: int):
+    """Full/partial XYZ tile cover of a zone's rings (Mercator grid)."""
     from gaia_spark.functions.kernel import PreparedPolygon, tile_xy
 
-    prep = PreparedPolygon(*ring)
+    prep = PreparedPolygon.from_rings(rings)
     n = 1 << zoom
     x0, y1 = tile_xy(np.array([prep.min_lat]), np.array([prep.min_lon]), zoom)
     x1, y0 = tile_xy(np.array([prep.max_lat]), np.array([prep.max_lon]), zoom)

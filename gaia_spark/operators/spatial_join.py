@@ -46,13 +46,28 @@ def pick_resolution(zones_pdf: pd.DataFrame) -> int:
     return int(np.clip(round(math.log2(540.0 / size)), 2, 14))
 
 
+def _zone_rings(z) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Rings of one zones_pdf row: the optional ``rings`` column (list of
+    rings — ring 0 outer, more rings = holes / extra outer rings) wins over
+    the single-ring ``vertices`` column."""
+    rings = getattr(z, "rings", None)
+    raw = rings if isinstance(rings, (list, tuple)) and len(rings) else [z.vertices]
+    return [
+        (
+            np.array([v["lat"] for v in ring], dtype=np.float64),
+            np.array([v["lon"] for v in ring], dtype=np.float64),
+        )
+        for ring in raw
+    ]
+
+
 @dataclass
 class ZoneIndex:
     """Driver-built broadcastable index over a (small) polygon layer."""
 
     res: int
     cover_pdf: pd.DataFrame  # zone_id, cell, full, kind, min/max bounds
-    prepared: dict[int, tuple[np.ndarray, np.ndarray]]  # zone_id -> (ring lats, ring lons)
+    prepared: dict[int, list[tuple[np.ndarray, np.ndarray]]]  # zone_id -> rings
     zones_pdf: pd.DataFrame
 
     @classmethod
@@ -60,14 +75,14 @@ class ZoneIndex:
         res = res if res is not None else pick_resolution(zones_pdf)
         rows, prepared = [], {}
         for z in zones_pdf.itertuples(index=False):
-            vlats = np.array([v["lat"] for v in z.vertices], dtype=np.float64)
-            vlons = np.array([v["lon"] for v in z.vertices], dtype=np.float64)
-            prep = PreparedPolygon(vlats, vlons)
+            rings = _zone_rings(z)
+            prep = PreparedPolygon.from_rings(rings)
             edges = None
             if z.kind == "poly":
-                prepared[int(z.zone_id)] = (vlats, vlons)
-                # precompiled edge table shipped INTO the broadcast cover so
-                # refinement can run as JVM higher-order functions (no Arrow)
+                prepared[int(z.zone_id)] = rings
+                # precompiled edge table (ALL rings, even-odd) shipped INTO
+                # the broadcast cover so refinement can run as JVM
+                # higher-order functions (no Arrow)
                 edges = [
                     {"y1": float(a1), "x1": float(o1), "y2": float(a2), "x2": float(o2)}
                     for a1, o1, a2, o2 in zip(prep.y1, prep.x1, prep.y2, prep.x2)
@@ -92,14 +107,16 @@ class ZoneIndex:
         )
 
 
-def _pip_refine_udf(spark: SparkSession, prepared: dict[int, tuple[np.ndarray, np.ndarray]], mode: str):
+def _pip_refine_udf(spark: SparkSession, prepared: dict[int, list[tuple[np.ndarray, np.ndarray]]], mode: str):
     """Arrow-batched ray-casting refinement over broadcast edge tables.
 
     mode: 'interior' (strict within), 'covers' (interior or boundary),
     'boundary' (touches). Rows with NULL zone_id (pre-decided JVM-side)
     return False cheaply.
     """
-    bc = spark.sparkContext.broadcast({z: (la.copy(), lo.copy()) for z, (la, lo) in prepared.items()})
+    bc = spark.sparkContext.broadcast(
+        {z: [(la.copy(), lo.copy()) for la, lo in rings] for z, rings in prepared.items()}
+    )
 
     @F.pandas_udf(BooleanType())
     def pip(zone_id: pd.Series, lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -115,7 +132,7 @@ def _pip_refine_udf(spark: SparkSession, prepared: dict[int, tuple[np.ndarray, n
                 if zi not in polys:
                     continue
                 m = valid & (zs == z)
-                prep = PreparedPolygon(*polys[zi])
+                prep = PreparedPolygon.from_rings(polys[zi])
                 if mode == "interior":
                     r = prep.contains(lats[m], lons[m]) & ~prep.on_boundary(lats[m], lons[m])
                 elif mode == "covers":
@@ -167,13 +184,23 @@ def _boundary_sql(lat: str = "lat", lon: str = "lon") -> str:
     )
 
 
-def _codegen_raycast(lats: np.ndarray, lons: np.ndarray, lat: str = "lat", lon: str = "lon") -> str:
+def _ring_edges(rings: list[tuple[np.ndarray, np.ndarray]]):
+    """(y1, x1, y2, x2) edge tuples across all rings (rings closed first)."""
+    from gaia_spark.functions.kernel import _close_ring
+
+    for la, lo in rings:
+        la, lo = _close_ring(la, lo)
+        for y1, x1, y2, x2 in zip(la[:-1], lo[:-1], la[1:], lo[1:]):
+            yield float(y1), float(x1), float(y2), float(x2)
+
+
+def _codegen_raycast(rings: list[tuple[np.ndarray, np.ndarray]], lat: str = "lat", lon: str = "lon") -> str:
     """Zone-specialized even-odd ray cast with the edge constants inlined as
     literals — no arrays, no lambdas, whole-stage-codegen-able. Horizontal
-    edges are dropped at build time; each edge's slope is prefolded."""
+    edges are dropped at build time; each edge's slope is prefolded. Crossing
+    parity over ALL rings' edges = even-odd with holes/multipolygons."""
     terms = []
-    for y1, x1, y2, x2 in zip(lats[:-1], lons[:-1], lats[1:], lons[1:]):
-        y1, x1, y2, x2 = float(y1), float(x1), float(y2), float(x2)  # plain reprs
+    for y1, x1, y2, x2 in _ring_edges(rings):
         if y1 == y2:
             continue  # never crossed by the half-open rule
         m = (x2 - x1) / (y2 - y1)
@@ -187,12 +214,11 @@ def _codegen_raycast(lats: np.ndarray, lons: np.ndarray, lat: str = "lat", lon: 
     return f"(({' + '.join(terms)}) % 2) = 1"
 
 
-def _codegen_boundary(lats: np.ndarray, lons: np.ndarray, lat: str = "lat", lon: str = "lon") -> str:
-    """Zone-specialized boundary test: min over edges of the compact segment
-    distance with len2/deltas prefolded to literals."""
+def _codegen_boundary(rings: list[tuple[np.ndarray, np.ndarray]], lat: str = "lat", lon: str = "lon") -> str:
+    """Zone-specialized boundary test: min over all rings' edges of the
+    compact segment distance with len2/deltas prefolded to literals."""
     ds = []
-    for y1, x1, y2, x2 in zip(lats[:-1], lons[:-1], lats[1:], lons[1:]):
-        y1, x1, y2, x2 = float(y1), float(x1), float(y2), float(x2)
+    for y1, x1, y2, x2 in _ring_edges(rings):
         dx, dy = x2 - x1, y2 - y1
         len2 = dx * dx + dy * dy
         px, py = f"({lon} - {x1!r})", f"({lat} - {y1!r})"
@@ -209,13 +235,13 @@ def _codegen_boundary(lats: np.ndarray, lons: np.ndarray, lat: str = "lat", lon:
 
 
 def _codegen_poly_predicate(
-    prepared: dict[int, tuple[np.ndarray, np.ndarray]], pip_mode: str
+    prepared: dict[int, list[tuple[np.ndarray, np.ndarray]]], pip_mode: str
 ) -> "F.Column":
     """CASE zone_id WHEN ... dispatch over zone-specialized predicates."""
     branches = []
-    for zid, (vlats, vlons) in sorted(prepared.items()):
-        rc = _codegen_raycast(vlats, vlons)
-        bd = _codegen_boundary(vlats, vlons)
+    for zid, rings in sorted(prepared.items()):
+        rc = _codegen_raycast(rings)
+        bd = _codegen_boundary(rings)
         if pip_mode == "interior":
             body = f"CASE WHEN {rc} THEN NOT ({bd}) ELSE false END"
         elif pip_mode == "covers":
@@ -306,7 +332,7 @@ def spatial_join(
 
     needs_pip = is_poly & ~full_ok
     if refine == "auto":
-        total_edges = sum(len(v[0]) for v in index.prepared.values())
+        total_edges = sum(len(la) for rings in index.prepared.values() for la, _ in rings)
         refine = "codegen" if 0 < total_edges <= 512 else "sql"
     if refine == "codegen":
         # small zone sets: specialize per zone with literal edge constants —

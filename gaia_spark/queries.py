@@ -632,6 +632,81 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- polygons with holes (multi-ring even-odd) ------------------------------
+
+def holed_zone_rows() -> list[tuple]:
+    """3 rect zones, each with a rect hole. Bounds end in .005 so no
+    key-derived point (2 decimals) ever lands exactly on a boundary — the
+    oracle's closed/open choices then cannot disagree with the kernel's."""
+    rows = []
+    for j in range(3):
+        o_la0 = -70.005 + j * 45.0
+        o_la1 = o_la0 + 36.01
+        o_lo0 = -150.005 + j * 90.0
+        o_lo1 = o_lo0 + 120.01
+        h_la0 = o_la0 + 9.0
+        h_la1 = o_la1 - 9.0
+        h_lo0 = o_lo0 + 30.0
+        h_lo1 = o_lo1 - 30.0
+        rows.append((100 + j, o_la0, o_lo0, o_la1, o_lo1, h_la0, h_lo0, h_la1, h_lo1))
+    return rows
+
+
+HOLED_CTE = (
+    "holed AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({j}, {a}, {b}, {c}, {d}, {e}, {f}, {g}, {h})"
+        for j, a, b, c, d, e, f, g, h in holed_zone_rows()
+    )
+    + ") AS t(zone_id, o_min_lat, o_min_lon, o_max_lat, o_max_lon, "
+    "h_min_lat, h_min_lon, h_max_lat, h_max_lon))"
+)
+
+
+def holed_zones_pdf() -> pd.DataFrame:
+    rows = []
+    for j, a, b, c, d, e, f, g, h in holed_zone_rows():
+        outer = [
+            {"lat": a, "lon": b}, {"lat": a, "lon": d},
+            {"lat": c, "lon": d}, {"lat": c, "lon": b}, {"lat": a, "lon": b},
+        ]
+        hole = [
+            {"lat": e, "lon": f}, {"lat": e, "lon": h},
+            {"lat": g, "lon": h}, {"lat": g, "lon": f}, {"lat": e, "lon": f},
+        ]
+        rows.append(
+            {
+                "zone_id": j, "name": f"holed_{j}", "kind": "poly", "category": "res",
+                "min_lat": a, "min_lon": b, "max_lat": c, "max_lon": d,
+                "vertices": outer, "rings": [outer, hole],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q_within_holes",
+    f"""
+    WITH {PTS_CTE}, {HOLED_CTE}
+    SELECT c_custkey, zone_id
+    FROM pts JOIN holed
+      ON lat > o_min_lat AND lat < o_max_lat AND lon > o_min_lon AND lon < o_max_lon
+     AND NOT (lat >= h_min_lat AND lat <= h_max_lat
+              AND lon >= h_min_lon AND lon <= h_max_lon)
+    """,
+)
+def q_within_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WithinProcess against polygons WITH HOLES (multi-ring even-odd): a
+    point inside the hole (or on any boundary) is NOT within. The oracle
+    mirrors the holed rects with closed-form bbox predicates."""
+    from gaia_spark.operators.spatial_join import ZoneIndex, spatial_join
+
+    pts = customer_points(spark, sf_dir)
+    idx = ZoneIndex.build(holed_zones_pdf())
+    joined = spatial_join(pts, idx, predicate="within", point_key="c_custkey")
+    return joined.select("c_custkey", "zone_id")
+
+
 _TOUCH_PTS = (
     "spts AS (SELECT s_suppkey, "
     "CASE WHEN s_suppkey % 2 = 0 THEN -80.0 ELSE -54.0 END AS lat, "

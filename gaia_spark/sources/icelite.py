@@ -86,16 +86,40 @@ class IceTable:
             if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _file_rows(files: list[str]) -> int:
+        """Row count from parquet footers — metadata only, no plan
+        re-execution (the Iceberg-manifest row-count role)."""
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
     def append(self, df: DataFrame, meta: dict | None = None) -> dict:
         parent = self._current_snapshot()
         files = self._write_files(df)
+        meta = dict(meta or {})
+        meta["added_rows"] = self._file_rows(files)
         prior = parent["files"] if parent else []
         return self._commit(prior + files, df.schema.json(), "append", parent, files, meta)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> dict:
         parent = self._current_snapshot()
         files = self._write_files(df)
+        meta = dict(meta or {})
+        meta["added_rows"] = self._file_rows(files)
         return self._commit(files, df.schema.json(), "overwrite", parent, files, meta)
+
+    def committed_meta_values(self, key: str) -> set:
+        """All values of ``meta[key]`` across committed snapshots — the
+        idempotency lookup for streaming sinks (skip replayed batch ids)."""
+        out = set()
+        for name in self.snapshots():
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                m = json.load(f)
+            v = (m.get("meta") or {}).get(key)
+            if v is not None:
+                out.add(v)
+        return out
 
     def rollback_uncommitted_units(self, job_id: str, done_units: set[str]) -> int:
         """Exactly-once repair: drop files added by append commits tagged with
@@ -135,5 +159,11 @@ class IceTable:
             with open(os.path.join(self.manifest_dir, f"snap-{snapshot_id:08d}.json")) as f:
                 snap = json.load(f)
         if not snap["files"]:
-            return spark.createDataFrame([], snap["schema"])
+            # stored schema is df.schema.json() — reconstruct the StructType
+            # (createDataFrame does not accept schema-JSON strings)
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap["schema"]))
+            )
         return spark.read.parquet(*snap["files"])

@@ -62,8 +62,11 @@ class ResumableJob:
                 raise RuntimeError(f"injected failure after {processed} units")
             t0 = time.time()
             out = process(self.spark, unit)
-            n_out = out.count()
-            self.output.append(out, meta={"job_id": self.job_id, "unit": unit})
+            # ONE execution per unit: append() writes the data and records the
+            # row count from the parquet footers in the commit manifest — a
+            # separate count() action would re-run the whole unit plan.
+            manifest = self.output.append(out, meta={"job_id": self.job_id, "unit": unit})
+            n_out = manifest["meta"]["added_rows"]
             lrow = self.spark.createDataFrame(
                 [(self.job_id, unit, "done", n_out, 1, float(t0), float(time.time()))],
                 "job_id string, unit string, status string, output_rows long, "

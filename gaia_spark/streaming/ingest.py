@@ -48,19 +48,29 @@ def stream_dedup_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
 
 
+def write_stream_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
+    """Idempotent micro-batch append: skip when this batch id already has a
+    committed manifest (checkpoint replay after a crash). Returns True when
+    the batch was appended, False when skipped as a duplicate."""
+    if batch_id in table.committed_meta_values("stream_batch"):
+        return False
+    table.append(batch_df, meta={"stream_batch": batch_id})
+    return True
+
+
 def stream_to_icelite(df: DataFrame, table_path: str, checkpoint: str, trigger_once: bool = True):
-    """Exactly-once sink: each micro-batch is one atomic icelite append
-    (idempotent replay: batch id recorded in commit meta)."""
+    """Exactly-once sink: each micro-batch is one atomic icelite append.
+
+    Idempotency is DURABLE, not in-process: the batch id is recorded in the
+    commit manifest and consulted from the manifests on every call, so a
+    crash/restart that replays the in-flight batch from the checkpoint skips
+    the already-committed append instead of duplicating rows."""
     from gaia_spark.sources.icelite import IceTable
 
     table = IceTable(table_path)
-    seen: set[int] = set()
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        if batch_id in seen:
-            return
-        seen.add(batch_id)
-        table.append(batch_df, meta={"stream_batch": batch_id})
+        write_stream_batch(table, batch_df, batch_id)
 
     writer = df.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
     if trigger_once:

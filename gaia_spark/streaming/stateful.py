@@ -39,6 +39,11 @@ OUTPUT_SCHEMA = StructType(
 def _track(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle-cell expiry: drop the state and emit nothing — re-updating
+        # here would re-arm the timeout and re-emit a stale snapshot forever
+        state.remove()
+        return
     n, first_ts, last_ts = (state.get if state.exists else (0, None, None))
     for pdf in pdfs:
         if len(pdf) == 0:

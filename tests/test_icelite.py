@@ -69,3 +69,58 @@ def test_resume_output_equals_oneshot(spark, tmp_path):
     a = {tuple(r) for r in out1.read(spark).collect()}
     b = {tuple(r) for r in out2.read(spark).collect()}
     assert a == b
+
+
+def test_unit_plan_executes_exactly_once(spark, tmp_path):
+    """run() must not re-execute a unit's plan to count rows (the old
+    count()-then-append pattern doubled every unit's work)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(v):
+        acc.add(1)
+        return v
+
+    bump_udf = F.udf(bump, LongType())
+
+    def counted_process(spark_, unit):
+        return spark_.range(10).select(F.lit(unit).alias("unit"), bump_udf("id").alias("v"))
+
+    out, lin = make_tables(tmp_path)
+    ResumableJob(spark, "job_once", out, lin).run(["u0", "u1"], counted_process)
+    assert acc.value == 20  # 2 units x 10 rows, each row evaluated ONCE
+    lrows = {r.unit: r.output_rows for r in lin.read(spark).collect()}
+    assert lrows == {"u0": 10, "u1": 10}  # manifest-sourced counts are right
+
+
+def test_empty_snapshot_read_preserves_schema(spark, tmp_path):
+    """A rollback that prunes every file must still read back as an empty
+    DataFrame with the ORIGINAL schema (StructType reconstructed from the
+    manifest's schema json)."""
+    t = IceTable(str(tmp_path / "t_empty"))
+    t.append(
+        spark.range(3).selectExpr("id AS v", "'x' AS s"),
+        meta={"job_id": "j", "unit": "day-9"},
+    )
+    assert t.rollback_uncommitted_units("j", done_units=set()) == 1
+    df = t.read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema] == ["v", "s"]
+
+
+def test_stream_batch_replay_is_skipped(spark, tmp_path):
+    """Checkpoint replay after a crash re-delivers the in-flight batch id to
+    a FRESH process; the durable manifest record must dedupe it."""
+    from gaia_spark.streaming.ingest import write_stream_batch
+
+    path = str(tmp_path / "stream_t")
+    t1 = IceTable(path)
+    batch = spark.range(7).selectExpr("id AS v")
+    assert write_stream_batch(t1, batch, 0) is True
+    # new table handle = simulated process restart (no in-memory state)
+    t2 = IceTable(path)
+    assert write_stream_batch(t2, batch, 0) is False  # replayed id skipped
+    assert write_stream_batch(t2, batch, 1) is True
+    assert t2.read(spark).count() == 14

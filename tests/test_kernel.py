@@ -147,3 +147,69 @@ def test_ring_lower_bound_conservative():
 def test_destination_point_roundtrip():
     lat2, lon2 = K.destination_point(10.0, 20.0, 0.0, 111_195.0)
     assert abs(float(lat2) - 11.0) < 0.01 and abs(float(lon2) - 20.0) < 1e-9
+
+
+def test_prepared_polygon_with_hole():
+    """Even-odd over all rings: points in the hole are outside; hole
+    boundary counts as polygon boundary."""
+    outer = (np.array([0.0, 0.0, 10.0, 10.0, 0.0]), np.array([0.0, 10.0, 10.0, 0.0, 0.0]))
+    hole = (np.array([3.0, 3.0, 7.0, 7.0, 3.0]), np.array([3.0, 7.0, 7.0, 3.0, 3.0]))
+    prep = K.PreparedPolygon.from_rings([outer, hole])
+    lats = np.array([1.0, 5.0, 3.0, 11.0, 8.0])
+    lons = np.array([1.0, 5.0, 5.0, 5.0, 5.0])
+    # (1,1) in shell; (5,5) in hole -> out; (3,5) on hole boundary;
+    # (11,5) outside; (8,5) in shell above hole
+    assert prep.contains(lats, lons).tolist() == [True, False, False, False, True]
+    assert prep.on_boundary(lats, lons).tolist() == [False, False, True, False, False]
+
+
+def test_prepared_multipolygon():
+    a = (np.array([0.0, 0.0, 2.0, 2.0, 0.0]), np.array([0.0, 2.0, 2.0, 0.0, 0.0]))
+    b = (np.array([5.0, 5.0, 7.0, 7.0, 5.0]), np.array([5.0, 7.0, 7.0, 5.0, 5.0]))
+    prep = K.PreparedPolygon.from_rings([a, b])
+    lats = np.array([1.0, 6.0, 3.5])
+    lons = np.array([1.0, 6.0, 3.5])
+    assert prep.contains(lats, lons).tolist() == [True, True, False]
+
+
+def test_polygon_cover_hole_and_outside_cells_dropped():
+    """Cells strictly inside a hole (and bbox corners outside a non-convex
+    shape) must not appear in the cover at all; full cells never touch any
+    ring edge."""
+    outer = (np.array([0.0, 0.0, 40.0, 40.0, 0.0]), np.array([0.0, 40.0, 40.0, 0.0, 0.0]))
+    hole = (np.array([10.0, 10.0, 30.0, 30.0, 10.0]), np.array([10.0, 30.0, 30.0, 10.0, 10.0]))
+    prep = K.PreparedPolygon.from_rings([outer, hole])
+    res = 7  # 1.40625 deg cells -> hole spans many cells
+    full, partial = K.polygon_cover(prep, res)
+    allc = set(full.tolist()) | set(partial.tolist())
+    assert len(set(full) & set(partial)) == 0
+    # a cell deep inside the hole is in NEITHER set
+    hole_center = int(K.cell_encode(np.array([20.0]), np.array([20.0]), res)[0])
+    assert hole_center not in allc
+    # a cell in the shell between hole and outer ring is FULL
+    shell = int(K.cell_encode(np.array([35.0]), np.array([20.0]), res)[0])
+    assert shell in set(full.tolist())
+    # full cells: center must be contained, and every corner too
+    for c in full.tolist()[:50]:
+        la0, la1, lo0, lo1 = K.cell_bounds(c, res)
+        cl = np.array([la0, la0, la1, la1, (la0 + la1) / 2])
+        co = np.array([lo0, lo1, lo0, lo1, (lo0 + lo1) / 2])
+        assert prep.covers(cl, co).all()
+
+
+def test_polygon_cover_nonconvex_exact():
+    """The edge-overlap rule removes the old convexity assumption: for an
+    L-shaped ring, no 'full' cell may contain uncovered points."""
+    # L-shape: big square minus its upper-right quadrant
+    lats = np.array([0.0, 0.0, 40.0, 40.0, 20.0, 20.0, 0.0])
+    lons = np.array([0.0, 40.0, 40.0, 20.0, 20.0, 0.0, 0.0])
+    prep = K.PreparedPolygon(lats, lons)
+    full, partial = K.polygon_cover(prep, 7)
+    # notch interior (lat 30, lon 10) is outside the L; cell not in cover
+    notch = int(K.cell_encode(np.array([30.0]), np.array([10.0]), 7)[0])
+    assert notch not in set(full.tolist()) | set(partial.tolist())
+    for c in full.tolist():
+        la0, la1, lo0, lo1 = K.cell_bounds(c, 7)
+        cl = np.array([la0, la0, la1, la1])
+        co = np.array([lo0, lo1, lo0, lo1])
+        assert prep.contains(cl, co).all()

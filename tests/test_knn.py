@@ -85,3 +85,41 @@ def test_near_join_matches_brute_force(spark, points, sites):
             want.add((r.url, int(sid)))
     got = {(r.url, r.site_id) for r in near_join(points, sites, radius).collect()}
     assert got == want and len(want) > 0
+
+
+def test_knn_cells_k3_distributed_sites(spark):
+    """knn_join_cells with k>1 and a fully-distributed site side: parity with
+    the broadcast implementation, including that no (point, site) duplicate
+    from ring regeneration displaces a true k-th neighbour."""
+    import pandas as pd
+
+    sid = np.arange(1, 2001, dtype=np.int64)
+    big_sites = pd.DataFrame(
+        {
+            "site_id": sid,
+            "lat": (sid * 104729 * 7919 % 16000) / 100.0 - 80.0,
+            "lon": (sid * 7919 * 104729 % 36000) / 100.0 - 180.0,
+        }
+    )
+    pts = spark.createDataFrame(
+        [(f"p{i}", float((i * 7919 % 15000) / 100.0 - 75.0), float((i * 104729 % 36000) / 100.0 - 180.0))
+         for i in range(150)],
+        "url string, lat double, lon double",
+    )
+    sites_df = spark.createDataFrame(big_sites)
+    want = {
+        (r.url, r.site_id, r.rank)
+        for r in knn_join_broadcast(pts, big_sites, k=3).collect()
+    }
+    got = {
+        (r.url, r.site_id, r.rank)
+        for r in knn_join_cells(pts, sites_df, k=3, res=6, max_rounds=6).collect()
+    }
+    assert got == want
+    # every point has exactly k distinct ranked sites (no dup displacement)
+    per_pt = {}
+    for url, site, rank in got:
+        per_pt.setdefault(url, []).append((rank, site))
+    for url, rs in per_pt.items():
+        assert sorted(r for r, _ in rs) == [1, 2, 3]
+        assert len({s for _, s in rs}) == 3

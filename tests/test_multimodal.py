@@ -48,3 +48,30 @@ def test_fake_decode_deterministic():
     a = fake_decode(b"hello world, this is a test payload for decoding ok!")
     b = fake_decode(b"hello world, this is a test payload for decoding ok!")
     assert a == b
+
+
+def test_sniff_mime_binary_magics(spark):
+    """PNG/JPEG magics are non-ASCII — the sniffer must match them on hex,
+    not on a string-cast prefix (regression: UnicodeDecodeError skip made
+    PNG/JPEG undetectable)."""
+    fixtures = [
+        ("png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 20, "image/png"),
+        ("jpeg", b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 8, "image/jpeg"),
+        ("gif", b"GIF89a" + b"\x00" * 10, "image/gif"),
+        ("wav", b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio/wav"),
+        ("webp", b"RIFF\x24\x00\x00\x00WEBPVP8 ", "image/webp"),
+        ("avi", b"RIFF\x24\x00\x00\x00AVI LIST", "video/avi"),
+        ("mp3", b"ID3\x03\x00" + b"\x00" * 10, "audio/mpeg"),
+        ("html", b"<html><body>hi</body></html>", "text/html"),
+        ("doctype", b"<!DOCTYPE html><html>", "text/html"),
+        ("pdf", b"%PDF-1.7\n", "application/pdf"),
+        ("ogg", b"OggS\x00\x02" + b"\x00" * 10, "audio/ogg"),
+        ("unknown", b"\x00\x01\x02\x03 random bytes", "application/octet-stream"),
+        ("riff_other", b"RIFF\x24\x00\x00\x00XXXX", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(name, payload) for name, payload, _ in fixtures], "url string, html binary"
+    )
+    got = {r.url: r.mime for r in sniff_mime(df).collect()}
+    for name, _, want in fixtures:
+        assert got[name] == want, f"{name}: got {got[name]}, want {want}"

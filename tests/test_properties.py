@@ -113,3 +113,28 @@ def test_union_additivity(spark):
     u = union_features(a, b)
     assert u.count() == a.count() + b.count()
     assert u.columns == a.columns
+
+
+@given(
+    st.floats(5.0, 45.0), st.floats(5.0, 45.0),   # hole size (lat/lon extent %)
+    st.floats(0.01, 0.99), st.floats(0.01, 0.99),  # probe position inside hole
+)
+@settings(max_examples=150, deadline=None)
+def test_point_in_hole_not_contained(hpct_lat, hpct_lon, u, v):
+    """Multi-ring even-odd invariant: any point strictly inside the hole ring
+    is NOT contained by the holed polygon (but IS contained by the outer ring
+    alone)."""
+    o = (np.array([0.0, 0.0, 40.0, 40.0, 0.0]), np.array([0.0, 40.0, 40.0, 0.0, 0.0]))
+    h_la0, h_la1 = 20.0 - hpct_lat / 5, 20.0 + hpct_lat / 5
+    h_lo0, h_lo1 = 20.0 - hpct_lon / 5, 20.0 + hpct_lon / 5
+    hole = (
+        np.array([h_la0, h_la0, h_la1, h_la1, h_la0]),
+        np.array([h_lo0, h_lo1, h_lo1, h_lo0, h_lo0]),
+    )
+    plat = h_la0 + (h_la1 - h_la0) * u
+    plon = h_lo0 + (h_lo1 - h_lo0) * v
+    holed = K.PreparedPolygon.from_rings([o, hole])
+    outer_only = K.PreparedPolygon(*o)
+    la, lo = np.array([plat]), np.array([plon])
+    assert outer_only.contains(la, lo)[0]
+    assert not holed.contains(la, lo)[0]
