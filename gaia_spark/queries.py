@@ -774,7 +774,9 @@ def q_mercator_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# tranche 2-4: text/dedup/similarity, event analytics, rows-only operators
+# tranche 2-5: text/dedup/similarity, event analytics, rows-only operators,
+# non-point feature layers
 from gaia_spark import queries_text  # noqa: E402, F401
 from gaia_spark import queries_events  # noqa: E402, F401
 from gaia_spark import queries_misc  # noqa: E402, F401
+from gaia_spark import queries_features  # noqa: E402, F401

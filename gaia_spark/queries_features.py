@@ -1,0 +1,149 @@
+"""Registry tranche 5: non-point feature layers — polygon-vs-polygon
+within/intersects and line-vs-polygon crosses through the generic
+feature_spatial_join, each hash-checked against a closed-form DuckDB oracle
+(rect parcels / axis-aligned lines vs rect zones are pure bbox algebra; the
+ENGINE side still runs the fully general vertex/edge machinery).
+
+Parcel/line coordinates carry +0.0003 / +0.0007 offsets so no feature edge
+can ever coincide exactly with an integer zone bound — exact-touch would sit
+inside the kernel's 1e-9 boundary epsilon where closed-form SQL and
+epsilon-based geometry could legitimately disagree.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gaia_spark.queries import ZONES_CTE, _zone_index, load, register
+
+# key-derived rect parcels over the part table (FIXTURES.md §6 style)
+_LAT_C = "((p_partkey * 7919 % 15000) / cast(100 as double) - 75.0 + 0.0003)"
+_LON_C = "((p_partkey * 104729 % 34000) / cast(100 as double) - 170.0 + 0.0007)"
+_HL = "((50 + (p_partkey * 13) % 40) / cast(10 as double))"   # 5.0 .. 8.9 deg
+_HW = "((50 + (p_partkey * 29) % 60) / cast(10 as double))"   # 5.0 .. 10.9 deg
+
+PARCELS_CTE = (
+    "parcels AS (SELECT p_partkey, "
+    f"({_LAT_C} - {_HL}) AS pmin_lat, ({_LAT_C} + {_HL}) AS pmax_lat, "
+    f"({_LON_C} - {_HW}) AS pmin_lon, ({_LON_C} + {_HW}) AS pmax_lon "
+    "FROM part)"
+)
+
+
+def parcel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rect parcels as a GENERIC ring-array feature layer (the engine sees
+    only vertices — the rect shape is knowledge private to the oracle)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(f"{_LAT_C} - {_HL}").alias("_a"),
+        F.expr(f"{_LAT_C} + {_HL}").alias("_c"),
+        F.expr(f"{_LON_C} - {_HW}").alias("_b"),
+        F.expr(f"{_LON_C} + {_HW}").alias("_d"),
+    )
+    ring = (
+        "array(struct(_a AS lat, _b AS lon), struct(_a AS lat, _d AS lon), "
+        "struct(_c AS lat, _d AS lon), struct(_c AS lat, _b AS lon), "
+        "struct(_a AS lat, _b AS lon))"
+    )
+    return p.select("p_partkey", F.expr(ring).alias("vertices"))
+
+
+@register(
+    "q_poly_intersects_join",
+    f"""
+    WITH {PARCELS_CTE}, {ZONES_CTE}
+    SELECT p_partkey, zone_id
+    FROM parcels JOIN zones
+      ON pmin_lat <= max_lat AND pmax_lat >= min_lat
+     AND pmin_lon <= max_lon AND pmax_lon >= min_lon
+    """,
+)
+def q_poly_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectsProcess with a POLYGON left side: generic cell-cover +
+    vertex/edge refinement; oracle = closed bbox overlap (exact for rects)."""
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    feats = parcel_features(spark, sf_dir)
+    out = feature_spatial_join(
+        feats, _zone_index(), predicate="intersects", feature_key="p_partkey"
+    )
+    return out.select("p_partkey", "zone_id")
+
+
+@register(
+    "q_poly_within_join",
+    f"""
+    WITH {PARCELS_CTE}, {ZONES_CTE}
+    SELECT p_partkey, zone_id
+    FROM parcels JOIN zones
+      ON pmin_lat >= min_lat AND pmax_lat <= max_lat
+     AND pmin_lon >= min_lon AND pmax_lon <= max_lon
+    """,
+)
+def q_poly_within_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WithinProcess with a POLYGON left side (A strictly inside or touching
+    B from inside); oracle = closed bbox containment."""
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    feats = parcel_features(spark, sf_dir)
+    out = feature_spatial_join(
+        feats, _zone_index(), predicate="within", feature_key="p_partkey"
+    )
+    return out.select("p_partkey", "zone_id")
+
+
+# key-derived axis-aligned line segments over the supplier table: even keys
+# horizontal, odd keys vertical
+_SLAT = "((s_suppkey * 7919 % 15000) / cast(100 as double) - 75.0 + 0.0003)"
+_SLON = "((s_suppkey * 104729 % 34000) / cast(100 as double) - 170.0 + 0.0007)"
+_SLEN = "((50 + (s_suppkey * 17) % 49) / cast(10 as double))"  # 5.0 .. 9.8 deg
+
+LINES_CTE = (
+    "lines AS (SELECT s_suppkey, s_suppkey % 2 = 0 AS horiz, "
+    f"{_SLAT} AS la, {_SLON} AS lo, {_SLEN} AS len FROM supplier)"
+)
+
+
+def line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_SLAT).alias("_la"),
+        F.expr(_SLON).alias("_lo"),
+        F.expr(_SLEN).alias("_len"),
+    )
+    chain = (
+        "CASE WHEN s_suppkey % 2 = 0 "
+        "THEN array(struct(_la AS lat, _lo AS lon), struct(_la AS lat, _lo + _len AS lon)) "
+        "ELSE array(struct(_la AS lat, _lo AS lon), struct(_la + _len AS lat, _lo AS lon)) END"
+    )
+    return s.select("s_suppkey", F.expr(chain).alias("vertices"))
+
+
+@register(
+    "q_crosses",
+    f"""
+    WITH {LINES_CTE}, {ZONES_CTE}
+    SELECT s_suppkey, zone_id
+    FROM lines JOIN zones ON
+      (horiz AND min_lat < la AND la < max_lat
+        AND greatest(lo, min_lon) < least(lo + len, max_lon)
+        AND (lo < min_lon OR lo + len > max_lon))
+      OR
+      (NOT horiz AND min_lon < lo AND lo < max_lon
+        AND greatest(la, min_lat) < least(la + len, max_lat)
+        AND (la < min_lat OR la + len > max_lat))
+    """,
+)
+def q_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrossesProcess (line vs polygon): the line's interior meets both the
+    zone's interior and exterior. Engine = proper segment×segment crossing ∨
+    (vertex strictly in ∧ vertex strictly out); oracle = closed-form interval
+    algebra for axis-aligned segments vs rect zones."""
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    feats = line_features(spark, sf_dir)
+    out = feature_spatial_join(
+        feats, _zone_index(), predicate="crosses", feature_key="s_suppkey", kind="line"
+    )
+    return out.select("s_suppkey", "zone_id")

@@ -1,0 +1,277 @@
+"""feature_spatial_join (polygon/line left sides) vs independent brute force.
+
+Ground truths are computed with closed-form numpy geometry (bbox algebra for
+rects, Liang-Barsky clipping for segments, orientation tests for crossings)
+— NOT with the SQL fragments under test.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from gaia_spark.functions.kernel import PreparedPolygon
+from gaia_spark.operators.feature_join import feature_spatial_join
+from gaia_spark.operators.spatial_join import ZoneIndex
+
+
+def rect_ring(la0, lo0, la1, lo1):
+    return [
+        {"lat": la0, "lon": lo0}, {"lat": la0, "lon": lo1},
+        {"lat": la1, "lon": lo1}, {"lat": la1, "lon": lo0},
+        {"lat": la0, "lon": lo0},
+    ]
+
+
+@pytest.fixture(scope="module")
+def rect_zones_idx():
+    rows = []
+    for j in range(8):
+        la0 = -60.0 + (j % 4) * 30.0 + 0.5
+        lo0 = -150.0 + (j // 4) * 140.0 + 0.5
+        la1, lo1 = la0 + 22.0, lo0 + 90.0
+        rows.append(
+            {
+                "zone_id": j, "name": f"z{j}", "kind": "rect", "category": "c",
+                "min_lat": la0, "min_lon": lo0, "max_lat": la1, "max_lon": lo1,
+                "vertices": rect_ring(la0, lo0, la1, lo1),
+            }
+        )
+    return ZoneIndex.build(pd.DataFrame(rows))
+
+
+def parcels_pdf(n=120):
+    k = np.arange(1, n + 1)
+    lat_c = (k * 7919 % 14000) / 100.0 - 70.0 + 0.0003
+    lon_c = (k * 104729 % 33000) / 100.0 - 165.0 + 0.0007
+    hl = (30 + k * 13 % 50) / 10.0
+    hw = (30 + k * 29 % 70) / 10.0
+    return pd.DataFrame(
+        {
+            "fid": k,
+            "min_lat": lat_c - hl, "max_lat": lat_c + hl,
+            "min_lon": lon_c - hw, "max_lon": lon_c + hw,
+        }
+    )
+
+
+def parcels_df(spark, pdf):
+    rows = [
+        (
+            int(r.fid),
+            rect_ring(r.min_lat, r.min_lon, r.max_lat, r.max_lon),
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    return spark.createDataFrame(
+        rows, "fid long, vertices array<struct<lat:double,lon:double>>"
+    )
+
+
+def test_poly_rect_predicates_match_bbox_algebra(spark, rect_zones_idx):
+    pdf = parcels_pdf()
+    feats = parcels_df(spark, pdf)
+    zones = rect_zones_idx.zones_pdf
+
+    def truth(pred):
+        out = set()
+        for p in pdf.itertuples(index=False):
+            for z in zones.itertuples(index=False):
+                ov = (
+                    p.min_lat <= z.max_lat and p.max_lat >= z.min_lat
+                    and p.min_lon <= z.max_lon and p.max_lon >= z.min_lon
+                )
+                if pred == "intersects" and ov:
+                    out.add((p.fid, z.zone_id))
+                elif pred == "within" and (
+                    p.min_lat >= z.min_lat and p.max_lat <= z.max_lat
+                    and p.min_lon >= z.min_lon and p.max_lon <= z.max_lon
+                ):
+                    out.add((p.fid, z.zone_id))
+        return out
+
+    for pred in ("intersects", "within"):
+        got = {
+            (r.fid, r.zone_id)
+            for r in feature_spatial_join(
+                feats, rect_zones_idx, predicate=pred, feature_key="fid"
+            ).collect()
+        }
+        assert got == truth(pred), f"{pred} mismatch"
+    # disjoint = complement of intersects on feature ids
+    inter_ids = {f for f, _ in truth("intersects")}
+    anti = {
+        r.fid
+        for r in feature_spatial_join(
+            feats, rect_zones_idx, predicate="disjoint", feature_key="fid"
+        ).collect()
+    }
+    assert anti == set(pdf["fid"]) - inter_ids
+
+
+def _seg_properly_crosses(p1, p2, q1, q2):
+    def cr(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+    d1, d2 = cr(q1, q2, p1), cr(q1, q2, p2)
+    d3, d4 = cr(p1, p2, q1), cr(p1, p2, q2)
+    return (d1 * d2 < 0) and (d3 * d4 < 0)
+
+
+def test_poly_nonconvex_zone_matches_numpy(spark, rect_zones_idx):
+    """Generic path against a NON-CONVEX polygon zone (L-shape) and a
+    triangle — ground truth via numpy PIP + orientation crossing tests."""
+    lshape = [
+        {"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 40.0},
+        {"lat": 40.0, "lon": 40.0}, {"lat": 40.0, "lon": 20.0},
+        {"lat": 20.0, "lon": 20.0}, {"lat": 20.0, "lon": 0.0},
+        {"lat": 0.0, "lon": 0.0},
+    ]
+    tri = [
+        {"lat": -50.0, "lon": -120.0}, {"lat": -50.0, "lon": -60.0},
+        {"lat": -10.0, "lon": -90.0}, {"lat": -50.0, "lon": -120.0},
+    ]
+    zrows = []
+    for j, ring in [(0, lshape), (1, tri)]:
+        la = [v["lat"] for v in ring]
+        lo = [v["lon"] for v in ring]
+        zrows.append(
+            {
+                "zone_id": j, "name": f"p{j}", "kind": "poly", "category": "c",
+                "min_lat": min(la), "min_lon": min(lo),
+                "max_lat": max(la), "max_lon": max(lo),
+                "vertices": ring,
+            }
+        )
+    idx = ZoneIndex.build(pd.DataFrame(zrows))
+    pdf = parcels_pdf(150)
+    feats = parcels_df(spark, pdf)
+
+    preps = {j: PreparedPolygon(
+        np.array([v["lat"] for v in ring]), np.array([v["lon"] for v in ring])
+    ) for j, ring in [(0, lshape), (1, tri)]}
+
+    def truth_intersects(p, zid, ring):
+        prep = preps[zid]
+        pv = [(p.min_lat, p.min_lon), (p.min_lat, p.max_lon),
+              (p.max_lat, p.max_lon), (p.max_lat, p.min_lon)]
+        if prep.covers(
+            np.array([a for a, _ in pv]), np.array([b for _, b in pv])
+        ).any():
+            return True
+        zv = [(v["lat"], v["lon"]) for v in ring[:-1]]
+        for (zla, zlo) in zv:
+            if (p.min_lat <= zla <= p.max_lat) and (p.min_lon <= zlo <= p.max_lon):
+                return True
+        pedges = [ (pv[i], pv[(i + 1) % 4]) for i in range(4) ]
+        zedges = [ ((ring[i]["lon"], ring[i]["lat"]), (ring[i+1]["lon"], ring[i+1]["lat"]))
+                   for i in range(len(ring) - 1) ]
+        for (a1, a2) in pedges:
+            pa1, pa2 = (a1[1], a1[0]), (a2[1], a2[0])  # (lon, lat)
+            for (b1, b2) in zedges:
+                if _seg_properly_crosses(pa1, pa2, b1, b2):
+                    return True
+        return False
+
+    want = set()
+    for p in pdf.itertuples(index=False):
+        for j, ring in [(0, lshape), (1, tri)]:
+            if truth_intersects(p, j, ring):
+                want.add((p.fid, j))
+    got = {
+        (r.fid, r.zone_id)
+        for r in feature_spatial_join(
+            feats, idx, predicate="intersects", feature_key="fid"
+        ).collect()
+    }
+    assert got == want and len(want) > 5
+
+
+def test_line_crosses_matches_liang_barsky(spark, rect_zones_idx):
+    """Diagonal segments vs rect zones — ground truth: Liang-Barsky clip;
+    crosses ⟺ the clipped interior span is non-degenerate AND some part of
+    the segment lies outside."""
+    k = np.arange(1, 161)
+    la0 = (k * 6151 % 13000) / 100.0 - 65.0 + 0.0003
+    lo0 = (k * 104729 % 32000) / 100.0 - 160.0 + 0.0007
+    dla = ((k * 13 % 41) - 20) / 2.0
+    dlo = ((k * 29 % 61) - 30) / 2.0
+    lines = pd.DataFrame({"fid": k, "la0": la0, "lo0": lo0, "la1": la0 + dla, "lo1": lo0 + dlo})
+    lines = lines[(np.abs(dla) + np.abs(dlo)) > 0.01]
+    feats = spark.createDataFrame(
+        [
+            (int(r.fid), [{"lat": r.la0, "lon": r.lo0}, {"lat": r.la1, "lon": r.lo1}])
+            for r in lines.itertuples(index=False)
+        ],
+        "fid long, vertices array<struct<lat:double,lon:double>>",
+    )
+
+    def lb_crosses(r, z) -> bool:
+        # param p(t) = p0 + t*d, t in [0,1]; clip to OPEN rect interior
+        d = np.array([r.la1 - r.la0, r.lo1 - r.lo0])
+        p0 = np.array([r.la0, r.lo0])
+        t0, t1 = 0.0, 1.0
+        for dim, (lo, hi) in enumerate([(z.min_lat, z.max_lat), (z.min_lon, z.max_lon)]):
+            if d[dim] == 0:
+                if not (lo < p0[dim] < hi):
+                    return False
+            else:
+                ta = (lo - p0[dim]) / d[dim]
+                tb = (hi - p0[dim]) / d[dim]
+                ta, tb = min(ta, tb), max(ta, tb)
+                t0, t1 = max(t0, ta), min(t1, tb)
+        if t0 >= t1:
+            return False  # no interior span
+        return t0 > 0.0 or t1 < 1.0  # some part outside => crosses
+
+    want = set()
+    for r in lines.itertuples(index=False):
+        for z in rect_zones_idx.zones_pdf.itertuples(index=False):
+            if lb_crosses(r, z):
+                want.add((r.fid, z.zone_id))
+    got = {
+        (r.fid, r.zone_id)
+        for r in feature_spatial_join(
+            feats, rect_zones_idx, predicate="crosses", feature_key="fid", kind="line"
+        ).collect()
+    }
+    assert got == want and len(want) > 10
+
+
+def test_touches_boundary_only_contact(spark):
+    """touches: shared edge or corner contact without interior overlap."""
+    zrows = [{
+        "zone_id": 0, "name": "z", "kind": "rect", "category": "c",
+        "min_lat": 0.0, "min_lon": 0.0, "max_lat": 10.0, "max_lon": 10.0,
+        "vertices": rect_ring(0.0, 0.0, 10.0, 10.0),
+    }]
+    idx = ZoneIndex.build(pd.DataFrame(zrows))
+    cases = [
+        (1, rect_ring(0.0, 10.0, 8.0, 20.0), True),    # shares lon=10 edge
+        (2, rect_ring(10.0, 10.0, 20.0, 20.0), True),  # corner contact
+        (3, rect_ring(2.0, 2.0, 8.0, 8.0), False),     # inside (not touches)
+        (4, rect_ring(2.0, 5.0, 8.0, 15.0), False),    # overlaps interior
+        (5, rect_ring(20.0, 20.0, 30.0, 30.0), False), # disjoint
+    ]
+    feats = spark.createDataFrame(
+        [(fid, ring) for fid, ring, _ in cases],
+        "fid long, vertices array<struct<lat:double,lon:double>>",
+    )
+    got = {
+        r.fid
+        for r in feature_spatial_join(
+            feats, idx, predicate="touches", feature_key="fid"
+        ).collect()
+    }
+    assert got == {fid for fid, _, want in cases if want}
+
+
+def test_feature_join_plan_is_broadcast_jvm_only(spark, rect_zones_idx):
+    """100-TB shape: candidate gen + refine = scan -> sequence/explode ->
+    broadcast hash join -> JVM HOF filter. No shuffle of the feature side,
+    no Python stage anywhere (reference-point dedup replaces dropDuplicates)."""
+    feats = parcels_df(spark, parcels_pdf(50))
+    out = feature_spatial_join(feats, rect_zones_idx, predicate="intersects", feature_key="fid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan  # no shuffle on the feature side
+    assert "ArrowEval" not in plan and "BatchEval" not in plan  # no Python
