@@ -134,6 +134,36 @@ def floor_scaled_sql(x: str, k: int) -> str:
     return f"cast(floor(({x}) * {10 ** k} + 0.5) as bigint)"
 
 
+def pos_mod_sql(x: str, m: float) -> str:
+    """Floor-based positive modulo (numpy ``%`` twin; SQL ``%`` sign-follows
+    the dividend in both engines, which differs for negative input)."""
+    return f"(({x}) - {float(m)} * floor(({x}) / {float(m)}))"
+
+
+def dest_point_sql(lat: str, lon: str, dist_m: str, bearing_rad: str) -> tuple[str, str]:
+    """Spherical destination point (lat2, lon2) — the SQL twin of
+    kernel.destination_point, op-for-op (same formula order, so numpy and
+    both SQL engines agree to fp rounding)."""
+    d = f"(({dist_m}) / {EARTH_RADIUS_M})"
+    phi1 = f"radians({lat})"
+    phi2 = (
+        f"asin(sin({phi1}) * cos({d}) + cos({phi1}) * sin({d}) * cos({bearing_rad}))"
+    )
+    lam2 = (
+        f"(radians({lon}) + atan2(sin({bearing_rad}) * sin({d}) * cos({phi1}), "
+        f"cos({d}) - sin({phi1}) * sin({phi2})))"
+    )
+    lat2 = f"degrees({phi2})"
+    lon2 = f"({pos_mod_sql(f'degrees({lam2}) + 540.0', 360.0)} - 180.0)"
+    return lat2, lon2
+
+
+def ngon_bearing_sql(i: str, n: int) -> str:
+    """Bearing of vertex ``i`` of an n-gon circle: i · (2π/n), the exact op
+    order of np.linspace(0, 2π, n, endpoint=False)."""
+    return f"(cast({i} as double) * ((2 * pi()) / {n}))"
+
+
 # --- deterministic key-derived test geometry (FIXTURES.md §6) -----------------
 
 def key_lat_sql(key: str) -> str:

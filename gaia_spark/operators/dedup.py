@@ -133,14 +133,24 @@ def ngram_jaccard_pairs(
     sizes = words.groupBy(id_col).agg(F.count("*").alias("sz"))
     wa = words.select(F.col(id_col).alias("a"), "w")
     wb = words.select(F.col(id_col).alias("b"), "w")
-    inter = (
-        wa.join(wb, "w")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
-    )
     if scope is not None:
-        inter = inter.join(scope, ["a", "b"], "left_semi")
+        # scalable path: intersect word sets ONLY for candidate pairs —
+        # cost Σ_pairs |words(a)|, never the all-pairs word self-join
+        inter = (
+            scope.select("a", "b")
+            .join(wa, "a")
+            .join(wb, ["b", "w"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        # exact all-pairs witness (test scale only)
+        inter = (
+            wa.join(wb, "w")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     jac = "n_common / cast(sz_a + sz_b - n_common as double)"

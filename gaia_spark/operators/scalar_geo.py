@@ -104,5 +104,32 @@ def buffer_ngon_udf(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.S
     return pd.Series(out)
 
 
-def add_buffer(points: DataFrame, radius_m: float, out: str = "buffer") -> DataFrame:
+def buffer_ngon_sql(lat: str = "lat", lon: str = "lon", radius_m: float = 0.0, n: int = 32) -> str:
+    """BufferProcess ring as ONE JVM expression: transform(sequence(0, n-1))
+    of portable destination points, closing vertex appended. No Python stage
+    — and the same portable formulas let the DuckDB oracle mirror any vertex
+    in closed form."""
+    from gaia_spark.functions import portable as P
+
+    bearing = P.ngon_bearing_sql("i", n)
+    lat2, lon2 = P.dest_point_sql(lat, lon, repr(float(radius_m)), bearing)
+    ring = (
+        f"transform(sequence(0, {n - 1}), i -> "
+        f"struct({lat2} AS lat, {lon2} AS lon))"
+    )
+    return f"concat({ring}, slice({ring}, 1, 1))"
+
+
+def add_buffer(
+    points: DataFrame, radius_m: float, out: str = "buffer", impl: str = "sql"
+) -> DataFrame:
+    """impl='sql' (default): codegen-able JVM expression; impl='arrow':
+    numpy kernel UDF (kept for parity testing / export paths)."""
+    if impl == "sql":
+        return points.withColumn(
+            out,
+            F.when(
+                F.col("lat").isNotNull(), F.expr(buffer_ngon_sql("lat", "lon", radius_m))
+            ),
+        )
     return points.withColumn(out, buffer_ngon_udf("lat", "lon", F.lit(float(radius_m))))

@@ -8,7 +8,7 @@ pysal offline, so the math is spelled out as DataFrame aggregations).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from gaia_spark.functions import portable
 
@@ -67,6 +67,79 @@ def morans_i(
     den = z.agg(F.sum(F.col("z") * F.col("z")).alias("_den"))
     return num.crossJoin(den).select(
         ((F.col("_n") / F.col("_sw")) * (F.col("_num") / F.col("_den"))).alias("moran_i")
+    )
+
+
+def morans_i_perm(
+    values: DataFrame,
+    weights: DataFrame,
+    n_perm: int = 19,
+    cell_col: str = "cell",
+    value_col: str = "v",
+) -> DataFrame:
+    """Permutation p-value for Moran's I (AutocorrelationProcess
+    ``permutations`` arg): values are re-assigned to cells by DETERMINISTIC
+    md5-ranked permutations (no rand() — reruns and the DuckDB oracle see
+    the same permutations), p = (#{|I_k| ≥ |I_obs|} + 1) / (n_perm + 1).
+
+    n, Σw and Σz² are permutation-invariant, so only the numerator
+    Σ w_ij·z_i·z_j is recomputed per permutation — one adjacency join over
+    (perm × cells), two window ranks, no O(n²) anywhere.
+    """
+    stats = values.agg(
+        F.avg(value_col).alias("_mean"), F.count("*").cast("double").alias("_n")
+    )
+    z = values.crossJoin(F.broadcast(stats)).select(
+        F.col(cell_col), (F.col(value_col) - F.col("_mean")).alias("z"), "_n"
+    )
+    den = z.agg(
+        F.sum(F.col("z") * F.col("z")).alias("_den"), F.first("_n").alias("_n")
+    ).crossJoin(weights.agg(F.sum("w").alias("_sw")))
+
+    zj = z.select(F.col(cell_col).alias("neighbor"), F.col("z").alias("z_j"))
+    obs_num = (
+        weights.join(z.withColumnRenamed("z", "z_i"), cell_col)
+        .join(zj, "neighbor")
+        .agg(F.sum(F.col("w") * F.col("z_i") * F.col("z_j")).alias("_num"))
+    )
+    i_obs = obs_num.crossJoin(den).select(
+        ((F.col("_n") / F.col("_sw")) * (F.col("_num") / F.col("_den"))).alias("i_obs")
+    )
+
+    # deterministic permutation k: cells ranked by md5('k:cell') receive the
+    # values ranked by cell id
+    w_v = Window.orderBy(F.col(cell_col).asc())
+    ranked_vals = z.select(F.row_number().over(w_v).alias("_r"), F.col("z").alias("z_p"))
+    cells_k = z.select(cell_col).withColumn(
+        "k", F.explode(F.array(*[F.lit(k) for k in range(n_perm)]))
+    )
+    w_h = Window.partitionBy("k").orderBy(
+        F.md5(F.concat_ws(":", F.col("k"), F.col(cell_col))).asc(), F.col(cell_col).asc()
+    )
+    z_perm = cells_k.withColumn("_r", F.row_number().over(w_h)).join(
+        ranked_vals, "_r"
+    ).select("k", cell_col, "z_p")
+
+    zpj = z_perm.select("k", F.col(cell_col).alias("neighbor"), F.col("z_p").alias("zp_j"))
+    num_k = (
+        weights.join(z_perm.withColumnRenamed("z_p", "zp_i"), cell_col)
+        .join(zpj, ["k", "neighbor"])
+        .groupBy("k")
+        .agg(F.sum(F.col("w") * F.col("zp_i") * F.col("zp_j")).alias("_numk"))
+    )
+    i_k = num_k.crossJoin(den).select(
+        "k", ((F.col("_n") / F.col("_sw")) * (F.col("_numk") / F.col("_den"))).alias("i_k")
+    )
+    return (
+        i_k.crossJoin(F.broadcast(i_obs))
+        .agg(
+            F.first("i_obs").alias("moran_i"),
+            (
+                (F.sum(F.when(F.abs("i_k") >= F.abs("i_obs"), 1).otherwise(0)) + 1)
+                / F.lit(float(n_perm + 1))
+            ).alias("p_value"),
+        )
+        .withColumn("n_perm", F.lit(n_perm).cast("long"))
     )
 
 

@@ -632,6 +632,67 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MORANS_PERM_BASE = f"""
+    cells AS (SELECT {P.cell_id_sql('lat', 'lon', 5)} AS cell,
+              cast(count(*) as double) AS v FROM pts GROUP BY 1),
+    m AS (SELECT avg(v) AS mu, cast(count(*) as double) AS n FROM cells),
+    z AS (SELECT cell, cell % 32 AS x, {P.idiv_sql('cell', 32)} AS y,
+          v - (SELECT mu FROM m) AS z FROM cells),
+    pairs AS (
+      SELECT a.cell AS ci, b.cell AS cj FROM z a JOIN z b
+      ON (b.y = a.y AND b.x = (a.x + 1) % 32)
+      OR (b.y = a.y AND b.x = (a.x + 31) % 32)
+      OR (b.x = a.x AND b.y = a.y + 1)
+      OR (b.x = a.x AND b.y = a.y - 1)),
+    den AS (SELECT sum(z * z) AS den FROM z),
+    sw AS (SELECT cast(count(*) as double) AS sw FROM pairs),
+    iobs AS (SELECT ((SELECT n FROM m) / (SELECT sw FROM sw))
+             * (SELECT sum(zi.z * zj.z) FROM pairs
+                JOIN z zi ON pairs.ci = zi.cell JOIN z zj ON pairs.cj = zj.cell)
+             / (SELECT den FROM den) AS i_obs),
+    rv AS (SELECT row_number() OVER (ORDER BY cell) AS r, z AS zp FROM z),
+    rh AS (SELECT k, cell,
+           row_number() OVER (PARTITION BY k
+             ORDER BY md5(cast(k as varchar) || ':' || cast(cell as varchar)), cell) AS r
+           FROM z CROSS JOIN (SELECT unnest(range(0, 19)) AS k)),
+    zperm AS (SELECT k, cell, zp FROM rh JOIN rv USING (r)),
+    ik AS (SELECT zi.k,
+           ((SELECT n FROM m) / (SELECT sw FROM sw))
+           * sum(zi.zp * zj.zp) / (SELECT den FROM den) AS i_k
+           FROM pairs JOIN zperm zi ON pairs.ci = zi.cell
+           JOIN zperm zj ON pairs.cj = zj.cell AND zj.k = zi.k
+           GROUP BY zi.k)
+"""
+
+
+@register(
+    "q_morans_p",
+    f"""
+    WITH {PTS_CTE}, {_MORANS_PERM_BASE}
+    SELECT cast(19 as bigint) AS n_perm,
+           {P.floor_scaled_sql('(SELECT i_obs FROM iobs)', 4)} AS moran_e4,
+           {P.floor_scaled_sql(
+               '(cast((SELECT count(*) FROM ik WHERE abs(i_k) >= abs((SELECT i_obs FROM iobs))) as double) + 1) / cast(20 as double)', 4)} AS p_e4
+    """,
+)
+def q_morans_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutocorrelationProcess permutation p-value: 19 DETERMINISTIC
+    md5-ranked permutations of the cell values (seedless rand() is banned in
+    this engine; the oracle replays the identical permutations)."""
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, morans_i_perm
+
+    pts = with_cell(customer_points(spark, sf_dir), 5, out="cell")
+    cells = pts.groupBy("cell").agg(F.count("*").cast("double").alias("v"))
+    w = cell_rook_weights(cells, 5)
+    out = morans_i_perm(cells, w, n_perm=19)
+    return out.select(
+        "n_perm",
+        F.expr(P.floor_scaled_sql("moran_i", 4)).alias("moran_e4"),
+        F.expr(P.floor_scaled_sql("p_value", 4)).alias("p_e4"),
+    )
+
+
 # --- polygons with holes (multi-ring even-odd) ------------------------------
 
 def holed_zone_rows() -> list[tuple]:

@@ -22,10 +22,28 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("cluster_id").agg(F.count("*").alias("n_cells")).orderBy("cluster_id")
 
 
-@register("q_buffer_rings", oracle=None)
+def _buffer_oracle() -> str:
+    lat, lon = P.key_lat_sql("s_suppkey"), P.key_lon_sql("s_suppkey")
+    v1_lat, v1_lon = P.dest_point_sql(lat, lon, "100000.0", P.ngon_bearing_sql("0", 32))
+    v6_lat, v6_lon = P.dest_point_sql(lat, lon, "100000.0", P.ngon_bearing_sql("5", 32))
+    radius = P.haversine_m_sql(lat, lon, v1_lat, v1_lon)
+    return f"""
+    SELECT s_suppkey,
+           33 AS n_vertices,
+           {P.floor_scaled_sql(v1_lat, 6)} AS v1_lat_e6,
+           {P.floor_scaled_sql(v1_lon, 6)} AS v1_lon_e6,
+           {P.floor_scaled_sql(v6_lat, 6)} AS v6_lat_e6,
+           {P.floor_scaled_sql(v6_lon, 6)} AS v6_lon_e6,
+           {P.floor_scaled_sql(radius, 0)} AS radius_m_e0
+    FROM supplier
+    """
+
+
+@register("q_buffer_rings", _buffer_oracle())
 def q_buffer_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BufferProcess: 32-gon spherical buffers around supplier-derived
-    points; verify ring arity + haversine radius JVM-side."""
+    points, built as ONE JVM expression; the oracle mirrors vertices 1 and 6
+    and the ring radius with the same portable destination-point formulas."""
     from gaia_spark.operators.scalar_geo import add_buffer
 
     s = (
@@ -34,11 +52,17 @@ def q_buffer_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lon", F.expr(P.key_lon_sql("s_suppkey")))
     )
     b = add_buffer(s, 100_000.0)
-    first_dist = P.haversine_m_sql("lat", "lon", "element_at(buffer, 1).lat", "element_at(buffer, 1).lon")
+    radius = P.haversine_m_sql(
+        "lat", "lon", "element_at(buffer, 1).lat", "element_at(buffer, 1).lon"
+    )
     return b.select(
         "s_suppkey",
         F.size("buffer").alias("n_vertices"),
-        F.expr(P.floor_scaled_sql(first_dist, 0)).alias("radius_m_e0"),
+        F.expr(P.floor_scaled_sql("element_at(buffer, 1).lat", 6)).alias("v1_lat_e6"),
+        F.expr(P.floor_scaled_sql("element_at(buffer, 1).lon", 6)).alias("v1_lon_e6"),
+        F.expr(P.floor_scaled_sql("element_at(buffer, 6).lat", 6)).alias("v6_lat_e6"),
+        F.expr(P.floor_scaled_sql("element_at(buffer, 6).lon", 6)).alias("v6_lon_e6"),
+        F.expr(P.floor_scaled_sql(radius, 0)).alias("radius_m_e0"),
     )
 
 
@@ -56,10 +80,50 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, queries, k=3, n_planes=4)
 
 
-@register("q_raster_zonal", oracle=None)
+def _raster_zonal_oracle() -> str:
+    """Closed-form mirror of synth_raster(z=3) → pixels_of → zonal stats:
+    512×512 pixel centers (Mercator tile bounds, linspace op order), the
+    analytic surface quantized through float32 exactly like the tile
+    payloads, then the same closed-bbox zone join + aggregates."""
+    from gaia_spark.queries import ZONES_CTE
+
+    n_t, px = 8, 64  # 2^3 tiles per axis, 64 px per tile
+    sinh = "((exp({x}) - exp(-({x}))) / 2.0)"
+    merc_lat = "degrees(atan(" + sinh.format(x=f"pi() * (1.0 - (2 * {{y}}) / {n_t}.0)") + "))"
+    lat1 = merc_lat.format(y="ty")        # tile top (y index)
+    lat0 = merc_lat.format(y="(ty + 1)")  # tile bottom
+    lon0 = f"((tx / {n_t}.0) * 360.0 - 180.0)"
+    lon1 = f"(((tx + 1) / {n_t}.0) * 360.0 - 180.0)"
+    # linspace(start, stop, 64, endpoint=False) ± half-step, numpy op order
+    c_lat = f"(({lat1} + i * (({lat0} - {lat1}) / {px})) - ({lat1} - {lat0}) / {2 * px})"
+    c_lon = f"(({lon0} + j * (({lon1} - {lon0}) / {px})) + ({lon1} - {lon0}) / {2 * px})"
+    v = (
+        "cast(cast(100.0 * (sin(3.0 * radians(plat)) * cos(2.0 * radians(plon)) + 0.0)"
+        " as float) as double)"
+    )
+    return f"""
+    WITH {ZONES_CTE},
+    g AS (SELECT r, c FROM generate_series(0, {n_t * px - 1}) t1(r),
+                           generate_series(0, {n_t * px - 1}) t2(c)),
+    px AS (SELECT {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                  {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT {c_lat} AS plat, {c_lon} AS plon FROM px),
+    pv AS (SELECT plat, plon, {v} AS v FROM pc)
+    SELECT zone_id, count(*) AS n_px,
+           {P.floor_scaled_sql('avg(v)', 2)} AS mean_e2,
+           {P.floor_scaled_sql('min(v)', 2)} AS min_e2,
+           {P.floor_scaled_sql('max(v)', 2)} AS max_e2
+    FROM pv JOIN zones
+      ON plat BETWEEN min_lat AND max_lat AND plon BETWEEN min_lon AND max_lon
+    GROUP BY zone_id
+    """
+
+
+@register("q_raster_zonal", _raster_zonal_oracle())
 def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector zonal stats over the analytic-surface tile pyramid
-    (ZonalStatsProcess on raster input; closed-form-checked in pytest)."""
+    (ZonalStatsProcess on raster input): tiles → pixels_of explode → cell
+    spatial join → aggregate; the oracle rebuilds every pixel in SQL."""
     from gaia_spark.operators.spatial_join import ZoneIndex
     from gaia_spark.operators.zonal import pixel_zonal_stats
     from gaia_spark.queries import oracle_zones_pdf
@@ -72,6 +136,8 @@ def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zone_id",
         F.col("count").cast("long").alias("n_px"),
         F.expr(P.floor_scaled_sql("mean", 2)).alias("mean_e2"),
+        F.expr(P.floor_scaled_sql("min", 2)).alias("min_e2"),
+        F.expr(P.floor_scaled_sql("max", 2)).alias("max_e2"),
     )
 
 

@@ -179,6 +179,36 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.3)
 
 
+@register(
+    "q_lsh_verified_dups",
+    f"""
+    WITH {_duck_minhash_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+             FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
+    w AS (SELECT DISTINCT doc_id, unnest({DUCK_WORDS}) AS w FROM documents),
+    sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+    inter AS (SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS n_common
+              FROM w wa JOIN w wb USING (w)
+              JOIN cand ON cand.a = wa.doc_id AND cand.b = wb.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b,
+           {P.floor_scaled_sql('n_common / cast(sa.sz + sb.sz - n_common as double)', 4)} AS jaccard_e4
+    FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+    WHERE {P.floor_scaled_sql('n_common / cast(sa.sz + sb.sz - n_common as double)', 4)} >= 2000
+    """,
+)
+def q_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scalable near-dup pipeline, end-to-end: MinHash-LSH candidate
+    pairs → exact Jaccard verification restricted to those candidates
+    (``scope=``). The all-pairs variant (q_jaccard_pairs) stays as the
+    small-scale witness; this chain is the 100-TB path."""
+    from gaia_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d)
+    return ngram_jaccard_pairs(d, threshold=0.2, scope=cand)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

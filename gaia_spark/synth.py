@@ -263,10 +263,13 @@ def zones_df(spark: SparkSession, pdf: pd.DataFrame | None = None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def surface_value(lat: np.ndarray, lon: np.ndarray, band: int) -> np.ndarray:
-    """v(lat, lon, band) = round(100·(sin(3·rad(lat))·cos(2·rad(lon)) + band), 4)."""
-    return np.round(
-        100.0 * (np.sin(3.0 * np.radians(lat)) * np.cos(2.0 * np.radians(lon)) + band), 4
-    )
+    """v(lat, lon, band) = 100·(sin(3·rad(lat))·cos(2·rad(lon)) + band).
+
+    No decimal rounding: np.round is half-even on scaled doubles, which a
+    SQL oracle cannot reproduce bit-for-bit. The float32 cast at tile
+    materialization is the only quantization, and IEEE double→float32 is
+    identical in numpy and DuckDB."""
+    return 100.0 * (np.sin(3.0 * np.radians(lat)) * np.cos(2.0 * np.radians(lon)) + band)
 
 
 def synth_raster(

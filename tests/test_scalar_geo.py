@@ -56,3 +56,28 @@ def test_buffer_ngon_radius(spark):
     for v in ring[:-1]:
         d = float(haversine_m(45.0, 10.0, v.lat, v.lon))
         np.testing.assert_allclose(d, 50_000.0, rtol=1e-6)
+
+
+def test_buffer_sql_matches_numpy_kernel(spark):
+    """The JVM-expression buffer (default) and the numpy-kernel buffer must
+    agree vertex-for-vertex (same destination-point formula, two impls)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gaia_spark.operators.scalar_geo import add_buffer
+
+    pts = spark.createDataFrame(
+        [(i, float(i * 13 % 160 - 80), float(i * 37 % 350 - 175)) for i in range(1, 25)],
+        "id long, lat double, lon double",
+    )
+    a = {r.id: r.buffer for r in add_buffer(pts, 250_000.0, impl="sql").collect()}
+    b = {r.id: r.buffer for r in add_buffer(pts, 250_000.0, impl="arrow").collect()}
+    assert set(a) == set(b)
+    for i in a:
+        assert len(a[i]) == len(b[i]) == 33
+        for va, vb in zip(a[i], b[i]):
+            # JVM StrictMath vs numpy libm differ by a few ulps through the
+            # asin/atan2 chain; 1e-7 deg ≈ 1 cm
+            np.testing.assert_allclose(
+                [va.lat, va.lon], [vb.lat, vb.lon], rtol=0, atol=1e-7
+            )
