@@ -37,6 +37,13 @@ def build_session(cpus: int):
             # NB: oversized heaps (48g) measured 3-6x SLOWER on this suite
             # (GC ergonomics); 8g is plenty for local-mode benches.
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            # scan-task granularity: the default 128m packed a 1.3 GB input
+            # into 19 tasks — at 8+ threads that is ~2.4 waves with a ragged
+            # 3-task tail (~20% idle), which alone caps N-vs-4N join scaling
+            # at ~0.83. 16m gives ~80 tasks → even waves at every level.
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"
+            ),
         },
     )
 

@@ -88,14 +88,15 @@ def main() -> None:
             "eff": round(tput32 / (4.0 * tput8), 3),
         }
     # headline efficiencies over the two north metrics; the join gate uses
-    # the isolated JVM-only join (points_within_join) when present
-    eff_pages = metrics["pages_geoparse_encode"]["eff"]
+    # the isolated JVM-only join (points_within_join) when present.
+    # SPARK_GRAFT_ONLY may restrict the suite — missing metrics stay None.
+    eff_pages = metrics.get("pages_geoparse_encode", {}).get("eff")
     join_key = "points_within_join" if "points_within_join" in metrics else "pages_within_join"
-    eff_join = metrics[join_key]["eff"]
+    eff_join = metrics.get(join_key, {}).get("eff")
 
     result = {
         "metric": "scaling_efficiency_NvS4N",
-        "value": round(min(eff_pages, eff_join), 3),
+        "value": round(min(e for e in (eff_pages, eff_join) if e is not None), 3),
         "unit": "ratio",
         "eff_pages_per_sec": eff_pages,
         "eff_join_rows_per_sec": eff_join,

@@ -99,12 +99,21 @@ class ZoneIndex:
         return cls(res=res, cover_pdf=cover, prepared=prepared, zones_pdf=zones_pdf)
 
     def cover_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
+        # memoized per session: the records conversion + schema inference
+        # costs ~0.5 s of SERIAL driver time per call — pure Amdahl loss
+        # that showed up directly in N-vs-4N scaling measurements
+        cache = getattr(self, "_cover_df_cache", None)
+        key = id(spark)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        df = spark.createDataFrame(
             self.cover_pdf.to_dict("records"),
             "zone_id long, cell long, full boolean, kind string, "
             "min_lat double, min_lon double, max_lat double, max_lon double, "
             "edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
         )
+        self._cover_df_cache = (key, df)
+        return df
 
 
 def _pip_refine_udf(spark: SparkSession, prepared: dict[int, list[tuple[np.ndarray, np.ndarray]]], mode: str):
@@ -333,7 +342,12 @@ def spatial_join(
     needs_pip = is_poly & ~full_ok
     if refine == "auto":
         total_edges = sum(len(la) for rings in index.prepared.values() for la, _ in rings)
-        refine = "codegen" if 0 < total_edges <= 512 else "sql"
+        # codegen only for SMALL zone sets: beyond ~32 inlined edges the
+        # generated consume method exceeds janino's 64 KB limit — Spark then
+        # pays a FAILED compile (~1-2 s serial, every query) and silently
+        # runs interpreted, which is both slower than the HOF path and a
+        # scaling tax (measured: 2.3 s fixed overhead per join at 60 edges)
+        refine = "codegen" if 0 < total_edges <= 32 else "sql"
     if refine == "codegen":
         # small zone sets: specialize per zone with literal edge constants —
         # straight-line whole-stage-codegen arithmetic, no arrays/lambdas

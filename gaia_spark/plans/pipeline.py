@@ -100,6 +100,33 @@ for _pred in ("within", "intersects", "touches", "disjoint"):
     OPS[_pred] = _spatial(_pred)
 
 
+def _feature(predicate):
+    def fn(df: DataFrame, step: dict) -> DataFrame:
+        from gaia_spark.operators.feature_join import feature_spatial_join
+        from gaia_spark.operators.spatial_join import ZoneIndex
+
+        idx = ZoneIndex.build(_zones(step.get("zones", "synth16")), step.get("res"))
+        return feature_spatial_join(
+            df, idx, predicate,
+            how=step.get("how", "inner"),
+            feature_key=step.get("feature_key", "feature_id"),
+            vertices_col=step.get("vertices_col", "vertices"),
+            kind=step.get("kind", "poly"),
+        )
+    return fn
+
+
+for _pred in ("within", "intersects", "touches", "disjoint", "crosses"):
+    OPS[f"feature_{_pred}"] = _feature(_pred)
+
+
+@op("buffer")
+def _buffer(df: DataFrame, step: dict) -> DataFrame:
+    from gaia_spark.operators.scalar_geo import add_buffer
+
+    return add_buffer(df, float(step["radius_m"]), step.get("out", "buffer"))
+
+
 @op("knn")
 def _knn(df: DataFrame, step: dict) -> DataFrame:
     import pandas as pd
@@ -147,6 +174,14 @@ def _source(spark: SparkSession, src: dict) -> DataFrame:
         from gaia_spark.sources.icelite import IceTable
 
         return IceTable(src["path"]).read(spark, src.get("snapshot_id"))
+    if kind == "geojsonseq":
+        from gaia_spark.sources.geojson import read_geojsonseq
+
+        return read_geojsonseq(spark, src["path"])
+    if kind == "raster_files":
+        from gaia_spark.sources.raster_files import read_raster_files
+
+        return read_raster_files(spark, src["path"], src.get("glob", "*.grd"))
     raise ValueError(f"unknown source kind {kind!r}")
 
 

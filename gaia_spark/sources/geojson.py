@@ -51,3 +51,42 @@ def write_geojsonseq(df_with_feature: DataFrame, path: str) -> None:
 def collect_feature_collection(df_with_feature: DataFrame) -> str:
     feats = [json.loads(r.feature) for r in df_with_feature.select("feature").collect()]
     return json.dumps({"type": "FeatureCollection", "features": feats})
+
+
+def read_geojsonseq(spark, path: str) -> DataFrame:
+    """VectorFileIO.READ role: newline-delimited GeoJSON → feature DataFrame
+    (geom_kind, lat, lon, vertices, properties map). Distributed text scan +
+    JVM json functions — geometry type decides which columns are populated
+    (Point → lat/lon; Polygon/LineString → vertices ring array)."""
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    gtype = F.get_json_object("value", "$.geometry.type")
+    # Point: coordinates = [lon, lat]
+    p_lon = F.get_json_object("value", "$.geometry.coordinates[0]").cast("double")
+    p_lat = F.get_json_object("value", "$.geometry.coordinates[1]").cast("double")
+    # Polygon: [[[lon,lat],...]] (outer ring); LineString: [[lon,lat],...]
+    poly_coords = F.from_json(
+        F.get_json_object("value", "$.geometry.coordinates"),
+        "array<array<array<double>>>",
+    )
+    line_coords = F.from_json(
+        F.get_json_object("value", "$.geometry.coordinates"),
+        "array<array<double>>",
+    )
+    to_ring = "transform({src}, c -> struct(element_at(c, 2) AS lat, element_at(c, 1) AS lon))"
+    vertices = (
+        F.when(gtype == "Polygon", F.expr(to_ring.format(src="element_at(_pc, 1)")))
+        .when(gtype == "LineString", F.expr(to_ring.format(src="_lc")))
+    )
+    return (
+        raw.withColumn("_pc", poly_coords)
+        .withColumn("_lc", line_coords)
+        .select(
+            F.lower(gtype).alias("geom_kind"),
+            F.when(gtype == "Point", p_lat).alias("lat"),
+            F.when(gtype == "Point", p_lon).alias("lon"),
+            vertices.alias("vertices"),
+            F.from_json(
+                F.get_json_object("value", "$.properties"), "map<string,string>"
+            ).alias("properties"),
+        )
+    )

@@ -2,12 +2,16 @@ from gaia_spark.streaming.ingest import (
     read_pages_stream,
     stream_cell_counts,
     stream_dedup_urls,
+    stream_session_windows,
     stream_to_icelite,
+    write_stream_batch,
 )
 
 __all__ = [
     "read_pages_stream",
     "stream_cell_counts",
     "stream_dedup_urls",
+    "stream_session_windows",
     "stream_to_icelite",
+    "write_stream_batch",
 ]

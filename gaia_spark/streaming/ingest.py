@@ -42,6 +42,29 @@ def stream_cell_counts(
     )
 
 
+def stream_session_windows(
+    pages: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-host session windows over the page stream: consecutive pages from
+    the same host within ``gap`` merge into one session (SURVEY.md §2.K
+    session windows). State is bounded by the watermark."""
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    return (
+        pages.select(host, "warc_ts")
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), F.col("host"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "host",
+            "n_pages",
+        )
+    )
+
+
 def stream_dedup_urls(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful dedup: first sighting of each url wins within the watermark
     horizon (bounded state — the crawl-frontier dedup pattern)."""

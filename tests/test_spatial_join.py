@@ -146,3 +146,50 @@ def test_salted_smj_same_result(points, index):
         .select("url", "zone_id").collect()
     }
     assert a == b
+
+
+def test_holed_zone_three_refine_backends_agree(spark, points):
+    """Multi-ring (holed) zones through the full spatial_join API: the
+    codegen / sql / arrow refine backends must produce identical pair sets,
+    and all must match the numpy kernel's even-odd verdicts."""
+    outer = [
+        {"lat": -40.0, "lon": -60.0}, {"lat": -40.0, "lon": 60.0},
+        {"lat": 40.0, "lon": 60.0}, {"lat": 40.0, "lon": -60.0},
+        {"lat": -40.0, "lon": -60.0},
+    ]
+    hole = [
+        {"lat": -15.0, "lon": -25.0}, {"lat": -15.0, "lon": 25.0},
+        {"lat": 15.0, "lon": 25.0}, {"lat": 15.0, "lon": -25.0},
+        {"lat": -15.0, "lon": -25.0},
+    ]
+    zpdf = pd.DataFrame([{
+        "zone_id": 0, "name": "holed", "kind": "poly", "category": "c",
+        "min_lat": -40.0, "min_lon": -60.0, "max_lat": 40.0, "max_lon": 60.0,
+        "vertices": outer, "rings": [outer, hole],
+    }])
+    idx = ZoneIndex.build(zpdf)
+    results = {}
+    for backend in ("codegen", "sql", "arrow"):
+        results[backend] = {
+            (r.url, r.zone_id)
+            for r in spatial_join(points, idx, "within", refine=backend)
+            .select("url", "zone_id").collect()
+        }
+    assert results["codegen"] == results["sql"] == results["arrow"]
+
+    prep = PreparedPolygon.from_rings([
+        (np.array([v["lat"] for v in outer]), np.array([v["lon"] for v in outer])),
+        (np.array([v["lat"] for v in hole]), np.array([v["lon"] for v in hole])),
+    ])
+    pdf = points.select("url", "lat", "lon").toPandas().dropna(subset=["lat"])
+    m = prep.contains(pdf["lat"].to_numpy(), pdf["lon"].to_numpy()) & ~prep.on_boundary(
+        pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
+    )
+    want = {(u, 0) for u in pdf["url"].to_numpy()[m]}
+    assert results["sql"] == want
+    # the hole actually excludes points (fixture sanity)
+    inner = (
+        (pdf["lat"].to_numpy() > -15) & (pdf["lat"].to_numpy() < 15)
+        & (pdf["lon"].to_numpy() > -25) & (pdf["lon"].to_numpy() < 25)
+    )
+    assert inner.any() and not ({(u, 0) for u in pdf["url"].to_numpy()[inner]} & want)

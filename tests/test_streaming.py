@@ -46,3 +46,44 @@ def test_stream_dedup_and_icelite_sink(spark, tmp_path):
     out = IceTable(table_path).read(spark)
     assert out.count() == 200  # duplicates dropped
     assert out.select("url").distinct().count() == 200
+
+
+def test_stream_session_windows(spark, tmp_path):
+    """Pages from one host within the gap merge into ONE session; a page
+    beyond the gap opens a new session."""
+    import pandas as pd
+
+    src = str(tmp_path / "incoming3")
+    base = pd.Timestamp("2025-06-01T00:00:00")
+    rows = [
+        ("https://a.example/1", base),
+        ("https://a.example/2", base + pd.Timedelta(minutes=10)),   # same session
+        ("https://a.example/3", base + pd.Timedelta(hours=3)),      # new session
+        ("https://b.example/1", base + pd.Timedelta(minutes=5)),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [u for u, _ in rows],
+            "warc_ts": [t for _, t in rows],
+            "html": [b"<html>x</html>"] * len(rows),
+            "text": ["t"] * len(rows),
+            "lang": ["en"] * len(rows),
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("append").parquet(src)
+    from gaia_spark.streaming.ingest import stream_session_windows
+
+    stream = stream_session_windows(read_pages_stream(spark, src), gap="30 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.n_pages)
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert got == {("a.example", 2), ("a.example", 1), ("b.example", 1)}
