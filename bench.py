@@ -197,7 +197,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "1000000"))
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    # 3 reps: this host's steal storms can last >2 consecutive runs; with 2
+    # reps a single stormy window contaminates the min (observed 16 s for a
+    # query whose calm-window time is 1.5 s)
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     cache_dir = os.environ.get(
         "SPARK_GRAFT_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
     )
