@@ -104,6 +104,43 @@ def buffer_ngon_udf(lat: pd.Series, lon: pd.Series, radius_m: pd.Series) -> pd.S
     return pd.Series(out)
 
 
+def chain_length_m_sql(vertices: str = "vertices") -> str:
+    """LengthProcess as ONE JVM expression: summed haversine over the vertex
+    chain (zip_with pairs + aggregate). Same formula as kernel
+    .polyline_length_m; no Python stage."""
+    from gaia_spark.functions import portable as P
+
+    pairs = (
+        f"zip_with(slice({vertices}, 1, size({vertices}) - 1), "
+        f"slice({vertices}, 2, size({vertices}) - 1), "
+        "(a, b) -> struct(a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2))"
+    )
+    h = P.haversine_m_sql("p.lat1", "p.lon1", "p.lat2", "p.lon2")
+    return f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + {h})"
+
+
+def ring_centroid_area_sql(vertices: str = "vertices") -> str:
+    """AREA-WEIGHTED polygon centroid (planar shoelace) as a JVM expression
+    returning struct(lat, lon) — the semantics of shapely's ``centroid``
+    that the reference's CentroidProcess exposes (``[R] gaia/geo/
+    processes_vector.py :: CentroidProcess``), unlike the vertex-mean
+    variant (kept as ``ring_centroid`` for point clouds)."""
+    pairs = (
+        f"zip_with(slice({vertices}, 1, size({vertices}) - 1), "
+        f"slice({vertices}, 2, size({vertices}) - 1), "
+        "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))"
+    )
+    cross = "(p.x1 * p.y2 - p.x2 * p.y1)"
+    a2 = f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + {cross})"
+    cx = (
+        f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + (p.x1 + p.x2) * {cross})"
+    )
+    cy = (
+        f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + (p.y1 + p.y2) * {cross})"
+    )
+    return f"struct(({cy}) / (3 * ({a2})) AS lat, ({cx}) / (3 * ({a2})) AS lon)"
+
+
 def buffer_ngon_sql(lat: str = "lat", lon: str = "lon", radius_m: float = 0.0, n: int = 32) -> str:
     """BufferProcess ring as ONE JVM expression: transform(sequence(0, n-1))
     of portable destination points, closing vertex appended. No Python stage

@@ -143,3 +143,89 @@ def ann_topk_lsh(
             F.expr(P.floor_scaled_sql("cos", 6)).alias("cos_e6"),
         )
     )
+
+
+def ivf_index(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """IVF coarse quantizer: pyspark.ml KMeans over the embedding column.
+
+    Returns (assigned_df, centers) — assigned_df adds a ``list_id`` per
+    vector; ``centers`` is the ndarray of centroids (small, driver-held;
+    on a cluster it ships inside the closure/broadcast). The scale shape:
+    the big vector table is clustered ONCE (one ML fit + one map), queries
+    probe only the nearest ``nprobe`` lists.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = vectors.withColumn("_fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_fv", predictionCol="list_id")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("_fv")
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def ann_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: exact cosine restricted to the ``nprobe`` centroid lists
+    nearest each query (the FAISS IVF-flat shape, DataFrame-native).
+
+    Recall/compute trade via (n_lists, nprobe); candidate fraction is about
+    nprobe/n_lists of the table per query versus all-pairs brute force.
+    """
+    assigned, centers = ivf_index(vectors, n_lists, id_col, vec_col, seed)
+    # per-query nearest-nprobe lists: tiny (queries × n_lists), driver-free —
+    # centroid array rides into the plan as literals
+    c_norm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    probe_structs = ", ".join(
+        f"struct({i} AS list_id, array({', '.join(repr(float(x)) for x in c_norm[i])}) AS c)"
+        for i in range(len(centers))
+    )
+    qdot = (
+        "aggregate(zip_with(p.c, _qvec, (x, y) -> x * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"))
+    probes = q.select(
+        "_qid", "_qvec",
+        F.explode(
+            F.expr(
+                f"slice(reverse(array_sort(transform(array({probe_structs}), "
+                f"p -> struct({qdot} AS s, p.list_id AS list_id)))), 1, {nprobe})"
+            )
+        ).alias("_p"),
+    ).select("_qid", "_qvec", F.col("_p.list_id").alias("list_id"))
+
+    cand = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col(id_col) != F.col("_qid"))
+    )
+    dot = DOT.format(a=vec_col, b="_qvec")
+    na = NORM2.format(a=vec_col)
+    nb = NORM2.format(a="_qvec")
+    scored = cand.withColumn("cos", F.expr(f"{dot} / sqrt({na}) / sqrt({nb})"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col), F.col(id_col), "rank",
+            F.expr(P.floor_scaled_sql("cos", 6)).alias("cos_e6"),
+        )
+    )

@@ -121,6 +121,63 @@ def line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_parcel_centroids",
+    f"""
+    WITH {PARCELS_CTE}
+    SELECT p_partkey,
+           cast(floor(((pmin_lat + pmax_lat) / 2) * 1000000 + 0.5) as bigint) AS c_lat_e6,
+           cast(floor(((pmin_lon + pmax_lon) / 2) * 1000000 + 0.5) as bigint) AS c_lon_e6
+    FROM parcels
+    """,
+)
+def q_parcel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CentroidProcess per-feature with shapely's AREA-WEIGHTED semantics
+    (planar shoelace centroid, one JVM expression); for rect parcels the
+    oracle's closed form is the bbox center."""
+    import pyspark.sql.functions as F2
+
+    from gaia_spark.operators.scalar_geo import ring_centroid_area_sql
+
+    feats = parcel_features(spark, sf_dir)
+    c = feats.withColumn("_c", F2.expr(ring_centroid_area_sql("vertices")))
+    return c.select(
+        "p_partkey",
+        F2.expr("cast(floor(_c.lat * 1000000 + 0.5) as bigint)").alias("c_lat_e6"),
+        F2.expr("cast(floor(_c.lon * 1000000 + 0.5) as bigint)").alias("c_lon_e6"),
+    )
+
+
+def _line_len_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    horiz = P.haversine_m_sql("la", "lo", "la", "(lo + len)")
+    vert = P.haversine_m_sql("la", "lo", "(la + len)", "lo")
+    return f"""
+    WITH {LINES_CTE}
+    SELECT s_suppkey,
+           {P.floor_scaled_sql(f'CASE WHEN horiz THEN {horiz} ELSE {vert} END', 0)} AS length_m_e0
+    FROM lines
+    """
+
+
+@register("q_line_length", _line_len_oracle())
+def q_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LengthProcess over a polyline feature layer — summed haversine as one
+    JVM aggregate expression (chain_length_m_sql); the oracle mirrors the
+    2-vertex chains with direct haversine."""
+    import pyspark.sql.functions as F2
+
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.scalar_geo import chain_length_m_sql
+
+    feats = line_features(spark, sf_dir)
+    return feats.select(
+        "s_suppkey",
+        F2.expr(P.floor_scaled_sql(chain_length_m_sql("vertices"), 0)).alias("length_m_e0"),
+    )
+
+
+@register(
     "q_crosses",
     f"""
     WITH {LINES_CTE}, {ZONES_CTE}

@@ -119,6 +119,20 @@ def _raster_zonal_oracle() -> str:
     """
 
 
+@register("q_ann_ivf", oracle=None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + nprobe lists + exact refine) —
+    rows-only: ML clustering isn't cross-engine reproducible; recall vs the
+    exact top-k is pytest-checked (test_simsearch_ivf)."""
+    from gaia_spark.operators.simsearch import ann_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_ivf(emb, queries, k=3, n_lists=8, nprobe=3)
+
+
 @register("q_raster_zonal", _raster_zonal_oracle())
 def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector zonal stats over the analytic-surface tile pyramid

@@ -71,3 +71,31 @@ def test_grid_dbscan_clusters_dense_cities(spark):
     # rerunning must give the identical labeling (deterministic fixpoint)
     again = {(r.cell, r.cluster_id) for r in grid_dbscan(pts, res=6, min_pts=5).collect()}
     assert again == {(r.cell, r.cluster_id) for r in rows}
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF ANN with generous probes must recover most exact top-3 pairs; with
+    nprobe = n_lists (probe everything) it must EQUAL the exact result."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.operators.simsearch import ann_topk_ivf, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ann_topk_ivf(emb, queries, k=3, n_lists=8, nprobe=8).collect()
+    }
+    assert full == exact  # probing every list == brute force
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_topk_ivf(emb, queries, k=3, n_lists=8, nprobe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
