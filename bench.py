@@ -100,6 +100,33 @@ def ensure_points_synth(spark, n_points: int, cache_dir: str) -> str:
     return path
 
 
+def ensure_parcels_synth(spark, n_parcels: int, cache_dir: str) -> str:
+    """Synthetic rect-parcel FEATURE layer (ring arrays, JVM-generated,
+    0.2-1.2 deg extents) — benches the non-point feature join."""
+    import pyspark.sql.functions as F
+
+    path = os.path.join(cache_dir, f"parcels_synth_{n_parcels}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        parts = min(max(n_parcels // 15_625, 64), 512)
+        base = spark.range(0, n_parcels, numPartitions=parts).select(
+            F.col("id").alias("fid"),
+            F.expr("((id * 7919) % 16000000) / cast(100000 as double) - 80.0").alias("_clat"),
+            F.expr("((id * 104729) % 35000000) / cast(100000 as double) - 175.0").alias("_clon"),
+            F.expr("(10 + (id * 13) % 50) / cast(100 as double)").alias("_hl"),
+            F.expr("(10 + (id * 29) % 110) / cast(100 as double)").alias("_hw"),
+        )
+        ring = (
+            "array(struct(_clat - _hl AS lat, _clon - _hw AS lon), "
+            "struct(_clat - _hl AS lat, _clon + _hw AS lon), "
+            "struct(_clat + _hl AS lat, _clon + _hw AS lon), "
+            "struct(_clat + _hl AS lat, _clon - _hw AS lon), "
+            "struct(_clat - _hl AS lat, _clon - _hw AS lon))"
+        )
+        base.select("fid", F.expr(ring).alias("vertices")).write.mode("overwrite").parquet(path)
+    return path
+
+
 def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | None = None):
     """name -> (build_df, rows_metric) — rows_metric counts throughput rows."""
     import pyspark.sql.functions as F
@@ -119,6 +146,13 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
 
     def geoparsed():
         return geoparse(pages())
+
+    def _parcels_join():
+        from gaia_spark.operators.feature_join import feature_spatial_join
+
+        cache_dir = os.path.dirname(pages_path)
+        parcels = spark.read.parquet(ensure_parcels_synth(spark, 1_000_000, cache_dir))
+        return feature_spatial_join(parcels, idx, "intersects", feature_key="fid")
 
     qs = {
         # pages/sec metric: geoparse + multi-res encode over the full table.
@@ -153,6 +187,9 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
             exact_median=False,
         ),
         "pages_tile_pyramid": lambda: point_tile_pyramid(geoparsed(), max_zoom=8, min_zoom=4),
+        # non-point feature layer: 1M rect parcels vs 16 zones, generic
+        # vertex/edge refine (poly-poly intersects), zero-shuffle plan
+        "parcels_intersects_join": lambda: _parcels_join(),
         "pages_knn1": lambda: knn_join_broadcast(geoparsed(), site_points_pdf(), k=1),
         # driver-table headliners (same code paths the oracle checks)
         "q_within_join": lambda: REGISTRY["q_within_join"].spark(spark, sf_dir),

@@ -67,3 +67,47 @@ def test_spark_submit_job_resumable(spark, tmp_path, monkeypatch):
     # rerun: everything skipped, output unchanged
     job.main(argv)
     assert IceTable(out).read(spark).count() == n1
+
+
+def test_pipeline_feature_join_matches_direct(spark, tmp_path):
+    """Declarative feature_within spec ≡ direct feature_spatial_join call."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.operators.feature_join import feature_spatial_join
+    from gaia_spark.operators.spatial_join import ZoneIndex
+    from gaia_spark.plans.pipeline import build_pipeline
+    from gaia_spark.synth import synth_zones_pdf
+
+    ring = (
+        "array(struct(_a AS lat, _b AS lon), struct(_a AS lat, _d AS lon), "
+        "struct(_c AS lat, _d AS lon), struct(_c AS lat, _b AS lon), "
+        "struct(_a AS lat, _b AS lon))"
+    )
+    feats = (
+        spark.range(1, 2500)
+        .select(
+            F.col("id").alias("feature_id"),
+            F.expr("((id * 7919) % 14000) / cast(100 as double) - 70.0").alias("_x"),
+            F.expr("((id * 104729) % 33000) / cast(100 as double) - 165.0").alias("_y"),
+        )
+        .selectExpr("feature_id", "_x - 0.3 AS _a", "_x + 0.3 AS _c", "_y - 0.4 AS _b", "_y + 0.4 AS _d")
+        .select("feature_id", F.expr(ring).alias("vertices"))
+    )
+    path = str(tmp_path / "feats")
+    feats.write.parquet(path)
+
+    spec = {
+        "source": {"kind": "parquet", "path": path},
+        "steps": [{"op": "feature_intersects", "zones": "synth16"}],
+    }
+    via_spec = {
+        (r.feature_id, r.zone_id) for r in build_pipeline(spark, spec).collect()
+    }
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+    direct = {
+        (r.feature_id, r.zone_id)
+        for r in feature_spatial_join(
+            spark.read.parquet(path), idx, "intersects", feature_key="feature_id"
+        ).collect()
+    }
+    assert via_spec == direct and len(direct) > 0
