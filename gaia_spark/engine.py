@@ -41,6 +41,20 @@ class GaiaFrame:
     def join_zones(self, index: ZoneIndex, predicate: str = "within", how: str = "inner", **kw) -> "GaiaFrame":
         return GaiaFrame(spatial_join(self.df, index, predicate, how, **kw))
 
+    def join_zones_features(
+        self, index: ZoneIndex, predicate: str = "intersects", how: str = "inner", **kw
+    ) -> "GaiaFrame":
+        """Spatial join for NON-POINT feature layers (polygon/line left
+        sides, ``vertices`` ring-array column)."""
+        from gaia_spark.operators.feature_join import feature_spatial_join
+
+        return GaiaFrame(feature_spatial_join(self.df, index, predicate, how, **kw))
+
+    def buffer(self, radius_m: float, out: str = "buffer") -> "GaiaFrame":
+        from gaia_spark.operators.scalar_geo import add_buffer
+
+        return GaiaFrame(add_buffer(self.df, radius_m, out))
+
     def knn(self, sites_pdf: pd.DataFrame, k: int = 1, **kw) -> "GaiaFrame":
         return GaiaFrame(knn_join_broadcast(self.df, sites_pdf, k, **kw))
 

@@ -115,6 +115,14 @@ _FEATURE_EDGES = (
     "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))"
 )
 
+# multi-ring features: edges PER RING then flattened — a flat vertex list
+# would fabricate a bogus edge between ring i's end and ring i+1's start
+_RING_EDGES = (
+    "flatten(transform({rings}, r -> "
+    "zip_with(slice(r, 1, size(r) - 1), slice(r, 2, size(r) - 1), "
+    "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))))"
+)
+
 # zone geometry normalized to one edge-array form: poly zones already carry
 # `edges`; rect zones synthesize their 4 edges from the bbox columns.
 _ZONE_EDGES = (
@@ -134,6 +142,7 @@ def feature_spatial_join(
     feature_key: str = "feature_id",
     vertices_col: str = "vertices",
     kind: str = "poly",
+    rings_col: str | None = None,
 ) -> DataFrame:
     """Join a polygon/polyline feature layer against a zone index.
 
@@ -141,11 +150,14 @@ def feature_spatial_join(
     (polygons: closed outer ring; lines: the vertex chain). ``kind``:
     'poly' or 'line' (lines have no interior — 'within' for a line means
     every vertex covered and no boundary crossing, i.e. covered-by).
-    how: 'inner' (feature cols + zone_id), 'semi', 'anti'.
+    ``rings_col``: optional ``array<array<struct<lat,lon>>>`` for
+    MULTI-RING left features (holes / multipolygons, even-odd) — wins over
+    ``vertices_col``; edges are derived per ring, probes over all rings'
+    vertices. how: 'inner' (feature cols + zone_id), 'semi', 'anti'.
     """
     if predicate == "disjoint":
         return feature_spatial_join(
-            features, index, "intersects", "anti", feature_key, vertices_col, kind
+            features, index, "intersects", "anti", feature_key, vertices_col, kind, rings_col
         )
     if predicate not in FEATURE_PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
@@ -158,15 +170,22 @@ def feature_spatial_join(
     res = index.res
     n = 1 << res
 
-    feats = features.withColumnRenamed(vertices_col, "vertices") if vertices_col != "vertices" else features
-    feats = feats.where(F.col("vertices").isNotNull() & (F.size("vertices") >= 2))
+    if rings_col is not None:
+        # multi-ring: probes over all rings' vertices; edges per ring
+        feats = features.withColumn("vertices", F.expr(f"flatten({rings_col})"))
+        feats = feats.where(F.col("vertices").isNotNull() & (F.size("vertices") >= 2))
+        fedges = _RING_EDGES.format(rings=rings_col)
+    else:
+        feats = features.withColumnRenamed(vertices_col, "vertices") if vertices_col != "vertices" else features
+        feats = feats.where(F.col("vertices").isNotNull() & (F.size("vertices") >= 2))
+        fedges = _FEATURE_EDGES
     # bbox + feature edge table, all pure SQL over the vertex array
     feats = (
         feats.withColumn("_fmin_lat", F.expr("array_min(transform(vertices, v -> v.lat))"))
         .withColumn("_fmax_lat", F.expr("array_max(transform(vertices, v -> v.lat))"))
         .withColumn("_fmin_lon", F.expr("array_min(transform(vertices, v -> v.lon))"))
         .withColumn("_fmax_lon", F.expr("array_max(transform(vertices, v -> v.lon))"))
-        .withColumn("_fedges", F.expr(_FEATURE_EDGES))
+        .withColumn("_fedges", F.expr(fedges))
     )
 
     # distributed cell-range cover of the feature bbox (conservative, exact
@@ -264,6 +283,8 @@ def feature_spatial_join(
         "_cx", "_cy", "_cell", "cell", "kind",
         "min_lat", "min_lon", "max_lat", "max_lon", "edges", "_zedges",
     ]
+    if rings_col is not None:
+        drop.append("vertices")  # the synthetic flatten, not user data
     if how == "inner":
         return matched.drop(*drop)
     hits = matched.select(feature_key).distinct()

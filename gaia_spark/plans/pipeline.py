@@ -112,6 +112,7 @@ def _feature(predicate):
             feature_key=step.get("feature_key", "feature_id"),
             vertices_col=step.get("vertices_col", "vertices"),
             kind=step.get("kind", "poly"),
+            rings_col=step.get("rings_col"),
         )
     return fn
 

@@ -275,3 +275,72 @@ def test_feature_join_plan_is_broadcast_jvm_only(spark, rect_zones_idx):
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning" not in plan  # no shuffle on the feature side
     assert "ArrowEval" not in plan and "BatchEval" not in plan  # no Python
+
+
+def test_multiring_left_features(spark, rect_zones_idx):
+    """Holed and multipolygon LEFT features (rings_col): even-odd refine —
+    ground truth via kernel PreparedPolygon.from_rings + the same algebra."""
+    def ring(la0, lo0, la1, lo1):
+        return [
+            {"lat": la0, "lon": lo0}, {"lat": la0, "lon": lo1},
+            {"lat": la1, "lon": lo1}, {"lat": la1, "lon": lo0},
+            {"lat": la0, "lon": lo0},
+        ]
+    # zone 0 of the fixture: lat [-59.5, -37.5], lon [-149.5, -59.5]
+    cases = [
+        # 1: holed donut straddling zone edge -> intersects
+        (1, [ring(-65.0, -155.0, -50.0, -140.0), ring(-60.0, -150.0, -55.0, -145.0)]),
+        # 2: holed square fully inside zone 0 -> within + intersects
+        (2, [ring(-55.0, -120.0, -45.0, -100.0), ring(-52.0, -115.0, -48.0, -105.0)]),
+        # 3: multipolygon: one part in zone 0, one part far away
+        (3, [ring(-50.0, -130.0, -48.0, -125.0), ring(20.0, 170.0, 22.0, 175.0)]),
+        # 4: both parts outside every zone
+        (4, [ring(80.0, -170.0, 84.0, -160.0), ring(80.0, 150.0, 84.0, 160.0)]),
+    ]
+    feats = spark.createDataFrame(
+        [(fid, rings) for fid, rings in cases],
+        "fid long, rings array<array<struct<lat:double,lon:double>>>",
+    )
+    inter = {
+        (r.fid, r.zone_id)
+        for r in feature_spatial_join(
+            feats, rect_zones_idx, "intersects", feature_key="fid", rings_col="rings"
+        ).collect()
+    }
+    within = {
+        (r.fid, r.zone_id)
+        for r in feature_spatial_join(
+            feats, rect_zones_idx, "within", feature_key="fid", rings_col="rings"
+        ).collect()
+    }
+    inter_fids = {f for f, _ in inter}
+    assert 1 in inter_fids and 2 in inter_fids and 3 in inter_fids
+    assert 4 not in inter_fids
+    assert (2, 0) in within
+    assert all(f == 2 for f, _ in within)  # only the fully-contained donut
+    # brute-force cross-check of intersects membership for every pair
+    want = set()
+    for fid, rings in cases:
+        prep = PreparedPolygon.from_rings([
+            (np.array([v["lat"] for v in r]), np.array([v["lon"] for v in r]))
+            for r in rings
+        ])
+        for z in rect_zones_idx.zones_pdf.itertuples(index=False):
+            zc = [(z.min_lat, z.min_lon), (z.min_lat, z.max_lon),
+                  (z.max_lat, z.max_lon), (z.max_lat, z.min_lon)]
+            hit = prep.covers(
+                np.array([a for a, _ in zc]), np.array([b for _, b in zc])
+            ).any()
+            if not hit:
+                for r in rings:
+                    for v in r[:-1]:
+                        if z.min_lat <= v["lat"] <= z.max_lat and z.min_lon <= v["lon"] <= z.max_lon:
+                            hit = True
+            if not hit:
+                # axis-aligned fixtures: bbox-overlap without any vertex
+                # containment cannot happen here except crossing shapes,
+                # which these cases do not include
+                pass
+            if hit:
+                want.add((fid, z.zone_id))
+    assert inter == want
