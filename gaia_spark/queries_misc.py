@@ -1,6 +1,9 @@
-"""Registry tranche 4: non-SQL-expressible operators, exposed as rows-only
-driver checks (no oracle entry → the driver records count/schema stability).
-Each is deterministic, so row counts are stable across runs."""
+"""Registry tranche 4: the operators that resisted plain-SQL oracles in
+round 1 — now almost all hash-checked anyway (recursive-CTE connected
+components for DBSCAN, closed-form buffers/pixels, byte-level fake-decode
+replay). Only the APPROXIMATE searches (LSH / IVF ANN) stay rows-only:
+their candidate sets are definitionally not mirrorable, and their recall
+is pytest-checked against the exact oracle-verified top-k instead."""
 
 from __future__ import annotations
 
@@ -11,15 +14,44 @@ from gaia_spark.functions import portable as P
 from gaia_spark.queries import customer_points, load, register
 
 
-@register("q_dbscan_clusters", oracle=None)
+def _dbscan_oracle() -> str:
+    """Grid-DBSCAN mirrored as a RECURSIVE CTE: reachability closure over
+    rook-adjacent dense cells, cluster id = min cell of the component —
+    exactly the fixpoint grid_dbscan's min-label propagation converges to."""
+    from gaia_spark.queries import PTS_CTE
+
+    n = 1 << 5
+    return f"""
+    WITH RECURSIVE {PTS_CTE},
+    dense AS (SELECT {P.cell_id_sql("lat", "lon", 5)} AS cell
+              FROM pts GROUP BY 1 HAVING count(*) >= 3),
+    d2 AS (SELECT cell, cell % {n} AS x, {P.idiv_sql('cell', n)} AS y FROM dense),
+    adj AS (
+      SELECT a.cell AS cell, b.cell AS nb FROM d2 a JOIN d2 b
+      ON (b.y = a.y AND b.x = (a.x + 1) % {n})
+      OR (b.y = a.y AND b.x = (a.x + {n - 1}) % {n})
+      OR (b.x = a.x AND b.y = a.y + 1)
+      OR (b.x = a.x AND b.y = a.y - 1)),
+    reach(a, b) AS (
+      SELECT cell, cell FROM dense
+      UNION
+      SELECT r.a, j.nb FROM reach r JOIN adj j ON r.b = j.cell
+    ),
+    lab AS (SELECT a AS cell, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT cluster_id, count(*) AS n_cells FROM lab GROUP BY 1
+    """
+
+
+@register("q_dbscan_clusters", _dbscan_oracle())
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClusterProcess: grid-DBSCAN over customer points (rows-only check —
-    iterative label propagation isn't single-statement SQL)."""
+    """ClusterProcess: grid-DBSCAN over customer points. The iterative
+    min-label propagation's fixpoint equals connected components, which
+    DuckDB expresses as a recursive reachability CTE — full hash check."""
     from gaia_spark.operators.stats import grid_dbscan
 
     pts = customer_points(spark, sf_dir)
-    labels = grid_dbscan(pts, res=4, min_pts=3, point_key="c_custkey")
-    return labels.groupBy("cluster_id").agg(F.count("*").alias("n_cells")).orderBy("cluster_id")
+    labels = grid_dbscan(pts, res=5, min_pts=3, point_key="c_custkey")
+    return labels.groupBy("cluster_id").agg(F.count("*").alias("n_cells"))
 
 
 def _buffer_oracle() -> str:
@@ -155,10 +187,34 @@ def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_media_features", oracle=None)
+def _media_oracle() -> str:
+    """fake_decode mirrored byte-for-byte: payload bytes via hex(encode(
+    text)) sliced 2 chars at a time, first 64 bytes zero-padded, 16-byte
+    group means / 255, float32-quantized like the Arrow schema."""
+    byte_at = "cast('0x' || substr(hx, 2 * i - 1, 2) as bigint)"
+    def group_mean(g: int) -> str:
+        s = (
+            f"list_sum(list_transform(range({16 * g + 1}, {16 * g + 17}), "
+            f"i -> {byte_at}))"
+        )
+        return f"cast(cast((({s}) / 16.0) / 255.0 as float) as double)"
+    return f"""
+    WITH h AS (SELECT doc_id,
+               rpad(substr(hex(encode(text)), 1, 128), 128, '0') AS hx
+               FROM documents)
+    SELECT doc_id, 4 AS width, 4 AS height, 1 AS channels, 16 AS n_feat,
+           {P.floor_scaled_sql(group_mean(0), 6)} AS f0_e6,
+           {P.floor_scaled_sql(group_mean(3), 6)} AS f15_e6
+    FROM h
+    """
+
+
+@register("q_media_features", _media_oracle())
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → stubbed decode features via
-    mapInPandas (codec-free deterministic fake)."""
+    """Multimodal plumbing: binary payloads → deterministic fake decode via
+    mapInPandas — and the fake is simple enough that the DuckDB oracle
+    replays it from the payload bytes, so the whole Arrow decode path
+    (batching, schema, float32 quantization) is hash-checked."""
     from gaia_spark.operators.multimodal import extract_media_features
 
     docs = load(spark, sf_dir, "documents").select(
@@ -166,5 +222,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_media_features(docs, "payload")
     return feats.select(
-        "doc_id", "width", "height", "channels", F.size("feat").alias("n_feat")
+        "doc_id", "width", "height", "channels", F.size("feat").alias("n_feat"),
+        F.expr(P.floor_scaled_sql("cast(element_at(feat, 1) as double)", 6)).alias("f0_e6"),
+        F.expr(P.floor_scaled_sql("cast(element_at(feat, 16) as double)", 6)).alias("f15_e6"),
     )
