@@ -229,3 +229,42 @@ def ann_topk_ivf(
             F.expr(P.floor_scaled_sql("cos", 6)).alias("cos_e6"),
         )
     )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int | None = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a < b, cos ≥ threshold).
+
+    ``n_planes`` set (the scale path): the self-join is restricted to pairs
+    sharing an LSH bucket — md5-derived planes make even this approximate
+    candidate set cross-engine deterministic, so it stays oracle-checkable.
+    ``n_planes=None``: exact all-pairs witness (test scale only).
+    """
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"))
+    if n_planes is not None:
+        ba = lsh_buckets(vectors, n_planes, dim, id_col, vec_col).withColumnRenamed(id_col, "a")
+        bb = ba.withColumnRenamed("a", "b")
+        pairs = (
+            ba.join(bb, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .join(a, "a")
+            .join(b, "b")
+        )
+    else:
+        pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    dot = DOT.format(a="_ea", b="_eb")
+    na = NORM2.format(a="_ea")
+    nb = NORM2.format(a="_eb")
+    return (
+        pairs.withColumn("cos", F.expr(f"{dot} / sqrt({na}) / sqrt({nb})"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+        .select("a", "b", F.expr(P.floor_scaled_sql("cos", 6)).alias("cos_e6"))
+    )

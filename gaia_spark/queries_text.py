@@ -209,6 +209,43 @@ def q_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.2, scope=cand)
 
 
+def _embed_near_dup_oracle(threshold: float, n_planes: int) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(pa.embedding[i] as double) * cast(pb.embedding[i] as double)))"
+    )
+    na = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(pa.embedding[i] as double) * cast(pa.embedding[i] as double)))"
+    )
+    nb = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(pb.embedding[i] as double) * cast(pb.embedding[i] as double)))"
+    )
+    cos = f"({dot} / sqrt({na}) / sqrt({nb}))"
+    return f"""
+    WITH bk AS (SELECT vec_id, embedding,
+                {lsh_bucket_sql('embedding', n_planes, 64, P.DUCK)} AS bucket
+                FROM embeddings)
+    SELECT pa.vec_id AS a, pb.vec_id AS b,
+           {P.floor_scaled_sql(cos, 6)} AS cos_e6
+    FROM bk pa JOIN bk pb USING (bucket)
+    WHERE pa.vec_id < pb.vec_id AND {cos} >= {threshold}
+    """
+
+
+@register("q_embed_near_dup", _embed_near_dup_oracle(0.25, 4))
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs through the SCALE path (LSH-bucketed
+    self-join + exact cosine filter) — the md5-derived planes make the
+    bucketing itself cross-engine deterministic, so the approximate
+    candidate generation is hash-checked end-to-end, not just the refine."""
+    from gaia_spark.operators.simsearch import cosine_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.25, n_planes=4)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

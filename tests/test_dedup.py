@@ -99,3 +99,23 @@ def test_ann_ivf_recall_vs_exact(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark):
+    """The LSH-bucketed near-dup pairs are a subset of the exact all-pairs
+    result at the same threshold (bucketing only drops candidates)."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.operators.simsearch import cosine_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").where(
+        F.col("vec_id") < 150
+    )
+    exact = {
+        (r.a, r.b) for r in cosine_near_dup_pairs(emb, 0.25, n_planes=None).collect()
+    }
+    lsh = {
+        (r.a, r.b) for r in cosine_near_dup_pairs(emb, 0.25, n_planes=4).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) > 0 and len(exact) > 0
