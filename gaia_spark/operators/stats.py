@@ -85,6 +85,12 @@ def morans_i_perm(
     n, Σw and Σz² are permutation-invariant, so only the numerator
     Σ w_ij·z_i·z_j is recomputed per permutation — one adjacency join over
     (perm × cells), two window ranks, no O(n²) anywhere.
+
+    Scale note: the unpartitioned rank window runs over the CELL table
+    (one row per occupied grid cell — 4^res bounded, typically ≤10⁴ after
+    aggregation), never over raw points; the per-permutation rank is
+    partitioned by k. At coarser-than-expected cell counts switch res, not
+    this plan.
     """
     stats = values.agg(
         F.avg(value_col).alias("_mean"), F.count("*").cast("double").alias("_n")
