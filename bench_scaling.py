@@ -111,7 +111,10 @@ def main() -> None:
 
 def _write_baseline_md(result: dict, args) -> None:
     lines = [
-        "# BENCH/BASELINE.md — measured numbers (sandbox)",
+        "# BENCH/scaling_run.md — latest raw bench_scaling run",
+        "",
+        "(The curated scaling evidence, controls, and narrative live in",
+        "BENCH/BASELINE.md — this file is only the most recent raw table.)",
         "",
         "Protocol: BASELINE.md §Bench protocol. Same deterministic synthetic",
         f"pages table ({args.pages:,} rows, seed 42, parquet), identical confs,",
@@ -139,9 +142,21 @@ def _write_baseline_md(result: dict, args) -> None:
         "Gate (BASELINE.json): ≥ 0.8 — see JSON line in BENCH/scaling.json.",
     ]
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
-    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
+    # raw table goes to its own file; BASELINE.md is the curated narrative
+    with open(os.path.join(HERE, "BENCH", "scaling_run.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    with open(os.path.join(HERE, "BENCH", "scaling.json"), "w") as f:
+    # preserve the controls section (alternating-level experiments) across
+    # reruns of the headline measurement
+    scaling_path = os.path.join(HERE, "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                old = json.load(f)
+            if "controls" in old and "controls" not in result:
+                result["controls"] = old["controls"]
+        except (OSError, json.JSONDecodeError):
+            pass
+    with open(scaling_path, "w") as f:
         json.dump(result, f, indent=2)
 
 
