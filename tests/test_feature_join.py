@@ -344,3 +344,35 @@ def test_multiring_left_features(spark, rect_zones_idx):
             if hit:
                 want.add((fid, z.zone_id))
     assert inter == want
+
+
+def test_predicate_algebra_consistency_mixed_zones(spark):
+    """Internal algebra over the mixed rect+poly synth zone layer:
+    within ⊆ intersects; touches ∩ within = ∅; touches ⊆ intersects;
+    disjoint(anti) = complement of intersects feature ids."""
+    from gaia_spark.synth import synth_zones_pdf
+
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+    pdf = parcels_pdf(250)
+    feats = parcels_df(spark, pdf)
+
+    def pairs(pred):
+        return {
+            (r.fid, r.zone_id)
+            for r in feature_spatial_join(feats, idx, pred, feature_key="fid").collect()
+        }
+
+    inter = pairs("intersects")
+    within = pairs("within")
+    touches = pairs("touches")
+    assert within <= inter
+    assert touches <= inter
+    assert not (touches & within)
+    anti = {
+        r.fid
+        for r in feature_spatial_join(
+            feats, idx, "disjoint", feature_key="fid"
+        ).collect()
+    }
+    assert anti == set(pdf["fid"]) - {f for f, _ in inter}
+    assert len(inter) > 10  # fixture actually exercises the predicates
