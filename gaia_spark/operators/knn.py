@@ -162,6 +162,7 @@ def near_join(
     n = 1 << res
     cell_h_deg, cell_w_deg = 180.0 / n, 360.0 / n
     rows = []
+    seen: set[tuple[int, int]] = set()
     for s in sites_pdf.itertuples(index=False):
         sid = int(getattr(s, site_key))
         slat, slon = float(s.lat), float(s.lon)
@@ -173,14 +174,26 @@ def near_join(
         lon_deg = deg / max(np.cos(np.radians(max_abs_lat)), 1e-3)
         ring_y = int(np.ceil(lat_deg / cell_h_deg)) + 1
         ring_x = min(int(np.ceil(lon_deg / cell_w_deg)) + 1, n // 2)
+        # a capped ring spans 2·ring_x+1 ≥ n+1 columns, and modular wrap
+        # then maps dx = ±n/2 to the SAME cell — a duplicate (site, cell)
+        # cover row duplicates every within-radius pair in that column.
+        # Bound the dx span to n distinct columns AND dedupe on (sid, cell).
+        if 2 * ring_x + 1 >= n:
+            span_lo, span_hi = 0, n - 1
+        else:
+            span_lo, span_hi = -ring_x, ring_x
         c = int(cell_encode(np.array([slat]), np.array([slon]), res)[0])
         cx, cy = c % n, c // n
         for dy in range(-ring_y, ring_y + 1):
             yy = cy + dy
             if yy < 0 or yy >= n:
                 continue
-            for dx in range(-ring_x, ring_x + 1):
+            for dx in range(span_lo, span_hi + 1):
                 xx = (cx + dx) % n
+                key = (sid, yy * n + xx)
+                if key in seen:
+                    continue
+                seen.add(key)
                 rows.append((sid, slat, slon, yy * n + xx))
     cover = spark.createDataFrame(
         pd.DataFrame(rows, columns=["site_id", "site_lat", "site_lon", "cell"]),

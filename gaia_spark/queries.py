@@ -129,17 +129,27 @@ def _import_crs():
 
 
 def site_points_pdf() -> pd.DataFrame:
-    """25 deterministic sites (key-derived from ids 1..25, offset stream)."""
+    """25 deterministic sites (key-derived from ids 1..25, offset stream),
+    plus two fixed polar sentinels (26, 27): at 500 km radius their cell
+    cover wraps the full longitude ring, so the driver oracle itself guards
+    the near-pole wrap-duplication edge case in ``near_join``."""
     import numpy as np
 
     sid = np.arange(1, 26, dtype=np.int64)
-    return pd.DataFrame(
+    base = pd.DataFrame(
         {
             "site_id": sid,
             "lat": (sid * 104729 * 7919 % 17000) / 100.0 - 85.0,
             "lon": (sid * 7919 * 104729 % 36000) / 100.0 - 180.0,
         }
     )
+    # lat 88 keeps the full-wrap cover (cos(89.9°) floor) while staying
+    # within 500 km of the highest-latitude customer points (|lat| < 85),
+    # so real pairs flow through the wrapped columns
+    polar = pd.DataFrame(
+        {"site_id": [26, 27], "lat": [88.0, -88.3], "lon": [10.0, -170.0]}
+    )
+    return pd.concat([base, polar], ignore_index=True)
 
 
 SITES_CTE = "sites AS (SELECT * FROM (VALUES " + ", ".join(
