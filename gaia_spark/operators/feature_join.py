@@ -32,9 +32,12 @@ Predicate algebra over those three primitives (A = left feature, B = zone):
   strictly inside B ∧ some A-vertex strictly outside B) — DE-9IM crosses:
   the line's interior meets both B's interior and exterior.
 - ``touches``: intersects ∧ no proper crossing ∧ no vertex of either side
-  strictly inside the other (boundary contact only). Exact when interior
-  contact, if any, is witnessed by a vertex or a proper crossing — true for
-  simple polygons in general position and for axis-aligned layers.
+  strictly inside the other (boundary contact only) ∧ no collinear-overlap
+  interior witness. The last term closes the degenerate poly-poly case
+  (coincident or edge-overlapping rectangles) where interior contact is
+  witnessed by neither a strictly interior vertex nor a proper crossing:
+  see :func:`_collinear_interior_sql`. Remaining limit: slivers thinner
+  than the 1e-4° probe offset.
 - ``disjoint``: anti-join on intersects.
 
 The zone side is broadcast (small); the feature side is web-scale and never
@@ -109,28 +112,89 @@ def _proper_cross_sql(a_edges: str, b_edges: str) -> str:
     )
 
 
-_FEATURE_EDGES = (
-    "zip_with(slice(vertices, 1, size(vertices) - 1), "
-    "slice(vertices, 2, size(vertices) - 1), "
-    "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))"
-)
+def _collinear_interior_sql(a_edges: str, b_edges: str) -> str:
+    """Interior-contact witness for collinear overlapping edge pairs —
+    closes the degenerate poly-poly ``touches`` case (e.g. coincident
+    rectangles) where interior overlap is witnessed by neither a strictly
+    interior vertex nor a proper crossing.
 
-# multi-ring features: edges PER RING then flattened — a flat vertex list
-# would fabricate a bogus edge between ring i's end and ring i+1's start
-_RING_EDGES = (
-    "flatten(transform({rings}, r -> "
-    "zip_with(slice(r, 1, size(r) - 1), slice(r, 2, size(r) - 1), "
-    "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))))"
-)
+    For each (ea, eb) pair that is collinear (ea's endpoints within
+    boundary-eps of eb's line) with positive projection-interval overlap,
+    offset the overlap midpoint perpendicular by ±1e-4° (~11 m) and test
+    STRICT containment in both
+    polygons: inside both on either side ⇒ the interiors meet. A shared
+    edge between side-by-side polygons puts each offset point inside only
+    one of them, so genuine touches are unaffected. The offset must sit far above the cancellation floor of the point-to-
+    segment distance form (d² ≈ u − dot²/len² loses increments below
+    ~len²·2⁻⁵² ≈ 3e-12 for 360°-scale edges; 1e-8 ≫ that), else the probe
+    falsely reads as on-boundary. Slivers thinner than the offset evade
+    the witness — documented limit.
+    """
+    dx, dy = "(eb.x2 - eb.x1)", "(eb.y2 - eb.y1)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    cr1 = f"({dx} * (ea.y1 - eb.y1) - {dy} * (ea.x1 - eb.x1))"
+    cr2 = f"({dx} * (ea.y2 - eb.y1) - {dy} * (ea.x2 - eb.x1))"
+    # perpendicular distance² of ea's endpoints from eb's line ≤ eps²
+    collinear = f"({cr1} * {cr1} <= {BOUNDARY_EPS2} * {len2} AND {cr2} * {cr2} <= {BOUNDARY_EPS2} * {len2})"
+    ta1 = f"(((ea.x1 - eb.x1) * {dx} + (ea.y1 - eb.y1) * {dy}) / {len2})"
+    ta2 = f"(((ea.x2 - eb.x1) * {dx} + (ea.y2 - eb.y1) * {dy}) / {len2})"
+    lo = f"greatest(cast(0 as double), least({ta1}, {ta2}))"
+    hi = f"least(cast(1 as double), greatest({ta1}, {ta2}))"
+    tm = f"(({lo} + {hi}) / 2)"
+    mx, my = f"(eb.x1 + {tm} * {dx})", f"(eb.y1 + {tm} * {dy})"
+    # unit perpendicular × offset
+    px, py = f"(-{dy} / sqrt({len2}) * 1e-4)", f"({dx} / sqrt({len2}) * 1e-4)"
+    probes = (
+        f"array(struct({my} + {py} AS la, {mx} + {px} AS lo), "
+        f"struct({my} - {py} AS la, {mx} - {px} AS lo))"
+    )
+    in_both = (
+        f"exists({probes}, p -> ({_strictly_in_at(a_edges, 'p.la', 'p.lo')}) "
+        f"AND ({_strictly_in_at(b_edges, 'p.la', 'p.lo')}))"
+    )
+    return (
+        f"exists({a_edges}, ea -> exists({b_edges}, eb -> "
+        f"{len2} > 0 AND {collinear} AND ({hi} - {lo}) > 1e-12 AND {in_both}))"
+    )
+
+
+def _edges_sql(arr: str) -> str:
+    """Consecutive-vertex edge structs over a vertex array expression."""
+    return (
+        f"zip_with(slice({arr}, 1, size({arr}) - 1), "
+        f"slice({arr}, 2, size({arr}) - 1), "
+        "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))"
+    )
+
+
+def _close_ring_sql(arr: str) -> str:
+    """Auto-append the closing vertex when a polygon ring is not explicitly
+    closed (first != last) — the kernel's _close_ring twin. An unclosed ring
+    would silently lose its closing edge, breaking raycast parity."""
+    first, last = f"element_at({arr}, 1)", f"element_at({arr}, -1)"
+    return (
+        f"(CASE WHEN size({arr}) >= 3 AND "
+        f"({first}.lat != {last}.lat OR {first}.lon != {last}.lon) "
+        f"THEN concat({arr}, array({first})) ELSE {arr} END)"
+    )
+
+
+_FEATURE_EDGES = _edges_sql("vertices")
+
+# multi-ring features: edges PER RING (each ring auto-closed) then
+# flattened — a flat vertex list would fabricate a bogus edge between
+# ring i's end and ring i+1's start
+_RING_EDGES = "flatten(transform({rings}, r -> " + _edges_sql(_close_ring_sql("r")) + "))"
 
 # zone geometry normalized to one edge-array form: poly zones already carry
-# `edges`; rect zones synthesize their 4 edges from the bbox columns.
+# `edges`; rect zones synthesize their 4 edges from the bbox columns. All
+# zone-side metadata is _z_-prefixed so user feature columns never collide.
 _ZONE_EDGES = (
-    "CASE WHEN kind = 'poly' THEN edges ELSE array("
-    "struct(min_lat AS y1, min_lon AS x1, min_lat AS y2, max_lon AS x2), "
-    "struct(min_lat AS y1, max_lon AS x1, max_lat AS y2, max_lon AS x2), "
-    "struct(max_lat AS y1, max_lon AS x1, max_lat AS y2, min_lon AS x2), "
-    "struct(max_lat AS y1, min_lon AS x1, min_lat AS y2, min_lon AS x2)) END"
+    "CASE WHEN _z_kind = 'poly' THEN _z_edges_src ELSE array("
+    "struct(_z_min_lat AS y1, _z_min_lon AS x1, _z_min_lat AS y2, _z_max_lon AS x2), "
+    "struct(_z_min_lat AS y1, _z_max_lon AS x1, _z_max_lat AS y2, _z_max_lon AS x2), "
+    "struct(_z_max_lat AS y1, _z_max_lon AS x1, _z_max_lat AS y2, _z_min_lon AS x2), "
+    "struct(_z_max_lat AS y1, _z_min_lon AS x1, _z_min_lat AS y2, _z_min_lon AS x2)) END"
 )
 
 
@@ -178,7 +242,11 @@ def feature_spatial_join(
     else:
         feats = features.withColumnRenamed(vertices_col, "vertices") if vertices_col != "vertices" else features
         feats = feats.where(F.col("vertices").isNotNull() & (F.size("vertices") >= 2))
-        fedges = _FEATURE_EDGES
+        # polygons: auto-close an unclosed ring so the closing edge exists;
+        # lines must NOT be closed (the chain is open by definition)
+        fedges = (
+            _edges_sql(_close_ring_sql("vertices")) if kind == "poly" else _FEATURE_EDGES
+        )
     # bbox + feature edge table, all pure SQL over the vertex array
     feats = (
         feats.withColumn("_fmin_lat", F.expr("array_min(transform(vertices, v -> v.lat))"))
@@ -207,35 +275,46 @@ def feature_spatial_join(
     zmeta_pdf = index.cover_pdf.drop_duplicates("zone_id")[
         ["zone_id", "kind", "min_lat", "min_lon", "max_lat", "max_lon", "edges"]
     ]
+    # _z_-prefix every zone-side metadata column: the user's feature layer
+    # may legitimately carry 'kind', bbox, or 'edges'/'cell' columns, and an
+    # unprefixed join would be ambiguous or silently drop user data
     zmeta = spark.createDataFrame(
         zmeta_pdf.to_dict("records"),
         "zone_id long, kind string, min_lat double, min_lon double, "
         "max_lat double, max_lon double, "
         "edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
+    ).select(
+        "zone_id",
+        F.col("kind").alias("_z_kind"),
+        F.col("min_lat").alias("_z_min_lat"),
+        F.col("min_lon").alias("_z_min_lon"),
+        F.col("max_lat").alias("_z_max_lat"),
+        F.col("max_lon").alias("_z_max_lon"),
+        F.col("edges").alias("_z_edges_src"),
     )
-    zx0 = portable.cell_x_sql("min_lon", res)
-    zx1 = portable.cell_x_sql("max_lon", res)
-    zy0 = portable.cell_y_sql("max_lat", res)
-    zy1 = portable.cell_y_sql("min_lat", res)
+    zx0 = portable.cell_x_sql("_z_min_lon", res)
+    zx1 = portable.cell_x_sql("_z_max_lon", res)
+    zy0 = portable.cell_y_sql("_z_max_lat", res)
+    zy1 = portable.cell_y_sql("_z_min_lat", res)
     zcover = (
         zmeta.withColumn("_zx", F.explode(F.expr(f"sequence({zx0}, {zx1})")))
         .withColumn("_zy", F.explode(F.expr(f"sequence({zy0}, {zy1})")))
-        .withColumn("cell", F.col("_zy") * n + F.col("_zx"))
+        .withColumn("_z_cell", F.col("_zy") * n + F.col("_zx"))
         .drop("_zx", "_zy")
     )
 
     bbox_overlap = (
-        (F.col("_fmin_lat") <= F.col("max_lat")) & (F.col("_fmax_lat") >= F.col("min_lat"))
-        & (F.col("_fmin_lon") <= F.col("max_lon")) & (F.col("_fmax_lon") >= F.col("min_lon"))
+        (F.col("_fmin_lat") <= F.col("_z_max_lat")) & (F.col("_fmax_lat") >= F.col("_z_min_lat"))
+        & (F.col("_fmin_lon") <= F.col("_z_max_lon")) & (F.col("_fmax_lon") >= F.col("_z_min_lon"))
     )
     # reference-point dedup (NO shuffle): of all cells where a (feature,
     # zone) pair meets, exactly one contains the bbox-intersection corner
     # point (greatest of the two mins) — keep the pair only there
     rp_cell = portable.cell_id_sql(
-        "greatest(_fmin_lat, min_lat)", "greatest(_fmin_lon, min_lon)", res
+        "greatest(_fmin_lat, _z_min_lat)", "greatest(_fmin_lon, _z_min_lon)", res
     )
     cand = (
-        covered.join(F.broadcast(zcover), covered["_cell"] == zcover["cell"], "inner")
+        covered.join(F.broadcast(zcover), covered["_cell"] == zcover["_z_cell"], "inner")
         .where(bbox_overlap)
         .where(F.expr(f"_cell = {rp_cell}"))
         .withColumn("_zedges", F.expr(_ZONE_EDGES))
@@ -276,12 +355,18 @@ def feature_spatial_join(
             f"(({intersects}) AND NOT ({proper_cross})"
             f" AND NOT ({any_a_strictly_in_b}) AND NOT ({any_b_strictly_in_a}))"
         )
+        if kind == "poly":
+            # coincident / edge-overlapping polygons: interior contact with
+            # no strictly-interior vertex and no proper crossing — reject
+            # via the collinear-overlap interior witness
+            ok = f"({ok} AND NOT ({_collinear_interior_sql('_fedges', '_zedges')}))"
 
     matched = cand.where(F.expr(ok))
     drop = [
         "_fmin_lat", "_fmax_lat", "_fmin_lon", "_fmax_lon", "_fedges",
-        "_cx", "_cy", "_cell", "cell", "kind",
-        "min_lat", "min_lon", "max_lat", "max_lon", "edges", "_zedges",
+        "_cx", "_cy", "_cell", "_z_cell", "_z_kind",
+        "_z_min_lat", "_z_min_lon", "_z_max_lat", "_z_max_lon",
+        "_z_edges_src", "_zedges",
     ]
     if rings_col is not None:
         drop.append("vertices")  # the synthetic flatten, not user data

@@ -102,9 +102,11 @@ class ZoneIndex:
         # memoized per session: the records conversion + schema inference
         # costs ~0.5 s of SERIAL driver time per call — pure Amdahl loss
         # that showed up directly in N-vs-4N scaling measurements
+        # keyed by the session OBJECT (identity compare, strong ref) — an
+        # id()-keyed cache could collide after the old session is GC'd and
+        # CPython reuses its id, returning a DataFrame bound to a dead session
         cache = getattr(self, "_cover_df_cache", None)
-        key = id(spark)
-        if cache is not None and cache[0] == key:
+        if cache is not None and cache[0] is spark:
             return cache[1]
         df = spark.createDataFrame(
             self.cover_pdf.to_dict("records"),
@@ -112,7 +114,7 @@ class ZoneIndex:
             "min_lat double, min_lon double, max_lat double, max_lon double, "
             "edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
         )
-        self._cover_df_cache = (key, df)
+        self._cover_df_cache = (spark, df)
         return df
 
 

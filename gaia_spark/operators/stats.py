@@ -158,11 +158,15 @@ def grid_dbscan(
 ) -> DataFrame:
     """ClusterProcess as grid-DBSCAN: dense cells (count ≥ min_pts) are core;
     clusters are connected components of dense cells under rook adjacency,
-    found by iterative min-label propagation (no GraphFrames offline).
-    Returns (cell, cluster_id); join points back on cell for membership.
+    found by min-label propagation WITH pointer doubling (no GraphFrames
+    offline). Returns (cell, cluster_id); join points back on cell.
 
-    Label propagation converges in O(diameter) rounds; localCheckpoint cuts
-    the lineage every round so plans stay flat.
+    Each round is one-hop neighbor-min followed by a pointer jump
+    (label := label's label), so convergence is O(log diameter) rounds —
+    a grid-spanning snake component (diameter ~2·2^res) settles in ~res+1
+    rounds, far inside max_iter. Raises if the loop still exits
+    unconverged rather than silently returning split components.
+    localCheckpoint cuts the lineage every round so plans stay flat.
     """
     from gaia_spark.operators.spatial_join import with_cell
 
@@ -175,6 +179,7 @@ def grid_dbscan(
     )
     adj = cell_rook_weights(dense, res).select("cell", "neighbor")
     labels = dense.select("cell", F.col("cell").alias("label")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         prop = (
             adj.join(labels, "cell")
@@ -182,11 +187,19 @@ def grid_dbscan(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("neighbor", "cell")
         )
+        hop = labels.join(prop, "cell", "left").select(
+            "cell",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: labels are always ids of dense cells, so looking a
+        # label up as a cell is total; label := min(label, label's label)
+        # halves the remaining pointer-chain depth every round
+        parent = hop.select(F.col("cell").alias("_p"), F.col("label").alias("_pl"))
         new = (
-            labels.join(prop, "cell", "left")
+            hop.join(parent, hop["label"] == parent["_p"], "left")
             .select(
                 "cell",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -199,4 +212,8 @@ def grid_dbscan(
         labels = new
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"grid_dbscan: label propagation did not converge in {max_iter} rounds"
+        )
     return labels.withColumnRenamed("label", "cluster_id")

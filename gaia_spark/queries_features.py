@@ -177,6 +177,80 @@ def q_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# touches fixture: parcels DERIVED FROM zone bounds so exact edge/corner
+# contact actually occurs (the generic parcel stream's +0.0003 offsets never
+# touch). mode = p_partkey % 5 against base zone j = p_partkey % 14:
+#   0 → coincident with zone j   (degenerate: intersects, NOT touches)
+#   1 → shares j's right edge    (touches)
+#   2 → sits on j's top edge     (touches)
+#   3 → j shifted by (+3, +7)    (interior overlap, NOT touches)
+#   4 → corner contact at j's NE corner (touches)
+_TOUCH_BOUNDS = """
+  CASE m WHEN 0 THEN zb.min_lat WHEN 1 THEN zb.min_lat + 2 WHEN 2 THEN zb.max_lat
+         WHEN 3 THEN zb.min_lat + 3 ELSE zb.max_lat END AS pmin_lat,
+  CASE m WHEN 0 THEN zb.max_lat WHEN 1 THEN zb.max_lat - 2 WHEN 2 THEN zb.max_lat + 4
+         WHEN 3 THEN zb.max_lat + 3 ELSE zb.max_lat + 3 END AS pmax_lat,
+  CASE m WHEN 0 THEN zb.min_lon WHEN 1 THEN zb.max_lon WHEN 2 THEN zb.min_lon + 1
+         WHEN 3 THEN zb.min_lon + 7 ELSE zb.max_lon END AS pmin_lon,
+  CASE m WHEN 0 THEN zb.max_lon WHEN 1 THEN zb.max_lon + 5 WHEN 2 THEN zb.min_lon + 20
+         WHEN 3 THEN zb.max_lon + 7 ELSE zb.max_lon + 3 END AS pmax_lon
+"""
+
+
+def touch_parcel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaia_spark.queries import oracle_zone_rows
+
+    z = spark.createDataFrame(
+        [(j, a, b, c, d) for j, a, b, c, d, _ in oracle_zone_rows()],
+        "zid long, zmin_lat double, zmin_lon double, zmax_lat double, zmax_lon double",
+    ).withColumnRenamed("zmin_lat", "min_lat").withColumnRenamed("zmin_lon", "min_lon") \
+     .withColumnRenamed("zmax_lat", "max_lat").withColumnRenamed("zmax_lon", "max_lon")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") % 14).alias("zid"),
+        (F.col("p_partkey") % 5).alias("m"),
+    )
+    bounds = _TOUCH_BOUNDS.replace("zb.", "")
+    f = p.join(F.broadcast(z), "zid").selectExpr("p_partkey", "m", *[
+        e.strip() for e in bounds.split(",\n")
+    ])
+    ring = (
+        "array(struct(pmin_lat AS lat, pmin_lon AS lon), struct(pmin_lat AS lat, pmax_lon AS lon), "
+        "struct(pmax_lat AS lat, pmax_lon AS lon), struct(pmax_lat AS lat, pmin_lon AS lon), "
+        "struct(pmin_lat AS lat, pmin_lon AS lon))"
+    )
+    return f.select("p_partkey", F.expr(ring).alias("vertices"))
+
+
+@register(
+    "q_parcel_touches",
+    f"""
+    WITH {ZONES_CTE},
+    zb AS (SELECT p_partkey, p_partkey % 5 AS m, zz.min_lat, zz.min_lon, zz.max_lat, zz.max_lon
+           FROM part JOIN zones zz ON zz.zone_id = p_partkey % 14),
+    parc AS (SELECT p_partkey, {_TOUCH_BOUNDS} FROM zb)
+    SELECT p_partkey, z2.zone_id
+    FROM parc JOIN zones z2
+      ON pmin_lat <= z2.max_lat AND pmax_lat >= z2.min_lat
+     AND pmin_lon <= z2.max_lon AND pmax_lon >= z2.min_lon
+     AND NOT (pmin_lat < z2.max_lat AND pmax_lat > z2.min_lat
+              AND pmin_lon < z2.max_lon AND pmax_lon > z2.min_lon)
+    """,
+)
+def q_parcel_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TouchesProcess poly-poly, including the DEGENERATE cases (coincident
+    and edge-overlapping rectangles must NOT be touches — the collinear-
+    overlap interior witness rejects them). Oracle = rect algebra: closed
+    bbox overlap minus open bbox overlap."""
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    feats = touch_parcel_features(spark, sf_dir)
+    out = feature_spatial_join(
+        feats, _zone_index(), predicate="touches", feature_key="p_partkey"
+    )
+    return out.select("p_partkey", "zone_id")
+
+
 @register(
     "q_crosses",
     f"""

@@ -73,6 +73,28 @@ def test_grid_dbscan_clusters_dense_cities(spark):
     assert again == {(r.cell, r.cluster_id) for r in rows}
 
 
+def test_grid_dbscan_long_snake_converges(spark):
+    """Regression (round-2 advice): a component whose rook diameter exceeds
+    max_iter must still collapse to ONE label — pointer doubling gives
+    O(log d) convergence where one-hop propagation silently returned split
+    labels. Snake of 120 dense cells along one grid row at res=8."""
+    n = 1 << 8
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    rows = []
+    y = 100
+    for x in range(120):
+        lat = (y + 0.5) * cell_h - 90.0
+        lon = (x + 0.5) * cell_w - 180.0
+        for j in range(3):  # min_pts points per cell
+            rows.append((f"p{x}_{j}", lat, lon))
+    pts = spark.createDataFrame(rows, "url string, lat double, lon double")
+    labels = grid_dbscan(pts, res=8, min_pts=3, max_iter=12)
+    got = labels.collect()
+    assert len(got) == 120
+    assert len({r.cluster_id for r in got}) == 1
+    assert {r.cluster_id for r in got} == {min(r.cell for r in got)}
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     """IVF ANN with generous probes must recover most exact top-3 pairs; with
     nprobe = n_lists (probe everything) it must EQUAL the exact result."""
