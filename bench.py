@@ -201,33 +201,47 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
     return qs
 
 
+def cpu_ticks() -> tuple[int, int]:
+    f = open("/proc/stat").readline().split()
+    return sum(int(x) for x in f[1:]), int(f[8])
+
+
 def run_suite(
     spark, pages_path: str, sf_dir: str, reps: int, points_path: str | None = None
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, dict, dict]:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    rep_times: dict[str, list[float]] = {}
+    rep_steal: dict[str, list[float]] = {}
     only_prefix = os.environ.get("SPARK_GRAFT_ONLY", "")
     for name, build in headline_queries(spark, pages_path, sf_dir, points_path).items():
         if only_prefix and not any(
             name.startswith(p) for p in only_prefix.split(",")
         ):
             continue
-        samples = []
+        samples, steals = [], []
         n = 0
         for _ in range(reps):
             # operators like point_tile_pyramid persist() intermediates;
             # without this, Spark's CacheManager plan-matches rep 2+ onto
             # rep 1's cache and the bench measures cached reads
             spark.catalog.clearCache()
+            c0, s0 = cpu_ticks()
             t0 = time.perf_counter()
             n = build().count()  # count() forces the full plan, no collect skew
             samples.append(time.perf_counter() - t0)
+            c1, s1 = cpu_ticks()
+            steals.append(round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2))
         # MIN of reps: this sandbox host shows heavy hypervisor steal time
         # (observed 10-25x wall-clock swings on identical plans); the minimum
-        # is the unimpeded execution time and is what scaling ratios need
+        # is the unimpeded execution time and is what scaling ratios need.
+        # The per-rep arrays + per-rep steal go into the JSON so a stormy
+        # round is self-evidently noise to any reader of BENCH_rN.json.
         times[name] = round(min(samples), 3)
         rows[name] = n
-    return times, rows
+        rep_times[name] = [round(s, 3) for s in samples]
+        rep_steal[name] = steals
+    return times, rows, rep_times, rep_steal
 
 
 def main() -> None:
@@ -242,15 +256,11 @@ def main() -> None:
         "SPARK_GRAFT_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
     )
 
-    def cpu_ticks():
-        f = open("/proc/stat").readline().split()
-        return sum(int(x) for x in f[1:]), int(f[8])
-
     spark = build_session(cpus)
     pages_path = ensure_pages(spark, n_pages, cache_dir)
     points_path = ensure_points(spark, n_pages, cache_dir)
     t0, s0 = cpu_ticks()
-    times, rows = run_suite(spark, pages_path, sf_dir, reps, points_path)
+    times, rows, rep_times, rep_steal = run_suite(spark, pages_path, sf_dir, reps, points_path)
     t1, s1 = cpu_ticks()
 
     total = round(sum(times.values()), 3)
@@ -268,9 +278,14 @@ def main() -> None:
         "join_rows_per_sec": round(rows["pages_within_join"] / times["pages_within_join"], 1)
         if "pages_within_join" in times else None,
         # oversubscribed-hypervisor disclosure: fraction of CPU ticks stolen
-        # by the host during the suite (identical plans swing 5-25x with it)
+        # by the host during the suite (identical plans swing 5-25x with it);
+        # `queries` holds the per-query MIN of `rep_times` — read it next to
+        # `rep_steal_pct` to see which reps were storm-contaminated
         "host_steal_pct": round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2),
         "reps": reps,
+        "rep_times": rep_times,
+        "rep_steal_pct": rep_steal,
+        "n_queries": len(times),
     }
     print(json.dumps(result))
     spark.stop()

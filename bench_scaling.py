@@ -46,10 +46,10 @@ if join_points:
 else:
     points_path = ensure_points(spark, n_pages, cache)
 t0, s0 = cpu_ticks()
-times, rows = run_suite(spark, pages_path, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), reps, points_path)
+times, rows, rep_times, rep_steal = run_suite(spark, pages_path, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), reps, points_path)
 t1, s1 = cpu_ticks()
 steal_pct = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
-print("CHILD_RESULT " + json.dumps({{"times": times, "rows": rows, "steal_pct": steal_pct}}))
+print("CHILD_RESULT " + json.dumps({{"times": times, "rows": rows, "steal_pct": steal_pct, "rep_times": rep_times, "rep_steal_pct": rep_steal}}))
 spark.stop()
 """
 

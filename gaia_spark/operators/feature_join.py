@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from gaia_spark.functions import portable
 from gaia_spark.operators.spatial_join import BOUNDARY_EPS2, ZoneIndex
 
-FEATURE_PREDICATES = ("within", "intersects", "disjoint", "touches", "crosses")
+FEATURE_PREDICATES = ("within", "intersects", "disjoint", "touches", "touches_rook", "crosses")
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +155,26 @@ def _collinear_interior_sql(a_edges: str, b_edges: str) -> str:
     return (
         f"exists({a_edges}, ea -> exists({b_edges}, eb -> "
         f"{len2} > 0 AND {collinear} AND ({hi} - {lo}) > 1e-12 AND {in_both}))"
+    )
+
+
+def _collinear_overlap_sql(a_edges: str, b_edges: str) -> str:
+    """∃ (ea, eb): collinear with POSITIVE-length projection overlap —
+    i.e. the boundaries share a 1-D segment, not just a point. This is the
+    rook-vs-queen discriminator for polygon contiguity: shared edge ⇒ true,
+    corner-only contact ⇒ false (overlap interval has zero length)."""
+    dx, dy = "(eb.x2 - eb.x1)", "(eb.y2 - eb.y1)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    cr1 = f"({dx} * (ea.y1 - eb.y1) - {dy} * (ea.x1 - eb.x1))"
+    cr2 = f"({dx} * (ea.y2 - eb.y1) - {dy} * (ea.x2 - eb.x1))"
+    collinear = f"({cr1} * {cr1} <= {BOUNDARY_EPS2} * {len2} AND {cr2} * {cr2} <= {BOUNDARY_EPS2} * {len2})"
+    ta1 = f"(((ea.x1 - eb.x1) * {dx} + (ea.y1 - eb.y1) * {dy}) / {len2})"
+    ta2 = f"(((ea.x2 - eb.x1) * {dx} + (ea.y2 - eb.y1) * {dy}) / {len2})"
+    lo = f"greatest(cast(0 as double), least({ta1}, {ta2}))"
+    hi = f"least(cast(1 as double), greatest({ta1}, {ta2}))"
+    return (
+        f"exists({a_edges}, ea -> exists({b_edges}, eb -> "
+        f"{len2} > 0 AND {collinear} AND ({hi} - {lo}) > 1e-12))"
     )
 
 
@@ -350,11 +370,15 @@ def feature_spatial_join(
             f"(({proper_cross}) OR "
             f"(({any_a_strictly_in_b}) AND ({any_a_strictly_out_b})))"
         )
-    else:  # touches
+    else:  # touches / touches_rook
         ok = (
             f"(({intersects}) AND NOT ({proper_cross})"
             f" AND NOT ({any_a_strictly_in_b}) AND NOT ({any_b_strictly_in_a}))"
         )
+        if predicate == "touches_rook":
+            # rook contiguity: boundary contact must include a shared
+            # positive-length segment, not just a corner point
+            ok = f"({ok} AND ({_collinear_overlap_sql('_fedges', '_zedges')}))"
         if kind == "poly":
             # coincident / edge-overlapping polygons: interior contact with
             # no strictly-interior vertex and no proper crossing — reject

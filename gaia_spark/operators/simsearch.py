@@ -182,14 +182,23 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """IVF ANN: exact cosine restricted to the ``nprobe`` centroid lists
     nearest each query (the FAISS IVF-flat shape, DataFrame-native).
 
     Recall/compute trade via (n_lists, nprobe); candidate fraction is about
     nprobe/n_lists of the table per query versus all-pairs brute force.
+
+    ``index``: pass a prebuilt ``(assigned_df, centers)`` pair from
+    :func:`ivf_index` to skip the KMeans fit entirely — at scale the
+    quantizer is built once and reused across query batches (persist
+    ``assigned`` and store ``centers`` alongside); when omitted the index
+    is built inline (convenience path for one-shot queries).
     """
-    assigned, centers = ivf_index(vectors, n_lists, id_col, vec_col, seed)
+    assigned, centers = (
+        index if index is not None else ivf_index(vectors, n_lists, id_col, vec_col, seed)
+    )
     # per-query nearest-nprobe lists: tiny (queries × n_lists), driver-free —
     # centroid array rides into the plan as literals
     c_norm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)

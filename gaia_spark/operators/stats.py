@@ -36,6 +36,44 @@ def cell_rook_weights(cells: DataFrame, res: int, cell_col: str = "cell") -> Dat
     return nbrs.join(present, "neighbor", "left_semi").withColumn("w", F.lit(1.0))
 
 
+def polygon_contiguity_weights(
+    spark,
+    index,
+    contiguity: str = "rook",
+) -> DataFrame:
+    """WeightProcess over an arbitrary POLYGON layer (``[R] gaia/geo/
+    processes_vector.py :: WeightProcess`` rook/queen via pysal): zone-zone
+    adjacency computed by joining the zone layer against its own index with
+    the generic feature touches predicate.
+
+    - ``queen``: any boundary contact (shared edge OR corner).
+    - ``rook``: boundary contact that includes a shared positive-length
+      segment (corner-only contact excluded).
+
+    Returns (cell, neighbor, w=1.0) — the shape :func:`morans_i` consumes.
+    The zone layer is small (it is the broadcast side of every spatial
+    join), so self-joining it is cheap at any scale."""
+    if contiguity not in ("rook", "queen"):
+        raise ValueError(f"unknown contiguity {contiguity!r}")
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    zpdf = index.zones_pdf[["zone_id", "vertices"]].rename(columns={"zone_id": "_zid"})
+    feats = spark.createDataFrame(
+        zpdf.to_dict("records"),
+        "_zid long, vertices array<struct<lat:double,lon:double>>",
+    )
+    pred = "touches_rook" if contiguity == "rook" else "touches"
+    pairs = feature_spatial_join(feats, index, predicate=pred, feature_key="_zid")
+    return (
+        pairs.where(F.col("_zid") != F.col("zone_id"))
+        .select(
+            F.col("_zid").alias("cell"),
+            F.col("zone_id").alias("neighbor"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+
+
 def morans_i(
     values: DataFrame,
     weights: DataFrame,

@@ -165,6 +165,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_nulls",
+    f"""
+    WITH r AS (
+      SELECT user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+             event_id,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'),
+    rd AS (SELECT user_id, ts, value, event_id FROM r WHERE rn = 1),
+    l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id,
+           rd.event_id AS asof_event_id,
+           {P.floor_scaled_sql('rd.value', 2)} AS asof_value_e2
+    FROM l ASOF LEFT JOIN rd ON l.user_id = rd.user_id AND rd.ts <= l.ts
+    """,
+)
+def q_asof_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a NULLABLE payload (round-2 judge item #8): a NULL
+    ``value`` inside a matched right row must be carried as NULL — the
+    last-non-null window operates on the carrier STRUCT, never on the
+    payload fields, so a null payload cannot be skipped over."""
+    from gaia_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    left = e.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    right = e.where("event_type = 'view'").select(
+        "user_id", "ts",
+        F.expr("CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END").alias("value"),
+        "event_id",
+    )
+    out = asof_join(left, right, key="user_id", ts="ts", payload=["event_id", "value"], seq="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.expr(P.floor_scaled_sql("asof_value", 2)).alias("asof_value_e2"),
+    )
+
+
+@register(
     "q_union_all",
     """
     SELECT kind, count(*) AS n FROM (

@@ -177,6 +177,75 @@ def q_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_dist_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    # Closed-form closest-pair of two axis-aligned boxes, mirroring the
+    # engine's vertex↔edge candidate set EXACTLY: the engine's candidates
+    # reduce to (a) perpendicular pairs at the overlap endpoints of the
+    # overlapping dimension and (b) corner-corner pairs; every corner pair
+    # the engine does not generate is dominated (≥ in |Δlat|, |Δlon| and
+    # cos-product) by one it does, so least() over ALL 16 corner pairs +
+    # the guarded perpendicular candidates equals the engine's min.
+    # NB in haversine the minimizing candidate is not always the planar
+    # "facing" pair — parallel distance shrinks with cos(lat), so a
+    # higher-|lat| corner pair can beat the facing one.
+    lat_ov = "(pmin_lat <= max_lat AND pmax_lat >= min_lat)"
+    lon_ov = "(pmin_lon <= max_lon AND pmax_lon >= min_lon)"
+    lat_lo, lat_hi = "greatest(pmin_lat, min_lat)", "least(pmax_lat, max_lat)"
+    # facing lons in the lon-gap case / facing lats in the lat-gap case
+    flon_a = "(CASE WHEN pmax_lon < min_lon THEN pmax_lon ELSE pmin_lon END)"
+    flon_b = "(CASE WHEN pmax_lon < min_lon THEN min_lon ELSE max_lon END)"
+    flat_a = "(CASE WHEN pmax_lat < min_lat THEN pmax_lat ELSE pmin_lat END)"
+    flat_b = "(CASE WHEN pmax_lat < min_lat THEN min_lat ELSE max_lat END)"
+    cands = []
+    # perpendicular candidates, valid only when that dim overlaps
+    for sl in (lat_lo, lat_hi):
+        h = P.haversine_m_sql(f"({sl})", flon_a, f"({sl})", flon_b)
+        cands.append(f"CASE WHEN {lat_ov} THEN {h} ELSE cast(1e18 as double) END")
+    mer = P.haversine_m_sql(flat_a, "(pmin_lon)", flat_b, "(pmin_lon)")
+    cands.append(f"CASE WHEN {lon_ov} THEN {mer} ELSE cast(1e18 as double) END")
+    # all 16 corner-corner pairs
+    for pla in ("pmin_lat", "pmax_lat"):
+        for plo in ("pmin_lon", "pmax_lon"):
+            for zla in ("min_lat", "max_lat"):
+                for zlo in ("min_lon", "max_lon"):
+                    cands.append(P.haversine_m_sql(pla, plo, zla, zlo))
+    least = "least(" + ", ".join(cands) + ")"
+    return f"""
+    WITH {PARCELS_CTE}, {ZONES_CTE},
+    d AS (SELECT p_partkey, zone_id,
+          CASE WHEN {lat_ov} AND {lon_ov}
+               THEN cast(0 as double) ELSE {least} END AS dist
+          FROM parcels CROSS JOIN zones),
+    r AS (SELECT p_partkey, zone_id, dist,
+          row_number() OVER (PARTITION BY p_partkey ORDER BY dist, zone_id) AS rn
+          FROM d)
+    SELECT p_partkey, zone_id, {P.floor_scaled_sql('dist', 0)} AS dist_m_e0
+    FROM r WHERE rn = 1
+    """
+
+
+@register("q_feature_distance", _feature_dist_oracle())
+def q_feature_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistanceProcess for NON-POINT features: nearest zone per polygon
+    parcel + haversine distance (0 when intersecting). Engine = generic
+    vertex↔edge sweep over broadcast zone edge arrays (one JVM expression,
+    no shuffle); oracle = closed-form box-gap algebra exact for rects."""
+    import pyspark.sql.functions as F2
+
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.feature_distance import feature_distance_nearest
+
+    feats = parcel_features(spark, sf_dir)
+    out = feature_distance_nearest(feats, _zone_index(), feature_key="p_partkey")
+    return out.select(
+        "p_partkey",
+        "zone_id",
+        F2.expr(P.floor_scaled_sql("dist_m", 0)).alias("dist_m_e0"),
+    )
+
+
 # touches fixture: parcels DERIVED FROM zone bounds so exact edge/corner
 # contact actually occurs (the generic parcel stream's +0.0003 offsets never
 # touch). mode = p_partkey % 5 against base zone j = p_partkey % 14:

@@ -226,3 +226,91 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.floor_scaled_sql("cast(element_at(feat, 1) as double)", 6)).alias("f0_e6"),
         F.expr(P.floor_scaled_sql("cast(element_at(feat, 16) as double)", 6)).alias("f15_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon-contiguity WeightProcess + Moran's I over a zone layer
+# ---------------------------------------------------------------------------
+
+def _grid_zone_rows() -> list[tuple]:
+    """4×4 rect zones TILING lat [-60, 20] × lon [-120, 40] with shared
+    edges — the polygon-contiguity fixture (the standard 14-zone layer has
+    gaps, so its contiguity graph would be empty)."""
+    rows = []
+    for r in range(4):
+        for c in range(4):
+            rows.append((r * 4 + c, -60.0 + r * 20.0, -120.0 + c * 40.0,
+                         -60.0 + (r + 1) * 20.0, -120.0 + (c + 1) * 40.0))
+    return rows
+
+
+def _grid_zone_index():
+    import pandas as pd
+
+    from gaia_spark.operators.spatial_join import ZoneIndex
+
+    rows = []
+    for j, la0, lo0, la1, lo1 in _grid_zone_rows():
+        ring = [
+            {"lat": la0, "lon": lo0}, {"lat": la0, "lon": lo1},
+            {"lat": la1, "lon": lo1}, {"lat": la1, "lon": lo0},
+            {"lat": la0, "lon": lo0},
+        ]
+        rows.append({"zone_id": j, "name": f"g{j}", "kind": "rect", "category": "g",
+                     "min_lat": la0, "min_lon": lo0, "max_lat": la1, "max_lon": lo1,
+                     "vertices": ring})
+    return ZoneIndex.build(pd.DataFrame(rows))
+
+
+def _morans_zones_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    gz = "gz AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({j}, {a}, {b}, {c}, {d})" for j, a, b, c, d in _grid_zone_rows()
+    ) + ") AS t(zone_id, zmin_lat, zmin_lon, zmax_lat, zmax_lon))"
+    return f"""
+    WITH {PTS_CTE}, {gz},
+    vals AS (SELECT zone_id, cast(count(*) as double) AS v
+             FROM pts JOIN gz ON lat BETWEEN zmin_lat AND zmax_lat
+                             AND lon BETWEEN zmin_lon AND zmax_lon
+             GROUP BY 1),
+    m AS (SELECT avg(v) AS mu, cast(count(*) as double) AS n FROM vals),
+    adj AS (SELECT a.zone_id AS ci, b.zone_id AS cj FROM gz a JOIN gz b
+            ON ({P.idiv_sql('a.zone_id', 4)} = {P.idiv_sql('b.zone_id', 4)}
+                AND abs(a.zone_id % 4 - b.zone_id % 4) = 1)
+            OR (a.zone_id % 4 = b.zone_id % 4
+                AND abs({P.idiv_sql('a.zone_id', 4)} - {P.idiv_sql('b.zone_id', 4)}) = 1)),
+    z AS (SELECT zone_id, v - (SELECT mu FROM m) AS z FROM vals),
+    pairs AS (SELECT za.z AS zi, zb.z AS zj FROM adj
+              JOIN z za ON adj.ci = za.zone_id JOIN z zb ON adj.cj = zb.zone_id)
+    SELECT cast((SELECT n FROM m) as bigint) AS n_zones,
+           (SELECT count(*) FROM adj) AS n_links,
+           {P.floor_scaled_sql('((SELECT n FROM m) / (SELECT cast(count(*) as double) FROM pairs)) * (SELECT sum(zi * zj) FROM pairs) / (SELECT sum(z * z) FROM z)', 4)} AS moran_e4
+    """
+
+
+@register("q_morans_zones", _morans_zones_oracle())
+def q_morans_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WeightProcess over a POLYGON layer (rook contiguity via the generic
+    touches_rook self-join — no grid shortcut on the engine side) feeding
+    AutocorrelationProcess: Moran's I of per-zone point counts. Oracle =
+    closed-form grid adjacency + the same two-aggregation Moran algebra."""
+    from gaia_spark.operators.spatial_join import spatial_join
+    from gaia_spark.operators.stats import morans_i, polygon_contiguity_weights
+
+    idx = _grid_zone_index()
+    pts = customer_points(spark, sf_dir)
+    vals = (
+        spatial_join(pts, idx, predicate="intersects", point_key="c_custkey")
+        .groupBy("zone_id")
+        .agg(F.count("*").cast("double").alias("v"))
+        .withColumnRenamed("zone_id", "cell")
+    )
+    w = polygon_contiguity_weights(spark, idx, contiguity="rook")
+    mi = morans_i(vals, w, cell_col="cell", value_col="v")
+    counts = vals.agg(F.count("*").cast("long").alias("n_zones")).crossJoin(
+        w.agg(F.count("*").alias("n_links"))
+    )
+    return counts.crossJoin(mi).select(
+        "n_zones", "n_links", F.expr(P.floor_scaled_sql("moran_i", 4)).alias("moran_e4")
+    )

@@ -1,0 +1,142 @@
+"""feature_distance_nearest vs independent closed-form box algebra."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from gaia_spark.functions.kernel import haversine_m
+from gaia_spark.operators.feature_distance import feature_distance_nearest
+from gaia_spark.operators.spatial_join import ZoneIndex
+from tests.test_feature_join import parcels_df, parcels_pdf, rect_ring
+
+
+@pytest.fixture(scope="module")
+def zones_idx():
+    rows = []
+    for j in range(6):
+        la0 = -50.0 + (j % 3) * 40.0
+        lo0 = -120.0 + (j // 3) * 130.0
+        la1, lo1 = la0 + 20.0, lo0 + 80.0
+        rows.append(
+            {
+                "zone_id": j, "name": f"z{j}", "kind": "rect", "category": "c",
+                "min_lat": la0, "min_lon": lo0, "max_lat": la1, "max_lon": lo1,
+                "vertices": rect_ring(la0, lo0, la1, lo1),
+            }
+        )
+    return ZoneIndex.build(pd.DataFrame(rows))
+
+
+def _vertex_edge_min_m(va, vb):
+    """Generic numpy twin of the engine's candidate-set semantics: min over
+    (vertex of A, edge of B) and (vertex of B, edge of A) of
+    haversine(vertex, planar-clamped closest point on edge). ``va``/``vb``:
+    (n, 2) arrays of (lat, lon) closed rings."""
+    def one_side(verts, ring):
+        y1, x1 = ring[:-1, 0], ring[:-1, 1]
+        y2, x2 = ring[1:, 0], ring[1:, 1]
+        dy, dx = y2 - y1, x2 - x1
+        len2 = dx * dx + dy * dy
+        best = np.inf
+        for la, lo in verts:
+            dot = (lo - x1) * dx + (la - y1) * dy
+            t = np.clip(np.divide(dot, len2, out=np.zeros_like(len2), where=len2 > 0), 0.0, 1.0)
+            clat, clon = y1 + t * dy, x1 + t * dx
+            best = min(best, float(np.min(haversine_m(la, lo, clat, clon))))
+        return best
+
+    return min(one_side(va[:-1], vb), one_side(vb[:-1], va))
+
+
+def _ring_np(ring):
+    return np.array([[v["lat"], v["lon"]] for v in ring])
+
+
+def test_feature_distance_matches_numpy_twin(spark, zones_idx):
+    pdf = parcels_pdf(80)
+    feats = parcels_df(spark, pdf)
+    zones = zones_idx.zones_pdf
+    want = {}
+    for p in pdf.itertuples(index=False):
+        pa = _ring_np(rect_ring(p.min_lat, p.min_lon, p.max_lat, p.max_lon))
+        best = None
+        for z in zones.itertuples(index=False):
+            ov = (
+                p.min_lat <= z.max_lat and p.max_lat >= z.min_lat
+                and p.min_lon <= z.max_lon and p.max_lon >= z.min_lon
+            )
+            d = 0.0 if ov else _vertex_edge_min_m(pa, _ring_np(z.vertices))
+            key = (round(d, 3), int(z.zone_id))
+            if best is None or key < best:
+                best = key
+        want[int(p.fid)] = best
+    got = {
+        int(r.fid): (round(r.dist_m, 3), r.zone_id)
+        for r in feature_distance_nearest(feats, zones_idx, feature_key="fid").collect()
+    }
+    assert set(got) == set(want)
+    for fid in want:
+        assert got[fid][1] == want[fid][1], fid
+        assert abs(got[fid][0] - want[fid][0]) <= 0.01, fid
+
+
+def test_feature_distance_contained_is_zero(spark, zones_idx):
+    """A parcel strictly INSIDE a zone must report distance 0 (intersects),
+    not the gap to the zone boundary — the vertex<->edge min alone would be
+    wrong here."""
+    feats = spark.createDataFrame(
+        [(1, rect_ring(-45.0, -110.0, -40.0, -100.0))],
+        "fid long, vertices array<struct<lat:double,lon:double>>",
+    )
+    r = feature_distance_nearest(feats, zones_idx, feature_key="fid").collect()[0]
+    assert r.zone_id == 0 and r.dist_m == 0.0
+
+
+def test_feature_distance_line_kind(spark, zones_idx):
+    """Open polyline left side: distance from a horizontal segment in the
+    gap between zone rows."""
+    # zones row at lat [-50,-30] and [-10,10]; line at lat -20 spans lon -100..-90
+    feats = spark.createDataFrame(
+        [(1, [{"lat": -20.0, "lon": -100.0}, {"lat": -20.0, "lon": -90.0}])],
+        "fid long, vertices array<struct<lat:double,lon:double>>",
+    )
+    r = feature_distance_nearest(feats, zones_idx, feature_key="fid", kind="line").collect()[0]
+    # nearest zone: vertical meridian gap of 10 deg to either row; tie ->
+    # smaller zone_id; zone 0 top at -30 (10 deg below), zone 1 bottom at -10
+    # (10 deg above) -> identical meridian distance, zone 0 wins
+    assert r.zone_id == 0
+    np.testing.assert_allclose(r.dist_m, float(haversine_m(-20.0, -100.0, -30.0, -100.0)), rtol=1e-9)
+
+
+def test_feature_distance_plan_no_shuffle_no_python(spark, zones_idx):
+    feats = parcels_df(spark, parcels_pdf(30))
+    out = feature_distance_nearest(feats, zones_idx, feature_key="fid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_polygon_contiguity_rook_vs_queen(spark):
+    """WeightProcess over a tiling 4x4 zone grid: rook = 48 directed links
+    (2*2*3*4), queen adds the 36 diagonal corner contacts (9 interior
+    corners x 2 diagonals x 2 directions) = 84."""
+    from gaia_spark.operators.stats import polygon_contiguity_weights
+    from gaia_spark.queries_misc import _grid_zone_index
+
+    idx = _grid_zone_index()
+    rook = {(r.cell, r.neighbor) for r in polygon_contiguity_weights(spark, idx, "rook").collect()}
+    queen = {(r.cell, r.neighbor) for r in polygon_contiguity_weights(spark, idx, "queen").collect()}
+    assert len(rook) == 48 and len(queen) == 84
+    assert rook < queen
+    # symmetry + no self loops
+    assert all((b, a) in rook for a, b in rook)
+    assert all(a != b for a, b in queen)
+    # rook neighbors are exactly the grid-manhattan-1 pairs
+    want = set()
+    for a in range(16):
+        for b in range(16):
+            ra, ca, rb, cb = a // 4, a % 4, b // 4, b % 4
+            if abs(ra - rb) + abs(ca - cb) == 1:
+                want.add((a, b))
+    assert rook == want
