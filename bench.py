@@ -127,6 +127,31 @@ def ensure_parcels_synth(spark, n_parcels: int, cache_dir: str) -> str:
     return path
 
 
+def ensure_ngon_parcels_synth(spark, n_parcels: int, n_vertices: int, cache_dir: str) -> str:
+    """Synthetic LARGE-VERTEX polygon layer (n_vertices-gon rings, JVM
+    sequence/transform generated) — benches the edge-bucket prefilter: the
+    pairwise cross/overlap sweep must stay sub-quadratic in vertex count."""
+    import pyspark.sql.functions as F
+
+    path = os.path.join(cache_dir, f"ngon_{n_vertices}_parcels_{n_parcels}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        parts = min(max(n_parcels // 2_000, 32), 256)
+        base = spark.range(0, n_parcels, numPartitions=parts).select(
+            F.col("id").alias("fid"),
+            F.expr("((id * 7919) % 15000000) / cast(100000 as double) - 75.0").alias("_clat"),
+            F.expr("((id * 104729) % 34000000) / cast(100000 as double) - 170.0").alias("_clon"),
+            F.expr("(30 + (id * 13) % 120) / cast(100 as double)").alias("_r"),
+        )
+        ring = (
+            f"transform(sequence(0, {n_vertices}), i -> struct("
+            f"_clat + _r * cos(2 * pi() * (i % {n_vertices}) / {n_vertices}) AS lat, "
+            f"_clon + _r * sin(2 * pi() * (i % {n_vertices}) / {n_vertices}) AS lon))"
+        )
+        base.select("fid", F.expr(ring).alias("vertices")).write.mode("overwrite").parquet(path)
+    return path
+
+
 def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | None = None):
     """name -> (build_df, rows_metric) — rows_metric counts throughput rows."""
     import pyspark.sql.functions as F
@@ -153,6 +178,13 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         cache_dir = os.path.dirname(pages_path)
         parcels = spark.read.parquet(ensure_parcels_synth(spark, 1_000_000, cache_dir))
         return feature_spatial_join(parcels, idx, "intersects", feature_key="fid")
+
+    def _ngon_join():
+        from gaia_spark.operators.feature_join import feature_spatial_join
+
+        cache_dir = os.path.dirname(pages_path)
+        ngons = spark.read.parquet(ensure_ngon_parcels_synth(spark, 100_000, 512, cache_dir))
+        return feature_spatial_join(ngons, idx, "intersects", feature_key="fid")
 
     qs = {
         # pages/sec metric: geoparse + multi-res encode over the full table.
@@ -190,6 +222,10 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         # non-point feature layer: 1M rect parcels vs 16 zones, generic
         # vertex/edge refine (poly-poly intersects), zero-shuffle plan
         "parcels_intersects_join": lambda: _parcels_join(),
+        # LARGE-VERTEX feature layer: 100k 512-gon polygons — exercises the
+        # bbox-intersection edge clip that keeps the pairwise cross sweep
+        # sub-quadratic in vertex count
+        "ngon512_intersects_join": lambda: _ngon_join(),
         "pages_knn1": lambda: knn_join_broadcast(geoparsed(), site_points_pdf(), k=1),
         # driver-table headliners (same code paths the oracle checks)
         "q_within_join": lambda: REGISTRY["q_within_join"].spark(spark, sf_dir),

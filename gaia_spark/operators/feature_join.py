@@ -112,7 +112,12 @@ def _proper_cross_sql(a_edges: str, b_edges: str) -> str:
     )
 
 
-def _collinear_interior_sql(a_edges: str, b_edges: str) -> str:
+def _collinear_interior_sql(
+    a_edges: str,
+    b_edges: str,
+    a_probe: str | None = None,
+    b_probe: str | None = None,
+) -> str:
     """Interior-contact witness for collinear overlapping edge pairs —
     closes the degenerate poly-poly ``touches`` case (e.g. coincident
     rectangles) where interior overlap is witnessed by neither a strictly
@@ -148,9 +153,12 @@ def _collinear_interior_sql(a_edges: str, b_edges: str) -> str:
         f"array(struct({my} + {py} AS la, {mx} + {px} AS lo), "
         f"struct({my} - {py} AS la, {mx} - {px} AS lo))"
     )
+    # pair ENUMERATION may run over bbox-clipped arrays; the strict-in
+    # probes are global containment tests and must see the FULL edge arrays
+    a_probe, b_probe = a_probe or a_edges, b_probe or b_edges
     in_both = (
-        f"exists({probes}, p -> ({_strictly_in_at(a_edges, 'p.la', 'p.lo')}) "
-        f"AND ({_strictly_in_at(b_edges, 'p.la', 'p.lo')}))"
+        f"exists({probes}, p -> ({_strictly_in_at(a_probe, 'p.la', 'p.lo')}) "
+        f"AND ({_strictly_in_at(b_probe, 'p.la', 'p.lo')}))"
     )
     return (
         f"exists({a_edges}, ea -> exists({b_edges}, eb -> "
@@ -333,11 +341,34 @@ def feature_spatial_join(
     rp_cell = portable.cell_id_sql(
         "greatest(_fmin_lat, _z_min_lat)", "greatest(_fmin_lon, _z_min_lon)", res
     )
+    # edge-bucket prefilter for the O(|A edges|·|B edges|) pairwise terms:
+    # any proper crossing or collinear boundary overlap lies on BOTH
+    # boundaries, hence inside the closed bbox-INTERSECTION rectangle of
+    # the pair — so both edge arrays can be exactly clipped (one O(V) pass)
+    # to edges whose own bbox overlaps that rectangle before the quadratic
+    # sweep. For large-vertex layers (500+ vertices) this turns the cross
+    # check from V_a·V_b into |A∩rect|·|B∩rect|, typically ~O(√V·√V).
+    ix = {
+        "lat0": "greatest(_fmin_lat, _z_min_lat)",
+        "lat1": "least(_fmax_lat, _z_max_lat)",
+        "lon0": "greatest(_fmin_lon, _z_min_lon)",
+        "lon1": "least(_fmax_lon, _z_max_lon)",
+    }
+
+    def _clip(arr: str) -> str:
+        return (
+            f"filter({arr}, ce -> "
+            f"least(ce.y1, ce.y2) <= {ix['lat1']} AND greatest(ce.y1, ce.y2) >= {ix['lat0']} "
+            f"AND least(ce.x1, ce.x2) <= {ix['lon1']} AND greatest(ce.x1, ce.x2) >= {ix['lon0']})"
+        )
+
     cand = (
         covered.join(F.broadcast(zcover), covered["_cell"] == zcover["_z_cell"], "inner")
         .where(bbox_overlap)
         .where(F.expr(f"_cell = {rp_cell}"))
         .withColumn("_zedges", F.expr(_ZONE_EDGES))
+        .withColumn("_fedges_x", F.expr(_clip("_fedges")))
+        .withColumn("_zedges_x", F.expr(_clip("_zedges")))
     )
 
     # --- refinement primitives (feature side A, zone side B) ----------------
@@ -345,7 +376,7 @@ def feature_spatial_join(
     all_a_covered_by_b = f"forall(vertices, v -> {_covered_at('_zedges', 'v.lat', 'v.lon')})"
     any_a_strictly_in_b = f"exists(vertices, v -> {_strictly_in_at('_zedges', 'v.lat', 'v.lon')})"
     any_a_strictly_out_b = f"exists(vertices, v -> NOT {_covered_at('_zedges', 'v.lat', 'v.lon')})"
-    proper_cross = _proper_cross_sql("_fedges", "_zedges")
+    proper_cross = _proper_cross_sql("_fedges_x", "_zedges_x")
     # zone vertices probed against the FEATURE: lines have no interior, so
     # 'covered by A' degrades to 'on A's boundary' for kind='line'
     if kind == "line":
@@ -378,19 +409,19 @@ def feature_spatial_join(
         if predicate == "touches_rook":
             # rook contiguity: boundary contact must include a shared
             # positive-length segment, not just a corner point
-            ok = f"({ok} AND ({_collinear_overlap_sql('_fedges', '_zedges')}))"
+            ok = f"({ok} AND ({_collinear_overlap_sql('_fedges_x', '_zedges_x')}))"
         if kind == "poly":
             # coincident / edge-overlapping polygons: interior contact with
             # no strictly-interior vertex and no proper crossing — reject
             # via the collinear-overlap interior witness
-            ok = f"({ok} AND NOT ({_collinear_interior_sql('_fedges', '_zedges')}))"
+            ok = f"({ok} AND NOT ({_collinear_interior_sql('_fedges_x', '_zedges_x', '_fedges', '_zedges')}))"
 
     matched = cand.where(F.expr(ok))
     drop = [
         "_fmin_lat", "_fmax_lat", "_fmin_lon", "_fmax_lon", "_fedges",
         "_cx", "_cy", "_cell", "_z_cell", "_z_kind",
         "_z_min_lat", "_z_min_lon", "_z_max_lat", "_z_max_lon",
-        "_z_edges_src", "_zedges",
+        "_z_edges_src", "_zedges", "_fedges_x", "_zedges_x",
     ]
     if rings_col is not None:
         drop.append("vertices")  # the synthetic flatten, not user data
