@@ -86,6 +86,42 @@ def _zones_meta_pdf(index: ZoneIndex) -> pd.DataFrame:
     return z[["zone_id", "edges"]]
 
 
+def _zone_dist_sql(kind: str) -> str:
+    """Per-zone distance expression (lambda var ``z`` over the zones array;
+    requires ``vertices`` and ``_fedges`` columns in scope): 0 when the
+    feature intersects the zone, else the vertex↔edge candidate min."""
+    any_fv_covered = f"exists(vertices, v -> {_covered_at('z.edges', 'v.lat', 'v.lon')})"
+    if kind == "line":
+        zv_touch = _on_boundary_at("_fedges", "zv.y1", "zv.x1")
+    else:
+        zv_touch = _covered_at("_fedges", "zv.y1", "zv.x1")
+    any_zv_covered = f"exists(z.edges, zv -> {zv_touch})"
+    cross = _proper_cross_sql("_fedges", "z.edges")
+    intersects = f"(({any_fv_covered}) OR ({any_zv_covered}) OR ({cross}))"
+    d_fv = f"array_min(transform(vertices, v -> {_pt_seg_dist_m_sql('z.edges', 'v.lat', 'v.lon')}))"
+    d_zv = f"array_min(transform(z.edges, zv -> {_pt_seg_dist_m_sql('_fedges', 'zv.y1', 'zv.x1')}))"
+    return f"(CASE WHEN {intersects} THEN cast(0 as double) ELSE least({d_fv}, {d_zv}) END)"
+
+
+def _with_zones_array(features: DataFrame, index: ZoneIndex, vertices_col: str, kind: str) -> DataFrame:
+    if kind not in ("poly", "line"):
+        raise ValueError(f"unknown kind {kind!r}")
+    spark = features.sparkSession
+    zpdf = _zones_meta_pdf(index)
+    zones = spark.createDataFrame(
+        zpdf.to_dict("records"),
+        "zone_id long, edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
+    ).agg(F.collect_list(F.struct("zone_id", "edges")).alias("_zs"))
+    feats = (
+        features.withColumnRenamed(vertices_col, "vertices")
+        if vertices_col != "vertices"
+        else features
+    )
+    feats = feats.where(F.col("vertices").isNotNull() & (F.size("vertices") >= 2))
+    fedges = _edges_sql(_close_ring_sql("vertices")) if kind == "poly" else _edges_sql("vertices")
+    return feats.withColumn("_fedges", F.expr(fedges)).join(F.broadcast(zones))
+
+
 def feature_distance_nearest(
     features: DataFrame,
     index: ZoneIndex,
@@ -97,40 +133,9 @@ def feature_distance_nearest(
 
     Ties broken by (dist_m, zone_id) ascending — deterministic and
     oracle-mirrorable (``ORDER BY dist, zone_id``)."""
-    if kind not in ("poly", "line"):
-        raise ValueError(f"unknown kind {kind!r}")
-    spark = features.sparkSession
-    zpdf = _zones_meta_pdf(index)
-    zones = spark.createDataFrame(
-        zpdf.to_dict("records"),
-        "zone_id long, edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
-    ).agg(F.collect_list(F.struct("zone_id", "edges")).alias("_zs"))
-
-    feats = (
-        features.withColumnRenamed(vertices_col, "vertices")
-        if vertices_col != "vertices"
-        else features
-    )
-    feats = feats.where(F.col("vertices").isNotNull() & (F.size("vertices") >= 2))
-    fedges = _edges_sql(_close_ring_sql("vertices")) if kind == "poly" else _edges_sql("vertices")
-    feats = feats.withColumn("_fedges", F.expr(fedges)).join(F.broadcast(zones))
-
-    # --- per-zone expression pieces (z = zones-array lambda var) -----------
-    any_fv_covered = f"exists(vertices, v -> {_covered_at('z.edges', 'v.lat', 'v.lon')})"
-    if kind == "line":
-        zv_touch = _on_boundary_at("_fedges", "zv.y1", "zv.x1")
-    else:
-        zv_touch = _covered_at("_fedges", "zv.y1", "zv.x1")
-    any_zv_covered = f"exists(z.edges, zv -> {zv_touch})"
-    cross = _proper_cross_sql("_fedges", "z.edges")
-    intersects = f"(({any_fv_covered}) OR ({any_zv_covered}) OR ({cross}))"
-
-    d_fv = f"array_min(transform(vertices, v -> {_pt_seg_dist_m_sql('z.edges', 'v.lat', 'v.lon')}))"
-    d_zv = f"array_min(transform(z.edges, zv -> {_pt_seg_dist_m_sql('_fedges', 'zv.y1', 'zv.x1')}))"
-    dist = f"(CASE WHEN {intersects} THEN cast(0 as double) ELSE least({d_fv}, {d_zv}) END)"
-
+    feats = _with_zones_array(features, index, vertices_col, kind)
     best = (
-        f"array_min(transform(_zs, z -> struct({dist} AS d, z.zone_id AS zid)))"
+        f"array_min(transform(_zs, z -> struct({_zone_dist_sql(kind)} AS d, z.zone_id AS zid)))"
     )
     return (
         feats.withColumn("_best", F.expr(best))
@@ -140,4 +145,32 @@ def feature_distance_nearest(
     )
 
 
-__all__ = ["feature_distance_nearest"]
+def feature_near_join(
+    features: DataFrame,
+    index: ZoneIndex,
+    radius_m: float,
+    feature_key: str = "feature_id",
+    vertices_col: str = "vertices",
+    kind: str = "poly",
+) -> DataFrame:
+    """NearProcess for NON-POINT features: all (feature, zone) pairs with
+    geometry distance ≤ radius_m (0 = intersecting pairs included) — the
+    buffer-as-predicate generalization of knn.near_join to polygon/line
+    left sides. Same broadcast zones-array plan as
+    :func:`feature_distance_nearest`: per feature ONE JVM expression scores
+    every zone, then only the within-radius matches are exploded — no
+    shuffle, no Python."""
+    feats = _with_zones_array(features, index, vertices_col, kind)
+    scored = (
+        f"filter(transform(_zs, z -> struct({_zone_dist_sql(kind)} AS d, z.zone_id AS zid)), "
+        f"s -> s.d <= cast({float(radius_m)!r} as double))"
+    )
+    return (
+        feats.withColumn("_m", F.explode(F.expr(scored)))
+        .withColumn("zone_id", F.col("_m.zid"))
+        .withColumn("dist_m", F.col("_m.d"))
+        .drop("_fedges", "_zs", "_m")
+    )
+
+
+__all__ = ["feature_distance_nearest", "feature_near_join"]

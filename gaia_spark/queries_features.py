@@ -177,7 +177,7 @@ def q_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _feature_dist_oracle() -> str:
+def _box_dist_sql() -> str:
     from gaia_spark.functions import portable as P
 
     # Closed-form closest-pair of two axis-aligned boxes, mirroring the
@@ -212,11 +212,17 @@ def _feature_dist_oracle() -> str:
                 for zlo in ("min_lon", "max_lon"):
                     cands.append(P.haversine_m_sql(pla, plo, zla, zlo))
     least = "least(" + ", ".join(cands) + ")"
+    return (
+        f"CASE WHEN {lat_ov} AND {lon_ov} THEN cast(0 as double) ELSE {least} END"
+    )
+
+
+def _feature_dist_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
     return f"""
     WITH {PARCELS_CTE}, {ZONES_CTE},
-    d AS (SELECT p_partkey, zone_id,
-          CASE WHEN {lat_ov} AND {lon_ov}
-               THEN cast(0 as double) ELSE {least} END AS dist
+    d AS (SELECT p_partkey, zone_id, {_box_dist_sql()} AS dist
           FROM parcels CROSS JOIN zones),
     r AS (SELECT p_partkey, zone_id, dist,
           row_number() OVER (PARTITION BY p_partkey ORDER BY dist, zone_id) AS rn
@@ -347,3 +353,36 @@ def q_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, _zone_index(), predicate="crosses", feature_key="s_suppkey", kind="line"
     )
     return out.select("s_suppkey", "zone_id")
+
+
+def _feature_near_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    return f"""
+    WITH {PARCELS_CTE}, {ZONES_CTE},
+    d AS (SELECT p_partkey, zone_id, {_box_dist_sql()} AS dist
+          FROM parcels CROSS JOIN zones)
+    SELECT p_partkey, zone_id, {P.floor_scaled_sql('dist', 0)} AS dist_m_e0
+    FROM d WHERE dist <= 300000.0
+    """
+
+
+@register("q_feature_near", _feature_near_oracle())
+def q_feature_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearProcess for NON-POINT features (buffer-as-predicate): every
+    (parcel, zone) pair within 300 km geometry distance, intersecting pairs
+    at distance 0. Engine = broadcast zones-array scoring + filtered
+    explode; oracle = the same closed-form box-gap algebra as
+    q_feature_distance with a radius filter."""
+    import pyspark.sql.functions as F2
+
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.feature_distance import feature_near_join
+
+    feats = parcel_features(spark, sf_dir)
+    out = feature_near_join(feats, _zone_index(), radius_m=300_000.0, feature_key="p_partkey")
+    return out.select(
+        "p_partkey",
+        "zone_id",
+        F2.expr(P.floor_scaled_sql("dist_m", 0)).alias("dist_m_e0"),
+    )

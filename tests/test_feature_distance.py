@@ -140,3 +140,37 @@ def test_polygon_contiguity_rook_vs_queen(spark):
             if abs(ra - rb) + abs(ca - cb) == 1:
                 want.add((a, b))
     assert rook == want
+
+
+def test_feature_near_join_matches_nearest_and_radius(spark, zones_idx):
+    """near(r) must contain every nearest pair with dist <= r and only
+    pairs within r; dist values must agree with the nearest op."""
+    from gaia_spark.operators.feature_distance import feature_near_join
+
+    feats = parcels_df(spark, parcels_pdf(60))
+    r = 1_000_000.0
+    near = {(x.fid, x.zone_id): x.dist_m for x in feature_near_join(
+        feats, zones_idx, r, feature_key="fid").collect()}
+    assert all(d <= r for d in near.values())
+    for x in feature_distance_nearest(feats, zones_idx, feature_key="fid").collect():
+        if x.dist_m <= r:
+            assert near[(x.fid, x.zone_id)] == x.dist_m
+
+
+def test_gal_weights_roundtrip(spark, tmp_path):
+    """WeightFileIO parity: .gal write -> read roundtrips the adjacency and
+    feeds morans_i identically to the in-memory weights."""
+    from gaia_spark.operators.stats import polygon_contiguity_weights
+    from gaia_spark.sources.weights import read_gal, write_gal
+    from gaia_spark.queries_misc import _grid_zone_index
+
+    idx = _grid_zone_index()
+    w = polygon_contiguity_weights(spark, idx, "rook")
+    path = str(tmp_path / "grid.gal")
+    write_gal(w, path)
+    w2 = read_gal(spark, path)
+    a = {(r.cell, r.neighbor, r.w) for r in w.collect()}
+    b = {(r.cell, r.neighbor, r.w) for r in w2.collect()}
+    assert a == b
+    # header sanity
+    assert open(path).readline().strip() == "16"
