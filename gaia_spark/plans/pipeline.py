@@ -117,8 +117,47 @@ def _feature(predicate):
     return fn
 
 
-for _pred in ("within", "intersects", "touches", "disjoint", "crosses"):
+for _pred in ("within", "intersects", "touches", "touches_rook", "disjoint", "crosses"):
     OPS[f"feature_{_pred}"] = _feature(_pred)
+
+
+@op("feature_distance")
+def _feature_distance(df: DataFrame, step: dict) -> DataFrame:
+    from gaia_spark.operators.feature_distance import feature_distance_nearest
+    from gaia_spark.operators.spatial_join import ZoneIndex
+
+    idx = ZoneIndex.build(_zones(step.get("zones", "synth16")), step.get("res"))
+    return feature_distance_nearest(
+        df, idx,
+        feature_key=step.get("feature_key", "feature_id"),
+        vertices_col=step.get("vertices_col", "vertices"),
+        kind=step.get("kind", "poly"),
+    )
+
+
+@op("feature_near")
+def _feature_near(df: DataFrame, step: dict) -> DataFrame:
+    from gaia_spark.operators.feature_distance import feature_near_join
+    from gaia_spark.operators.spatial_join import ZoneIndex
+
+    idx = ZoneIndex.build(_zones(step.get("zones", "synth16")), step.get("res"))
+    return feature_near_join(
+        df, idx, float(step["radius_m"]),
+        feature_key=step.get("feature_key", "feature_id"),
+        vertices_col=step.get("vertices_col", "vertices"),
+        kind=step.get("kind", "poly"),
+    )
+
+
+@op("near")
+def _near(df: DataFrame, step: dict) -> DataFrame:
+    import pandas as pd
+
+    from gaia_spark.operators.knn import near_join
+    from gaia_spark.queries import site_points_pdf
+
+    sites = site_points_pdf() if step.get("sites", "sites25") == "sites25" else pd.DataFrame(step["sites"])
+    return near_join(df, sites, float(step["radius_m"]), point_key=step.get("point_key", "url"))
 
 
 @op("buffer")

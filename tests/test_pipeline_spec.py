@@ -111,3 +111,56 @@ def test_pipeline_feature_join_matches_direct(spark, tmp_path):
         ).collect()
     }
     assert via_spec == direct and len(direct) > 0
+
+
+def test_pipeline_feature_distance_and_near(spark, tmp_path):
+    """feature_distance / feature_near / near pipeline ops == direct calls."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.operators.feature_distance import (
+        feature_distance_nearest,
+        feature_near_join,
+    )
+    from gaia_spark.operators.spatial_join import ZoneIndex
+    from gaia_spark.plans.pipeline import build_pipeline
+    from gaia_spark.synth import synth_zones_pdf
+
+    ring = (
+        "array(struct(_a AS lat, _b AS lon), struct(_a AS lat, _d AS lon), "
+        "struct(_c AS lat, _d AS lon), struct(_c AS lat, _b AS lon), "
+        "struct(_a AS lat, _b AS lon))"
+    )
+    feats = (
+        spark.range(1, 400)
+        .select(
+            F.col("id").alias("feature_id"),
+            F.expr("((id * 7919) % 14000) / cast(100 as double) - 70.0").alias("_x"),
+            F.expr("((id * 104729) % 33000) / cast(100 as double) - 165.0").alias("_y"),
+        )
+        .selectExpr("feature_id", "_x - 0.3 AS _a", "_x + 0.3 AS _c", "_y - 0.4 AS _b", "_y + 0.4 AS _d")
+        .select("feature_id", F.expr(ring).alias("vertices"))
+    )
+    path = str(tmp_path / "feats")
+    feats.write.parquet(path)
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+
+    spec_d = {
+        "source": {"kind": "parquet", "path": path},
+        "steps": [{"op": "feature_distance", "zones": "synth16"}],
+    }
+    via = {(r.feature_id, r.zone_id, round(r.dist_m, 6))
+           for r in build_pipeline(spark, spec_d).collect()}
+    direct = {(r.feature_id, r.zone_id, round(r.dist_m, 6))
+              for r in feature_distance_nearest(
+                  spark.read.parquet(path), idx, feature_key="feature_id").collect()}
+    assert via == direct and len(via) > 0
+
+    spec_n = {
+        "source": {"kind": "parquet", "path": path},
+        "steps": [{"op": "feature_near", "zones": "synth16", "radius_m": 500000.0}],
+    }
+    via_n = {(r.feature_id, r.zone_id) for r in build_pipeline(spark, spec_n).collect()}
+    direct_n = {(r.feature_id, r.zone_id)
+                for r in feature_near_join(
+                    spark.read.parquet(path), idx, 500000.0, feature_key="feature_id").collect()}
+    assert via_n == direct_n and len(via_n) > 0
