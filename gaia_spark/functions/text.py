@@ -128,3 +128,49 @@ def _spark_elem(w: str, i: str, j: int) -> str:
 def _duck_elem(w: str, i: str, j: int) -> str:
     e = f"{w}[{i} + {j}]"
     return f"' ' || {e}" if j > 0 else e
+
+
+def tf_idf_top_terms(
+    docs,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k TF-IDF terms per document (vocabulary/term-weighting for a
+    training corpus): tf = term count in doc, idf = ln((N+1)/(df+1)) + 1
+    (smoothed), score = tf·idf; ties broken by term ascending.
+
+    Plan shape: one explode + two hash aggregations (tf per (doc, term),
+    df per term — both map-side combinable) + one broadcast of the tiny
+    (N) scalar + a top-k window partitioned by doc. The df table is
+    vocabulary-sized; at 100 TB it stays a shuffle of term counts, never
+    of documents. Returns (id_col, term, rank, score_e4)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gaia_spark.functions import portable as P
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = words.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n = docs.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.expr("tf * (ln((_n + 1) / (df + 1)) + 1)")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col, "term", F.col("rank").cast("int").alias("rank"),
+            F.expr(P.floor_scaled_sql("score", 4)).alias("score_e4"),
+        )
+    )

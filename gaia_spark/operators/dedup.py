@@ -160,3 +160,41 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard_e4") >= int(threshold * 10_000))
         .select("a", "b", "jaccard_e4")
     )
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 30) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph:
+    (doc_id, cluster_id = min doc id of the component). The step after
+    pair generation in a real dedup pipeline — near-dup is not transitive,
+    so pairs (a,b), (b,c) must collapse into ONE cluster before choosing
+    what to keep. Pointer-doubling min-label propagation
+    (stats.min_label_components), O(log diameter) rounds — at 100 TB the
+    pair graph's components are shallow (dup chains, not paths), so this
+    is 2-3 shuffle rounds in practice."""
+    from gaia_spark.operators.stats import min_label_components
+
+    e = pairs.select(F.col(a_col).alias("doc_id"), F.col(b_col).alias("neighbor"))
+    edges = e.unionByName(
+        pairs.select(F.col(b_col).alias("doc_id"), F.col(a_col).alias("neighbor"))
+    )
+    nodes = edges.select("doc_id").distinct()
+    labels = min_label_components(
+        nodes, edges, node_col="doc_id", nbr_col="neighbor", max_iter=max_iter
+    )
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    a_col: str = "a", b_col: str = "b",
+) -> DataFrame:
+    """Corpus minus duplicates: every doc in a dup cluster except the
+    cluster's min-id representative is dropped (deterministic canonical
+    selection — mirrorable as min() per component in SQL). Docs in no
+    pair are kept untouched; one broadcast-size anti-join against the
+    (small) set of non-canonical ids."""
+    labels = dup_clusters(pairs, a_col, b_col)
+    drop = labels.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -216,34 +216,52 @@ def grid_dbscan(
         .select("cell")
     )
     adj = cell_rook_weights(dense, res).select("cell", "neighbor")
-    labels = dense.select("cell", F.col("cell").alias("label")).localCheckpoint(eager=True)
+    labels = min_label_components(dense, adj, node_col="cell", max_iter=max_iter)
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def min_label_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "cell",
+    nbr_col: str = "neighbor",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer doubling:
+    returns (node_col, label) where label = min node id of the component.
+
+    Each round: one-hop neighbor min, then a pointer jump
+    (label := min(label, label's label)) — the chain depth halves every
+    round, so convergence is O(log diameter) rounds; raises if the loop
+    exits unconverged rather than silently returning split components.
+    ``edges`` must be symmetric (or the propagation only flows one way);
+    labels are always node ids, so the pointer lookup is total.
+    localCheckpoint cuts the iterative lineage each round."""
+    labels = nodes.select(node_col, F.col(node_col).alias("label")).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         prop = (
-            adj.join(labels, "cell")
-            .groupBy("neighbor")
+            edges.join(labels, node_col)
+            .groupBy(nbr_col)
             .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("neighbor", "cell")
+            .withColumnRenamed(nbr_col, node_col)
         )
-        hop = labels.join(prop, "cell", "left").select(
-            "cell",
+        hop = labels.join(prop, node_col, "left").select(
+            node_col,
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
         )
-        # pointer jump: labels are always ids of dense cells, so looking a
-        # label up as a cell is total; label := min(label, label's label)
-        # halves the remaining pointer-chain depth every round
-        parent = hop.select(F.col("cell").alias("_p"), F.col("label").alias("_pl"))
+        parent = hop.select(F.col(node_col).alias("_p"), F.col("label").alias("_pl"))
         new = (
             hop.join(parent, hop["label"] == parent["_p"], "left")
             .select(
-                "cell",
+                node_col,
                 F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
         converged = (
             new.alias("a")
-            .join(labels.alias("b"), "cell")
+            .join(labels.alias("b"), node_col)
             .where(F.col("a.label") != F.col("b.label"))
             .isEmpty()
         )
@@ -252,6 +270,43 @@ def grid_dbscan(
             break
     if not converged:
         raise RuntimeError(
-            f"grid_dbscan: label propagation did not converge in {max_iter} rounds"
+            f"min_label_components: no convergence in {max_iter} rounds"
         )
-    return labels.withColumnRenamed("label", "cluster_id")
+    return labels
+
+
+def local_morans_i(
+    values: DataFrame,
+    weights: DataFrame,
+    cell_col: str = "cell",
+    value_col: str = "v",
+) -> DataFrame:
+    """LOCAL Moran's I (LISA; the per-feature decomposition of
+    AutocorrelationProcess): I_i = (z_i / m2) · Σ_j w_ij z_j with
+    m2 = Σ z² / n. Returns (cell, lag, local_i) for every cell that has at
+    least one weighted neighbor with a value; Σ_i I_i / ΣΣw = global I.
+
+    Same broadcast-friendly shape as :func:`morans_i`: two scalar
+    aggregations + one adjacency join + one grouped sum — no O(n²)."""
+    stats = values.agg(
+        F.avg(value_col).alias("_mean"), F.count("*").cast("double").alias("_n")
+    )
+    z = values.crossJoin(F.broadcast(stats)).select(
+        F.col(cell_col), (F.col(value_col) - F.col("_mean")).alias("z")
+    )
+    m2 = z.agg((F.sum(F.col("z") * F.col("z")) / F.count("*")).alias("_m2"))
+    zj = z.select(F.col(cell_col).alias("neighbor"), F.col("z").alias("z_j"))
+    lag = (
+        weights.join(zj, "neighbor")
+        .groupBy(cell_col)
+        .agg(F.sum(F.col("w") * F.col("z_j")).alias("lag"))
+    )
+    return (
+        z.join(lag, cell_col)
+        .crossJoin(F.broadcast(m2))
+        .select(
+            cell_col,
+            "lag",
+            ((F.col("z") / F.col("_m2")) * F.col("lag")).alias("local_i"),
+        )
+    )

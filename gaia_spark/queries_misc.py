@@ -314,3 +314,46 @@ def q_morans_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(mi).select(
         "n_zones", "n_links", F.expr(P.floor_scaled_sql("moran_i", 4)).alias("moran_e4")
     )
+
+
+def _morans_local_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    return f"""
+    WITH {PTS_CTE},
+    cells AS (SELECT {P.cell_id_sql('lat', 'lon', 5)} AS cell,
+              cast(count(*) as double) AS v FROM pts GROUP BY 1),
+    m AS (SELECT avg(v) AS mu, cast(count(*) as double) AS n FROM cells),
+    z AS (SELECT cell, cell % 32 AS x, {P.idiv_sql('cell', 32)} AS y,
+          v - (SELECT mu FROM m) AS z FROM cells),
+    m2 AS (SELECT sum(z * z) / count(*) AS m2 FROM z),
+    lag AS (SELECT a.cell AS cell, sum(b.z) AS lag FROM z a JOIN z b
+            ON (b.y = a.y AND b.x = (a.x + 1) % 32)
+            OR (b.y = a.y AND b.x = (a.x + 31) % 32)
+            OR (b.x = a.x AND b.y = a.y + 1)
+            OR (b.x = a.x AND b.y = a.y - 1)
+            GROUP BY 1)
+    SELECT z.cell,
+           {P.floor_scaled_sql('lag.lag', 4)} AS lag_e4,
+           {P.floor_scaled_sql('(z.z / (SELECT m2 FROM m2)) * lag.lag', 4)} AS local_i_e4
+    FROM z JOIN lag ON z.cell = lag.cell
+    """
+
+
+@register("q_morans_local", _morans_local_oracle())
+def q_morans_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL Moran's I (LISA) of per-cell point counts under rook
+    contiguity — the per-cell decomposition whose weighted sum is the
+    global q_morans_i statistic."""
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, local_morans_i
+
+    pts = with_cell(customer_points(spark, sf_dir), 5, out="cell")
+    cells = pts.groupBy("cell").agg(F.count("*").cast("double").alias("v"))
+    w = cell_rook_weights(cells, 5)
+    out = local_morans_i(cells, w)
+    return out.select(
+        "cell",
+        F.expr(P.floor_scaled_sql("lag", 4)).alias("lag_e4"),
+        F.expr(P.floor_scaled_sql("local_i", 4)).alias("local_i_e4"),
+    )

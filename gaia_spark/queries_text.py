@@ -179,10 +179,12 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.3)
 
 
-@register(
-    "q_lsh_verified_dups",
-    f"""
-    WITH {_duck_minhash_ctes()},
+def _verified_pairs_ctes() -> str:
+    """CTE chain ending in vp(a, b, jaccard_e4): the MinHash-LSH candidate
+    pairs verified by exact Jaccard >= 0.2 — shared by q_lsh_verified_dups
+    and the dup-cluster / canonical-selection oracles."""
+    jac = P.floor_scaled_sql("n_common / cast(sa.sz + sb.sz - n_common as double)", 4)
+    return f"""{_duck_minhash_ctes()},
     cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
              FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
     w AS (SELECT DISTINCT doc_id, unnest({DUCK_WORDS}) AS w FROM documents),
@@ -190,12 +192,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter AS (SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS n_common
               FROM w wa JOIN w wb USING (w)
               JOIN cand ON cand.a = wa.doc_id AND cand.b = wb.doc_id
-              GROUP BY 1, 2)
-    SELECT a, b,
-           {P.floor_scaled_sql('n_common / cast(sa.sz + sb.sz - n_common as double)', 4)} AS jaccard_e4
-    FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
-    WHERE {P.floor_scaled_sql('n_common / cast(sa.sz + sb.sz - n_common as double)', 4)} >= 2000
-    """,
+              GROUP BY 1, 2),
+    vp AS (SELECT a, b, {jac} AS jaccard_e4
+           FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+           WHERE {jac} >= 2000)"""
+
+
+@register(
+    "q_lsh_verified_dups",
+    "WITH " + _verified_pairs_ctes() + " SELECT a, b, jaccard_e4 FROM vp",
 )
 def q_lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE scalable near-dup pipeline, end-to-end: MinHash-LSH candidate
@@ -305,3 +310,86 @@ def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(emb, n_planes=6).groupBy("bucket").agg(
         F.count("*").alias("n_vecs"), F.min("vec_id").cast("long").alias("min_vec")
     )
+
+
+@register(
+    "q_dedup_clusters",
+    "WITH RECURSIVE " + _verified_pairs_ctes() + """,
+    e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+    nds AS (SELECT DISTINCT a AS id FROM e),
+    reach(s, t) AS (
+      SELECT id, id FROM nds
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a
+    )
+    SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-pair CONNECTED COMPONENTS (near-dup is not transitive — pairs
+    (a,b),(b,c) must collapse into one cluster before canonical
+    selection): pointer-doubling min-label propagation over the verified
+    LSH pair graph; oracle = recursive reachability closure + min."""
+    from gaia_spark.operators.dedup import dup_clusters, minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2, scope=minhash_lsh_pairs(d))
+    return dup_clusters(pairs)
+
+
+@register(
+    "q_dedup_canonical",
+    "WITH RECURSIVE " + _verified_pairs_ctes() + """,
+    e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+    nds AS (SELECT DISTINCT a AS id FROM e),
+    reach(s, t) AS (
+      SELECT id, id FROM nds
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a
+    ),
+    lab AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+    dropd AS (SELECT doc_id FROM lab WHERE doc_id != cluster_id)
+    SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+    GROUP BY lang
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the corpus minus every non-canonical
+    dup-cluster member (min doc id survives) — the actual training-corpus
+    dedup output, aggregated per lang for the hash check."""
+    from gaia_spark.operators.dedup import dedup_keep_canonical, minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2, scope=minhash_lsh_pairs(d))
+    kept = dedup_keep_canonical(d, pairs)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept")
+    )
+
+
+@register(
+    "q_tfidf_top3",
+    f"""
+    WITH words AS (SELECT doc_id, unnest({DUCK_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1),
+    n AS (SELECT cast(count(*) as double) AS n FROM documents),
+    scored AS (SELECT doc_id, term,
+               tf * (ln(((SELECT n FROM n) + 1) / (df + 1)) + 1) AS score
+               FROM tf JOIN dfreq USING (term)),
+    r AS (SELECT doc_id, term, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM scored)
+    SELECT doc_id, term, cast(rank as int) AS rank,
+           {P.floor_scaled_sql('score', 4)} AS score_e4
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting (smoothed idf), top-3 terms per document —
+    explode + two combinable aggregations + broadcast N + top-k window;
+    the df table is vocabulary-sized, documents are never reshuffled."""
+    from gaia_spark.functions.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)

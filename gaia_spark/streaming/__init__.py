@@ -3,6 +3,7 @@ from gaia_spark.streaming.ingest import (
     stream_cell_counts,
     stream_dedup_urls,
     stream_session_windows,
+    stream_stream_join,
     stream_to_icelite,
     write_stream_batch,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "stream_cell_counts",
     "stream_dedup_urls",
     "stream_session_windows",
+    "stream_stream_join",
     "stream_to_icelite",
     "write_stream_batch",
 ]

@@ -99,3 +99,33 @@ def stream_to_icelite(df: DataFrame, table_path: str, checkpoint: str, trigger_o
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    pages: DataFrame,
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join: each page row matched with event rows for
+    the same url whose event time falls within ``[page_ts, page_ts +
+    within]`` (the crawl→click attribution shape). Both sides carry
+    watermarks and the join condition bounds event_ts relative to
+    page_ts on both ends, so Spark can expire buffered state — an
+    unbounded stream-stream join would grow state forever.
+
+    ``events`` schema: (url string, event_ts timestamp, kind string).
+    """
+    p = pages.select("url", "warc_ts").withWatermark("warc_ts", watermark)
+    e = (
+        events.select(F.col("url").alias("e_url"), "event_ts", "kind")
+        .withWatermark("event_ts", watermark)
+    )
+    return p.join(
+        e,
+        F.expr(
+            f"url = e_url AND event_ts >= warc_ts "
+            f"AND event_ts <= warc_ts + interval {within}"
+        ),
+        "inner",
+    ).select("url", "warc_ts", "event_ts", "kind")

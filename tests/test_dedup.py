@@ -173,3 +173,22 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark):
     }
     assert lsh <= exact
     assert len(lsh) > 0 and len(exact) > 0
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """Pairs (1,2),(2,3),(7,8) with a long chain: clusters must collapse
+    transitively to the min id, and canonical selection keeps exactly one
+    doc per cluster plus all unpaired docs."""
+    from gaia_spark.operators.dedup import dedup_keep_canonical, dup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 40)]  # one 40-node path
+    pairs = spark.createDataFrame(chain + [(100, 101)], "a long, b long")
+    labels = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert all(labels[i] == 1 for i in range(1, 41))
+    assert labels[100] == labels[101] == 100
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in list(range(1, 41)) + [100, 101, 500]],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert kept == {1, 100, 500}

@@ -174,3 +174,26 @@ def test_gal_weights_roundtrip(spark, tmp_path):
     assert a == b
     # header sanity
     assert open(path).readline().strip() == "16"
+
+
+def test_local_morans_sums_to_global(spark):
+    """LISA identity: sum_i I_i = global Moran's I x total weight (binary
+    unstandardized weights)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, local_morans_i, morans_i
+    from gaia_spark.synth import synth_pages
+
+    pts = with_cell(
+        geoparse(synth_pages(spark, 500, partitions=2)).where(F.col("lat").isNotNull()),
+        5, out="cell",
+    )
+    cells = pts.groupBy("cell").agg(F.count("*").cast("double").alias("v"))
+    w = cell_rook_weights(cells, 5)
+    gi = morans_i(cells, w).collect()[0].moran_i
+    sw = w.count()
+    li = local_morans_i(cells, w).agg(F.sum("local_i")).collect()[0][0]
+    np.testing.assert_allclose(li, gi * sw, rtol=1e-9)

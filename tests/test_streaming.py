@@ -87,3 +87,46 @@ def test_stream_session_windows(spark, tmp_path):
         for r in spark.sql("select * from sessions").collect()
     }
     assert got == {("a.example", 2), ("a.example", 1), ("b.example", 1)}
+
+
+def test_stream_stream_join_within_bound(spark, tmp_path):
+    """Stream-stream inner join with two watermarked file streams: pages
+    matched to events on url within [page_ts, page_ts + 1 hour]; result
+    equals the equivalent batch join (bounded-state attribution shape)."""
+    from gaia_spark.streaming import stream_stream_join
+
+    psrc = str(tmp_path / "pages_src")
+    esrc = str(tmp_path / "events_src")
+    pages = synth_pages(spark, 120, partitions=1)
+    pages.write.mode("append").parquet(psrc)
+    # events derived from pages: one inside the bound (+10 min), one outside
+    # (+3 h), plus one for an unseen url
+    ev = pages.select(
+        "url", F.expr("warc_ts + interval 10 minutes").alias("event_ts"),
+        F.lit("click").alias("kind"),
+    ).unionByName(
+        pages.select(
+            "url", F.expr("warc_ts + interval 3 hours").alias("event_ts"),
+            F.lit("late").alias("kind"),
+        )
+    ).unionByName(
+        spark.createDataFrame(
+            [("https://nowhere.example/x", None, "orphan")],
+            "url string, event_ts timestamp, kind string",
+        ).withColumn("event_ts", F.expr("timestamp'2025-06-01 00:00:00'"))
+    )
+    ev.write.mode("append").parquet(esrc)
+
+    from gaia_spark.synth import PAGES_SCHEMA
+
+    p_stream = spark.readStream.schema(PAGES_SCHEMA).parquet(psrc)
+    e_stream = spark.readStream.schema("url string, event_ts timestamp, kind string").parquet(esrc)
+    joined = stream_stream_join(p_stream, e_stream, within="1 hour")
+    q = (
+        joined.writeStream.format("memory").queryName("ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r.url, r.kind) for r in spark.sql("select * from ssjoin").collect()}
+    want = {(r.url, "click") for r in pages.select("url").collect()}
+    assert got == want  # only the within-bound events join; no late/orphan
