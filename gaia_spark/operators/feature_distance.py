@@ -33,7 +33,9 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+
+from gaia_spark.functions import portable
 
 from gaia_spark.operators.feature_join import (
     _close_ring_sql,
@@ -86,20 +88,22 @@ def _zones_meta_pdf(index: ZoneIndex) -> pd.DataFrame:
     return z[["zone_id", "edges"]]
 
 
-def _zone_dist_sql(kind: str) -> str:
-    """Per-zone distance expression (lambda var ``z`` over the zones array;
-    requires ``vertices`` and ``_fedges`` columns in scope): 0 when the
-    feature intersects the zone, else the vertex↔edge candidate min."""
-    any_fv_covered = f"exists(vertices, v -> {_covered_at('z.edges', 'v.lat', 'v.lon')})"
+def _zone_dist_sql(kind: str, zedges: str = "z.edges") -> str:
+    """Geometry-distance expression for one (feature, zone) pair: 0 when
+    the feature intersects the zone, else the vertex↔edge candidate min.
+    Requires ``vertices`` and ``_fedges`` columns in scope; ``zedges`` is
+    the zone edge-array expression (a lambda var field in the broadcast
+    zones-array plan, a plain column in the distributed cell-ring plan)."""
+    any_fv_covered = f"exists(vertices, v -> {_covered_at(zedges, 'v.lat', 'v.lon')})"
     if kind == "line":
         zv_touch = _on_boundary_at("_fedges", "zv.y1", "zv.x1")
     else:
         zv_touch = _covered_at("_fedges", "zv.y1", "zv.x1")
-    any_zv_covered = f"exists(z.edges, zv -> {zv_touch})"
-    cross = _proper_cross_sql("_fedges", "z.edges")
+    any_zv_covered = f"exists({zedges}, zv -> {zv_touch})"
+    cross = _proper_cross_sql("_fedges", zedges)
     intersects = f"(({any_fv_covered}) OR ({any_zv_covered}) OR ({cross}))"
-    d_fv = f"array_min(transform(vertices, v -> {_pt_seg_dist_m_sql('z.edges', 'v.lat', 'v.lon')}))"
-    d_zv = f"array_min(transform(z.edges, zv -> {_pt_seg_dist_m_sql('_fedges', 'zv.y1', 'zv.x1')}))"
+    d_fv = f"array_min(transform(vertices, v -> {_pt_seg_dist_m_sql(zedges, 'v.lat', 'v.lon')}))"
+    d_zv = f"array_min(transform({zedges}, zv -> {_pt_seg_dist_m_sql('_fedges', 'zv.y1', 'zv.x1')}))"
     return f"(CASE WHEN {intersects} THEN cast(0 as double) ELSE least({d_fv}, {d_zv}) END)"
 
 
@@ -174,3 +178,154 @@ def feature_near_join(
 
 
 __all__ = ["feature_distance_nearest", "feature_near_join"]
+
+
+def feature_distance_nearest_cells(
+    features: DataFrame,
+    zones: DataFrame,
+    res: int = 6,
+    feature_key: str = "feature_id",
+    vertices_col: str = "vertices",
+    kind: str = "poly",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Distributed nearest-zone per feature for zone layers TOO LARGE TO
+    BROADCAST: iterative cell-ring expansion (the knn.knn_join_cells
+    pattern generalized to geometry-to-geometry distance). Both sides stay
+    DataFrames end to end.
+
+    ``zones``: (zone_id long, edges array<struct<y1,x1,y2,x2>>).
+
+    Round ρ anchors each still-unsettled feature at its bbox-center cell,
+    explodes the 8ρ hollow-ring offsets (tiny literal array — the only
+    driver-built object), joins the zone bbox-cell cover on cell, and
+    keeps a running best (dist, zone_id) per feature. A feature settles
+    when its best distance beats the conservative bound
+    ``ring_lower_bound(ρ+1) − feature_bbox_half_diagonal``: any unseen
+    zone's nearest point lies in an unexplored cell, i.e. at least that
+    far from the feature. The bounded final round compares the (small)
+    unsettled remainder against every zone directly.
+
+    Returns (feature_key, zone_id, dist_m); ties by (dist, zone_id) asc.
+    """
+    n = 1 << res
+    spark = features.sparkSession
+
+    # zone side: bbox from edges -> cell-range cover (distributed explode)
+    ze = zones.select(
+        F.col("zone_id").alias("_zid"),
+        F.col("edges").alias("_zed"),
+        F.expr("array_min(transform(edges, e -> least(e.y1, e.y2)))").alias("_zmin_lat"),
+        F.expr("array_max(transform(edges, e -> greatest(e.y1, e.y2)))").alias("_zmax_lat"),
+        F.expr("array_min(transform(edges, e -> least(e.x1, e.x2)))").alias("_zmin_lon"),
+        F.expr("array_max(transform(edges, e -> greatest(e.x1, e.x2)))").alias("_zmax_lon"),
+    )
+    zx0, zx1 = portable.cell_x_sql("_zmin_lon", res), portable.cell_x_sql("_zmax_lon", res)
+    zy0, zy1 = portable.cell_y_sql("_zmax_lat", res), portable.cell_y_sql("_zmin_lat", res)
+    zcover = (
+        ze.withColumn("_zx", F.explode(F.expr(f"sequence({zx0}, {zx1})")))
+        .withColumn("_zy", F.explode(F.expr(f"sequence({zy0}, {zy1})")))
+        .select("_zid", "_zed", (F.col("_zy") * n + F.col("_zx")).alias("_zcell"))
+        .persist()
+    )
+
+    feats = (
+        features.withColumnRenamed(vertices_col, "vertices")
+        if vertices_col != "vertices"
+        else features
+    )
+    feats = feats.where(F.col("vertices").isNotNull() & (F.size("vertices") >= 2))
+    fedges = _edges_sql(_close_ring_sql("vertices")) if kind == "poly" else _edges_sql("vertices")
+    fmin_lat = "array_min(transform(vertices, v -> v.lat))"
+    fmax_lat = "array_max(transform(vertices, v -> v.lat))"
+    fmin_lon = "array_min(transform(vertices, v -> v.lon))"
+    fmax_lon = "array_max(transform(vertices, v -> v.lon))"
+    half_diag = portable.haversine_m_sql(
+        f"({fmin_lat})", f"({fmin_lon})", f"({fmax_lat})", f"({fmax_lon})"
+    )
+    anchor_lat = f"(({fmin_lat}) + ({fmax_lat})) / 2"
+    anchor_lon = f"(({fmin_lon}) + ({fmax_lon})) / 2"
+    pend = feats.select(
+        F.col(feature_key).alias("_fk"),
+        "vertices",
+        F.expr(fedges).alias("_fedges"),
+        F.expr(f"({half_diag}) / 2").alias("_hd"),
+        F.expr(f"({anchor_lat})").alias("_alat"),
+        F.expr(portable.cell_id_sql(f"({anchor_lat})", f"({anchor_lon})", res)).alias("_acell"),
+    )
+
+    from gaia_spark.operators.knn import _ring_offsets
+
+    dist = F.expr(_zone_dist_sql(kind, zedges="_zed"))
+    best: DataFrame | None = None
+
+    def _merge(acc: DataFrame | None, cand: DataFrame) -> DataFrame:
+        merged = cand if acc is None else acc.unionByName(cand)
+        return (
+            merged.dropDuplicates(["_fk", "_zid"])
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("_fk").orderBy(F.asc("_d"), F.asc("_zid"))
+                ),
+            )
+            .where(F.col("_rn") <= 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+
+    for rho in range(max_rounds + 1):
+        last = rho == max_rounds
+        if last:
+            cand = pend.crossJoin(zcover.select("_zid", "_zed").dropDuplicates(["_zid"]))
+        else:
+            offs = F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in _ring_offsets(rho)
+                ]
+            )
+            cover = (
+                pend.withColumn("_o", F.explode(offs))
+                .select(
+                    "_fk", "vertices", "_fedges", "_hd", "_alat",
+                    (F.expr(portable.idiv_sql("_acell", n)) + F.col("_o.dy")).alias("_y"),
+                    F.pmod(F.col("_acell") % n + F.col("_o.dx"), F.lit(n)).alias("_x"),
+                )
+                .where((F.col("_y") >= 0) & (F.col("_y") < n))
+                .select("_fk", "vertices", "_fedges", "_hd", "_alat",
+                        (F.col("_y") * n + F.col("_x")).alias("_cell"))
+            )
+            cand = cover.join(zcover, cover["_cell"] == zcover["_zcell"], "inner")
+        cand = cand.withColumn("_d", dist).select("_fk", "_zid", "_d")
+        best = _merge(best, cand) if not cand.isEmpty() else best
+        if last:
+            break
+        # settle: best dist beats the conservative next-ring lower bound
+        cell_h_deg = 180.0 / n
+        vert = F.lit(rho * cell_h_deg * 110_000.0)
+        max_abs_lat = F.least(F.lit(90.0), F.abs(F.col("_alat")) + F.lit((rho + 2) * cell_h_deg))
+        horiz = (
+            F.lit(rho * (360.0 / n) * 111_320.0)
+            * F.greatest(F.lit(0.0), F.cos(F.radians(max_abs_lat)))
+        )
+        if best is None:
+            continue
+        settled = (
+            pend.select("_fk", "_alat", "_hd")
+            .join(best.select(F.col("_fk").alias("_bfk"), "_d"),
+                  F.col("_fk") == F.col("_bfk"), "inner")
+            .where(F.col("_d") < F.least(vert, horiz) - F.col("_hd"))
+            .select("_fk")
+        )
+        pend = pend.join(settled, "_fk", "left_anti").localCheckpoint(eager=True)
+        if pend.isEmpty():
+            break
+
+    zcover.unpersist()
+    assert best is not None
+    return best.select(
+        F.col("_fk").alias(feature_key),
+        F.col("_zid").alias("zone_id"),
+        F.col("_d").alias("dist_m"),
+    )

@@ -430,3 +430,49 @@ def feature_spatial_join(
     hits = matched.select(feature_key).distinct()
     join_type = "left_semi" if how == "semi" else "left_anti"
     return features.join(hits, feature_key, join_type)
+
+
+def canonical_ring_sql(vertices: str) -> str:
+    """Canonical form of a polygon ring: the lexicographic minimum over all
+    rotations of the OPEN ring and of its reverse — invariant to starting
+    vertex and orientation, so two rings describe the same simple polygon
+    iff their canonical forms are equal. Pure Catalyst (sequence/slice/
+    concat/array_min over nested arrays); O(V²) per feature, fine for the
+    ≤ dozens-of-vertices layers equality joins run on."""
+    opened = (
+        f"(CASE WHEN size({vertices}) >= 2 "
+        f"AND element_at({vertices}, 1) = element_at({vertices}, -1) "
+        f"THEN slice({vertices}, 1, size({vertices}) - 1) ELSE {vertices} END)"
+    )
+
+    def rots(arr: str) -> str:
+        return (
+            f"transform(sequence(0, size({arr}) - 1), i -> "
+            f"concat(slice({arr}, i + 1, size({arr}) - i), slice({arr}, 1, i)))"
+        )
+
+    return (
+        f"array_min(concat({rots(opened)}, {rots(f'reverse({opened})')}))"
+    )
+
+
+def feature_equals_join(
+    features_a: DataFrame,
+    features_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    vertices_a: str = "vertices",
+    vertices_b: str = "vertices",
+) -> DataFrame:
+    """EqualsProcess for POLYGON features: (key_a, key_b) pairs whose rings
+    describe the same simple polygon (equality up to starting vertex,
+    orientation, and explicit ring closure). A plain equi-join on the
+    canonical ring key — Catalyst picks broadcast or shuffle hash; both
+    sides can be web-scale (no geometry pairwise work at all)."""
+    a = features_a.select(
+        F.col(key_a), F.expr(canonical_ring_sql(vertices_a)).alias("_ck")
+    )
+    b = features_b.select(
+        F.col(key_b).alias("_bk"), F.expr(canonical_ring_sql(vertices_b)).alias("_ck")
+    )
+    return a.join(b, "_ck").select(key_a, F.col("_bk").alias(key_b))

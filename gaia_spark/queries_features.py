@@ -386,3 +386,56 @@ def q_feature_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zone_id",
         F2.expr(P.floor_scaled_sql("dist_m", 0)).alias("dist_m_e0"),
     )
+
+
+@register(
+    "q_parcel_equals",
+    """
+    SELECT p_partkey, p_partkey % 14 AS zone_id
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+)
+def q_parcel_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualsProcess for POLYGON features: the touch fixture's mode-0
+    parcels coincide exactly with their base zone; the engine finds them
+    by canonical-ring equi-join (rotation/orientation/closure invariant,
+    no pairwise geometry), the oracle by the fixture's closed form."""
+    from gaia_spark.operators.feature_join import feature_equals_join
+    from gaia_spark.queries import oracle_zones_pdf
+
+    feats = touch_parcel_features(spark, sf_dir)
+    zpdf = oracle_zones_pdf()[["zone_id", "vertices"]]
+    zones = spark.createDataFrame(
+        zpdf.to_dict("records"),
+        "zone_id long, vertices array<struct<lat:double,lon:double>>",
+    )
+    return feature_equals_join(
+        feats, zones, key_a="p_partkey", key_b="zone_id"
+    )
+
+
+@register("q_feature_distance_cells", _feature_dist_oracle())
+def q_feature_distance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED nearest-zone path (iterative cell-ring expansion,
+    zones never broadcast — the shape for zone layers too large for one
+    executor) against the SAME closed-form oracle as q_feature_distance:
+    both physical strategies must produce identical results."""
+    import pyspark.sql.functions as F2
+
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.feature_distance import (
+        _zones_meta_pdf,
+        feature_distance_nearest_cells,
+    )
+
+    feats = parcel_features(spark, sf_dir)
+    zones = spark.createDataFrame(
+        _zones_meta_pdf(_zone_index()).to_dict("records"),
+        "zone_id long, edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
+    )
+    out = feature_distance_nearest_cells(feats, zones, res=5, feature_key="p_partkey")
+    return out.select(
+        "p_partkey",
+        "zone_id",
+        F2.expr(P.floor_scaled_sql("dist_m", 0)).alias("dist_m_e0"),
+    )

@@ -197,3 +197,30 @@ def test_local_morans_sums_to_global(spark):
     sw = w.count()
     li = local_morans_i(cells, w).agg(F.sum("local_i")).collect()[0][0]
     np.testing.assert_allclose(li, gi * sw, rtol=1e-9)
+
+
+def test_feature_distance_cells_matches_broadcast(spark, zones_idx):
+    """Distributed cell-ring nearest-zone == the broadcast zones-array
+    result (both sides DataFrames; zones never broadcast)."""
+    from gaia_spark.operators.feature_distance import (
+        _zones_meta_pdf,
+        feature_distance_nearest,
+        feature_distance_nearest_cells,
+    )
+
+    feats = parcels_df(spark, parcels_pdf(70))
+    zones = spark.createDataFrame(
+        _zones_meta_pdf(zones_idx).to_dict("records"),
+        "zone_id long, edges array<struct<y1:double,x1:double,y2:double,x2:double>>",
+    )
+    want = {
+        (r.fid, r.zone_id, round(r.dist_m, 6))
+        for r in feature_distance_nearest(feats, zones_idx, feature_key="fid").collect()
+    }
+    got = {
+        (r.fid, r.zone_id, round(r.dist_m, 6))
+        for r in feature_distance_nearest_cells(
+            feats, zones, res=5, feature_key="fid", max_rounds=6
+        ).collect()
+    }
+    assert got == want and len(got) == 70

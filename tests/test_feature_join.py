@@ -432,3 +432,25 @@ def test_predicate_algebra_consistency_mixed_zones(spark):
     }
     assert anti == set(pdf["fid"]) - {f for f, _ in inter}
     assert len(inter) > 10  # fixture actually exercises the predicates
+
+
+def test_feature_equals_canonical_invariance(spark):
+    """Canonical-ring equality must be invariant to rotation, orientation,
+    and explicit closure — and reject a genuinely different ring on the
+    same vertex set region."""
+    from gaia_spark.operators.feature_join import feature_equals_join
+
+    base = rect_ring(0.0, 0.0, 10.0, 20.0)           # closed
+    opened = base[:-1]                                # unclosed
+    rotated = opened[2:] + opened[:2]                 # different start
+    reversed_ = list(reversed(opened))                # opposite orientation
+    other = rect_ring(0.0, 0.0, 10.0, 21.0)[:-1]     # different geometry
+    a = spark.createDataFrame(
+        [(1, opened), (2, rotated), (3, reversed_), (4, other)],
+        "fid long, vertices array<struct<lat:double,lon:double>>",
+    )
+    b = spark.createDataFrame(
+        [(10, base)], "bid long, vertices array<struct<lat:double,lon:double>>"
+    )
+    got = {(r.fid, r.bid) for r in feature_equals_join(a, b, "fid", "bid").collect()}
+    assert got == {(1, 10), (2, 10), (3, 10)}
