@@ -329,3 +329,32 @@ def feature_distance_nearest_cells(
         F.col("_zid").alias("zone_id"),
         F.col("_d").alias("dist_m"),
     )
+
+
+def feature_knn_join(
+    features: DataFrame,
+    index: ZoneIndex,
+    k: int = 3,
+    feature_key: str = "feature_id",
+    vertices_col: str = "vertices",
+    kind: str = "poly",
+) -> DataFrame:
+    """Top-k nearest zones per polygon/line feature (kNN generalization of
+    :func:`feature_distance_nearest`): one JVM ``array_sort`` over the
+    scored zones array, then a slice/posexplode — still no shuffle, no
+    Python. Ties by (dist, zone_id) asc. Returns
+    (feature cols, zone_id, dist_m, rank)."""
+    feats = _with_zones_array(features, index, vertices_col, kind)
+    topk = (
+        f"slice(array_sort(transform(_zs, z -> "
+        f"struct({_zone_dist_sql(kind)} AS d, z.zone_id AS zid))), 1, {int(k)})"
+    )
+    return (
+        feats.select(
+            "*", F.posexplode(F.expr(topk)).alias("_pos", "_m")
+        )
+        .withColumn("zone_id", F.col("_m.zid"))
+        .withColumn("dist_m", F.col("_m.d"))
+        .withColumn("rank", (F.col("_pos") + 1).cast("int"))
+        .drop("_fedges", "_zs", "_m", "_pos")
+    )

@@ -193,16 +193,19 @@ def _box_dist_sql() -> str:
     lat_ov = "(pmin_lat <= max_lat AND pmax_lat >= min_lat)"
     lon_ov = "(pmin_lon <= max_lon AND pmax_lon >= min_lon)"
     lat_lo, lat_hi = "greatest(pmin_lat, min_lat)", "least(pmax_lat, max_lat)"
-    # facing lons in the lon-gap case / facing lats in the lat-gap case
-    flon_a = "(CASE WHEN pmax_lon < min_lon THEN pmax_lon ELSE pmin_lon END)"
-    flon_b = "(CASE WHEN pmax_lon < min_lon THEN min_lon ELSE max_lon END)"
+    # facing lats in the lat-gap case (latitude does not wrap)
     flat_a = "(CASE WHEN pmax_lat < min_lat THEN pmax_lat ELSE pmin_lat END)"
     flat_b = "(CASE WHEN pmax_lat < min_lat THEN min_lat ELSE max_lat END)"
     cands = []
-    # perpendicular candidates, valid only when that dim overlaps
+    # perpendicular (parallel) candidates at BOTH lat-overlap endpoints ×
+    # BOTH facing-lon pairings: haversine wraps Δlon, so the short way may
+    # cross the ANTIMERIDIAN — the through-zero "facing" pair alone misses
+    # e.g. a 159°E parcel next to a 170°W zone (engine projects vertices
+    # onto edges and finds the wrapped parallel; the oracle must too)
     for sl in (lat_lo, lat_hi):
-        h = P.haversine_m_sql(f"({sl})", flon_a, f"({sl})", flon_b)
-        cands.append(f"CASE WHEN {lat_ov} THEN {h} ELSE cast(1e18 as double) END")
+        for la_, lb_ in (("pmin_lon", "max_lon"), ("pmax_lon", "min_lon")):
+            h = P.haversine_m_sql(f"({sl})", la_, f"({sl})", lb_)
+            cands.append(f"CASE WHEN {lat_ov} THEN {h} ELSE cast(1e18 as double) END")
     mer = P.haversine_m_sql(flat_a, "(pmin_lon)", flat_b, "(pmin_lon)")
     cands.append(f"CASE WHEN {lon_ov} THEN {mer} ELSE cast(1e18 as double) END")
     # all 16 corner-corner pairs
@@ -437,5 +440,39 @@ def q_feature_distance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p_partkey",
         "zone_id",
+        F2.expr(P.floor_scaled_sql("dist_m", 0)).alias("dist_m_e0"),
+    )
+
+
+def _feature_knn_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    return f"""
+    WITH {PARCELS_CTE}, {ZONES_CTE},
+    d AS (SELECT p_partkey, zone_id, {_box_dist_sql()} AS dist
+          FROM parcels CROSS JOIN zones),
+    r AS (SELECT p_partkey, zone_id, dist,
+          row_number() OVER (PARTITION BY p_partkey ORDER BY dist, zone_id) AS rank
+          FROM d)
+    SELECT p_partkey, zone_id, cast(rank as int) AS rank,
+           {P.floor_scaled_sql('dist', 0)} AS dist_m_e0
+    FROM r WHERE rank <= 3
+    """
+
+
+@register("q_feature_knn3", _feature_knn_oracle())
+def q_feature_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN for NON-POINT features: 3 nearest zones per parcel via one JVM
+    array_sort over the broadcast scored-zones array (no shuffle); oracle =
+    box-gap algebra + rank window."""
+    import pyspark.sql.functions as F2
+
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.feature_distance import feature_knn_join
+
+    feats = parcel_features(spark, sf_dir)
+    out = feature_knn_join(feats, _zone_index(), k=3, feature_key="p_partkey")
+    return out.select(
+        "p_partkey", "zone_id", "rank",
         F2.expr(P.floor_scaled_sql("dist_m", 0)).alias("dist_m_e0"),
     )

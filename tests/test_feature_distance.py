@@ -224,3 +224,24 @@ def test_feature_distance_cells_matches_broadcast(spark, zones_idx):
         ).collect()
     }
     assert got == want and len(got) == 70
+
+
+def test_feature_knn_ranks_consistent_with_nearest(spark, zones_idx):
+    """feature_knn_join rank-1 == feature_distance_nearest; ranks strictly
+    ordered by (dist, zone_id)."""
+    from gaia_spark.operators.feature_distance import feature_knn_join
+
+    feats = parcels_df(spark, parcels_pdf(50))
+    out = feature_knn_join(feats, zones_idx, k=3, feature_key="fid").collect()
+    nearest = {
+        (r.fid, r.zone_id): r.dist_m
+        for r in feature_distance_nearest(feats, zones_idx, feature_key="fid").collect()
+    }
+    by_f = {}
+    for r in out:
+        by_f.setdefault(r.fid, []).append((r.rank, r.dist_m, r.zone_id))
+    for fid, rs in by_f.items():
+        rs.sort()
+        assert [r for r, _, _ in rs] == [1, 2, 3]
+        assert (fid, rs[0][2]) in nearest and nearest[(fid, rs[0][2])] == rs[0][1]
+        assert rs[0][1] <= rs[1][1] <= rs[2][1]
