@@ -310,3 +310,49 @@ def local_morans_i(
             ((F.col("z") / F.col("_m2")) * F.col("lag")).alias("local_i"),
         )
     )
+
+
+def getis_ord_gstar(
+    values: DataFrame,
+    weights: DataFrame,
+    cell_col: str = "cell",
+    value_col: str = "v",
+) -> DataFrame:
+    """Getis-Ord G*ᵢ hot-spot z-scores (the standard local statistic beside
+    LISA): with binary weights INCLUDING self,
+    G*ᵢ = (Σ_j w_ij x_j − x̄·Wᵢ) / (S·√[(n·Wᵢ − Wᵢ²)/(n−1)]),
+    S = √(Σx²/n − x̄²), Wᵢ = 1 + Σ_j w_ij. Positive = hot spot (high value
+    surrounded by high), negative = cold spot.
+
+    Same scale shape as the other local stats: two global scalar
+    aggregations broadcast + one adjacency join + one grouped sum."""
+    g = values.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(value_col).alias("_mean"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("_sx2"),
+    )
+    xj = values.select(F.col(cell_col).alias("neighbor"), F.col(value_col).alias("x_j"))
+    nbr = (
+        weights.join(xj, "neighbor")
+        .groupBy(cell_col)
+        .agg(F.sum(F.col("w") * F.col("x_j")).alias("_nlag"), F.sum("w").alias("_nw"))
+    )
+    return (
+        values.join(nbr, cell_col, "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            cell_col,
+            (F.col(value_col) + F.coalesce(F.col("_nlag"), F.lit(0.0))).alias("lag"),
+            (F.lit(1.0) + F.coalesce(F.col("_nw"), F.lit(0.0))).alias("wi"),
+            "_n", "_mean", "_sx2", F.col(value_col).alias("_x"),
+        )
+        .withColumn("_s", F.sqrt(F.col("_sx2") / F.col("_n") - F.col("_mean") * F.col("_mean")))
+        .withColumn(
+            "gstar",
+            (F.col("lag") - F.col("_mean") * F.col("wi"))
+            / (F.col("_s") * F.sqrt(
+                (F.col("_n") * F.col("wi") - F.col("wi") * F.col("wi")) / (F.col("_n") - 1)
+            )),
+        )
+        .select(cell_col, "lag", "wi", "gstar")
+    )

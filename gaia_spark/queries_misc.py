@@ -357,3 +357,54 @@ def q_morans_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.floor_scaled_sql("lag", 4)).alias("lag_e4"),
         F.expr(P.floor_scaled_sql("local_i", 4)).alias("local_i_e4"),
     )
+
+
+def _gstar_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    return f"""
+    WITH {PTS_CTE},
+    cells AS (SELECT {P.cell_id_sql('lat', 'lon', 5)} AS cell,
+              cast(count(*) as double) AS x FROM pts GROUP BY 1),
+    g AS (SELECT cast(count(*) as double) AS n, avg(x) AS mu,
+          sum(x * x) AS sx2 FROM cells),
+    d AS (SELECT cell, cell % 32 AS cx, {P.idiv_sql('cell', 32)} AS cy, x FROM cells),
+    nbr AS (SELECT a.cell AS cell, sum(b.x) AS nlag, count(*) AS nw
+            FROM d a JOIN d b
+            ON (b.cy = a.cy AND b.cx = (a.cx + 1) % 32)
+            OR (b.cy = a.cy AND b.cx = (a.cx + 31) % 32)
+            OR (b.cx = a.cx AND b.cy = a.cy + 1)
+            OR (b.cx = a.cx AND b.cy = a.cy - 1)
+            GROUP BY 1),
+    t AS (SELECT d.cell,
+          d.x + coalesce(nbr.nlag, 0) AS lag,
+          1.0 + coalesce(nbr.nw, 0) AS wi
+          FROM d LEFT JOIN nbr ON d.cell = nbr.cell),
+    s AS (SELECT sqrt((SELECT sx2 FROM g) / (SELECT n FROM g)
+                 - (SELECT mu FROM g) * (SELECT mu FROM g)) AS s)
+    SELECT cell,
+           {P.floor_scaled_sql('lag', 4)} AS lag_e4,
+           {P.floor_scaled_sql('''
+           (lag - (SELECT mu FROM g) * wi) / ((SELECT s FROM s)
+            * sqrt(((SELECT n FROM g) * wi - wi * wi) / ((SELECT n FROM g) - 1)))''', 4)} AS gstar_e4
+    FROM t
+    """
+
+
+@register("q_getis_ord", _gstar_oracle())
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord G* hot-spot z-scores of per-cell point counts under rook
+    contiguity (self-inclusive weights) — hot/cold-spot detection, the
+    LISA-family companion statistic."""
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, getis_ord_gstar
+
+    pts = with_cell(customer_points(spark, sf_dir), 5, out="cell")
+    cells = pts.groupBy("cell").agg(F.count("*").cast("double").alias("v"))
+    w = cell_rook_weights(cells, 5)
+    out = getis_ord_gstar(cells, w)
+    return out.select(
+        "cell",
+        F.expr(P.floor_scaled_sql("lag", 4)).alias("lag_e4"),
+        F.expr(P.floor_scaled_sql("gstar", 4)).alias("gstar_e4"),
+    )

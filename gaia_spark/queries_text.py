@@ -393,3 +393,47 @@ def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.functions.text import tf_idf_top_terms
 
     return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "q_corpus_clean",
+    "WITH RECURSIVE " + _verified_pairs_ctes() + f""",
+    e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+    nds AS (SELECT DISTINCT a AS id FROM e),
+    reach(s, t) AS (
+      SELECT id, id FROM nds
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a
+    ),
+    lab AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+    dropd AS (SELECT doc_id FROM lab WHERE doc_id != cluster_id)
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+      AND {P.floor_scaled_sql(T.quality_score_sql('text', P.DUCK), 2)} >= 70
+      AND cast({T.token_count_sql('text', P.DUCK)} as bigint) >= 10
+    GROUP BY source
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus cleaning pipeline, end to end: near-dup
+    removal (MinHash-LSH → exact-Jaccard verify → connected components →
+    canonical selection) ∘ quality filter (score ≥ 0.70) ∘ minimum token
+    count — per-source surviving doc/char counts. Every stage is an
+    operator already hash-checked in isolation; this query checks the
+    COMPOSITION the way a real pipeline runs it."""
+    from gaia_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2, scope=minhash_lsh_pairs(d))
+    kept = dedup_keep_canonical(d, pairs)
+    clean = kept.where(
+        F.expr(P.floor_scaled_sql(T.quality_score_sql("text", P.SPARK), 2)) >= 70
+    ).where(F.expr(T.token_count_sql("text", P.SPARK)).cast("long") >= 10)
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
