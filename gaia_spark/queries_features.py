@@ -476,3 +476,51 @@ def q_feature_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "zone_id", "rank",
         F2.expr(P.floor_scaled_sql("dist_m", 0)).alias("dist_m_e0"),
     )
+
+
+def _zone_parcel_stats_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    # rect-ring perimeter = the 4 edge haversines of the closed ring —
+    # bit-identical to chain_length_m_sql over the same 5-vertex ring
+    perim = " + ".join([
+        P.haversine_m_sql("pmin_lat", "pmin_lon", "pmin_lat", "pmax_lon"),
+        P.haversine_m_sql("pmin_lat", "pmax_lon", "pmax_lat", "pmax_lon"),
+        P.haversine_m_sql("pmax_lat", "pmax_lon", "pmax_lat", "pmin_lon"),
+        P.haversine_m_sql("pmax_lat", "pmin_lon", "pmin_lat", "pmin_lon"),
+    ])
+    return f"""
+    WITH {PARCELS_CTE}, {ZONES_CTE}
+    SELECT zone_id, count(*) AS n_parcels,
+           {P.floor_scaled_sql(f'sum({perim})', 0)} AS perim_sum_e0
+    FROM parcels JOIN zones
+      ON pmin_lat <= max_lat AND pmax_lat >= min_lat
+     AND pmin_lon <= max_lon AND pmax_lon >= min_lon
+    GROUP BY zone_id
+    """
+
+
+@register("q_zone_parcel_stats", _zone_parcel_stats_oracle())
+def q_zone_parcel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-in-polygon zonal aggregation (the vector twin of
+    ZonalStatsProcess): parcels joined to zones by the generic feature
+    intersects, then per-zone count + summed ring perimeter (one JVM
+    chain-length expression) — feature attributes aggregated by zone."""
+    import pyspark.sql.functions as F2
+
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.feature_join import feature_spatial_join
+    from gaia_spark.operators.scalar_geo import chain_length_m_sql
+
+    feats = parcel_features(spark, sf_dir)
+    joined = feature_spatial_join(
+        feats, _zone_index(), predicate="intersects", feature_key="p_partkey"
+    )
+    return (
+        joined.withColumn("_perim", F2.expr(chain_length_m_sql("vertices")))
+        .groupBy("zone_id")
+        .agg(
+            F2.count("*").alias("n_parcels"),
+            F2.expr(P.floor_scaled_sql("sum(_perim)", 0)).alias("perim_sum_e0"),
+        )
+    )
