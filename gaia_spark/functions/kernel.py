@@ -270,7 +270,11 @@ def ring_lower_bound_m(lat: float, res: int, radius: int) -> float:
     # shrinks with cos(lat) — take the min over the two axis-aligned cases.
     vert = (radius - 1) * cell_h_deg * M_PER_DEG_LAT_MIN
     max_abs_lat = min(90.0, abs(lat) + (radius + 1) * cell_h_deg)
-    horiz = (radius - 1) * (360.0 / (1 << res)) * M_PER_DEG_LON_EQ * max(
+    # horizontal bound must also be an UNDER-estimate: haversine on
+    # R=6371008.8 gives 111,195 m/deg at the equator, so the 111,320
+    # equatorial-WGS84 constant could overshoot the true distance by 0.11%
+    # and settle a ring too early — use the same conservative floor as vert
+    horiz = (radius - 1) * (360.0 / (1 << res)) * M_PER_DEG_LAT_MIN * max(
         0.0, np.cos(np.radians(max_abs_lat))
     )
     return min(vert, horiz)

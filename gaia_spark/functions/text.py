@@ -161,16 +161,20 @@ def tf_idf_top_terms(
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
+        # rank on the FLOOR-SCALED score: ln() is not correctly rounded and
+        # may differ by an ulp between the JVM and DuckDB libm — ranking raw
+        # doubles could flip the top-k cut between engines; after the e4
+        # floor both engines order identically, ties broken by term
         .withColumn(
-            "score", F.expr("tf * (ln((_n + 1) / (df + 1)) + 1)")
+            "score_e4",
+            F.expr(P.floor_scaled_sql("tf * (ln((_n + 1) / (df + 1)) + 1)", 4)),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e4"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
-            id_col, "term", F.col("rank").cast("int").alias("rank"),
-            F.expr(P.floor_scaled_sql("score", 4)).alias("score_e4"),
+            id_col, "term", F.col("rank").cast("int").alias("rank"), "score_e4",
         )
     )

@@ -177,7 +177,6 @@ def feature_near_join(
     )
 
 
-__all__ = ["feature_distance_nearest", "feature_near_join"]
 
 
 def feature_distance_nearest_cells(
@@ -257,7 +256,7 @@ def feature_distance_nearest_cells(
     from gaia_spark.operators.knn import _ring_offsets
 
     dist = F.expr(_zone_dist_sql(kind, zedges="_zed"))
-    best: DataFrame | None = None
+    best: DataFrame | None = None  # set on the first _merge (possibly empty frame)
 
     def _merge(acc: DataFrame | None, cand: DataFrame) -> DataFrame:
         merged = cand if acc is None else acc.unionByName(cand)
@@ -298,19 +297,19 @@ def feature_distance_nearest_cells(
             )
             cand = cover.join(zcover, cover["_cell"] == zcover["_zcell"], "inner")
         cand = cand.withColumn("_d", dist).select("_fk", "_zid", "_d")
-        best = _merge(best, cand) if not cand.isEmpty() else best
+        best = _merge(best, cand)
         if last:
             break
         # settle: best dist beats the conservative next-ring lower bound
         cell_h_deg = 180.0 / n
         vert = F.lit(rho * cell_h_deg * 110_000.0)
         max_abs_lat = F.least(F.lit(90.0), F.abs(F.col("_alat")) + F.lit((rho + 2) * cell_h_deg))
+        # 110,000 m/deg floor — must UNDER-estimate haversine (111,195
+        # m/deg) or a feature can settle on a non-nearest zone
         horiz = (
-            F.lit(rho * (360.0 / n) * 111_320.0)
+            F.lit(rho * (360.0 / n) * 110_000.0)
             * F.greatest(F.lit(0.0), F.cos(F.radians(max_abs_lat)))
         )
-        if best is None:
-            continue
         settled = (
             pend.select("_fk", "_alat", "_hd")
             .join(best.select(F.col("_fk").alias("_bfk"), "_d"),
@@ -323,7 +322,6 @@ def feature_distance_nearest_cells(
             break
 
     zcover.unpersist()
-    assert best is not None
     return best.select(
         F.col("_fk").alias(feature_key),
         F.col("_zid").alias("zone_id"),
@@ -358,3 +356,11 @@ def feature_knn_join(
         .withColumn("rank", (F.col("_pos") + 1).cast("int"))
         .drop("_fedges", "_zs", "_m", "_pos")
     )
+
+
+__all__ = [
+    "feature_distance_nearest",
+    "feature_distance_nearest_cells",
+    "feature_knn_join",
+    "feature_near_join",
+]

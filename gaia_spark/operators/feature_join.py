@@ -42,6 +42,12 @@ Predicate algebra over those three primitives (A = left feature, B = zone):
 
 The zone side is broadcast (small); the feature side is web-scale and never
 leaves the executors.
+
+Coordinate-domain limit (whole module + feature_distance): rings are
+interpreted in plain lon/lat degree space — a feature CROSSING THE
+ANTIMERIDIAN would get a world-spanning bbox and a geometrically wrong
+raycast. Split such rings at ±180 upstream (point layers are unaffected:
+cell x-indexing wraps).
 """
 
 from __future__ import annotations
@@ -136,15 +142,7 @@ def _collinear_interior_sql(
     the witness — documented limit.
     """
     dx, dy = "(eb.x2 - eb.x1)", "(eb.y2 - eb.y1)"
-    len2 = f"({dx} * {dx} + {dy} * {dy})"
-    cr1 = f"({dx} * (ea.y1 - eb.y1) - {dy} * (ea.x1 - eb.x1))"
-    cr2 = f"({dx} * (ea.y2 - eb.y1) - {dy} * (ea.x2 - eb.x1))"
-    # perpendicular distance² of ea's endpoints from eb's line ≤ eps²
-    collinear = f"({cr1} * {cr1} <= {BOUNDARY_EPS2} * {len2} AND {cr2} * {cr2} <= {BOUNDARY_EPS2} * {len2})"
-    ta1 = f"(((ea.x1 - eb.x1) * {dx} + (ea.y1 - eb.y1) * {dy}) / {len2})"
-    ta2 = f"(((ea.x2 - eb.x1) * {dx} + (ea.y2 - eb.y1) * {dy}) / {len2})"
-    lo = f"greatest(cast(0 as double), least({ta1}, {ta2}))"
-    hi = f"least(cast(1 as double), greatest({ta1}, {ta2}))"
+    len2, collinear, lo, hi = _collinear_pair_parts()
     tm = f"(({lo} + {hi}) / 2)"
     mx, my = f"(eb.x1 + {tm} * {dx})", f"(eb.y1 + {tm} * {dy})"
     # unit perpendicular × offset
@@ -166,11 +164,12 @@ def _collinear_interior_sql(
     )
 
 
-def _collinear_overlap_sql(a_edges: str, b_edges: str) -> str:
-    """∃ (ea, eb): collinear with POSITIVE-length projection overlap —
-    i.e. the boundaries share a 1-D segment, not just a point. This is the
-    rook-vs-queen discriminator for polygon contiguity: shared edge ⇒ true,
-    corner-only contact ⇒ false (overlap interval has zero length)."""
+def _collinear_pair_parts() -> tuple[str, str, str, str]:
+    """Shared fragments of the collinear edge-pair machinery (lambda vars
+    ``ea``/``eb``): returns (len2, collinear, lo, hi) — the eb-line length²,
+    the eps-collinearity test of ea's endpoints against eb's line, and the
+    clamped projection-interval endpoints of ea on eb. One source of truth
+    for both the touches interior witness and the rook overlap test."""
     dx, dy = "(eb.x2 - eb.x1)", "(eb.y2 - eb.y1)"
     len2 = f"({dx} * {dx} + {dy} * {dy})"
     cr1 = f"({dx} * (ea.y1 - eb.y1) - {dy} * (ea.x1 - eb.x1))"
@@ -180,6 +179,15 @@ def _collinear_overlap_sql(a_edges: str, b_edges: str) -> str:
     ta2 = f"(((ea.x2 - eb.x1) * {dx} + (ea.y2 - eb.y1) * {dy}) / {len2})"
     lo = f"greatest(cast(0 as double), least({ta1}, {ta2}))"
     hi = f"least(cast(1 as double), greatest({ta1}, {ta2}))"
+    return len2, collinear, lo, hi
+
+
+def _collinear_overlap_sql(a_edges: str, b_edges: str) -> str:
+    """∃ (ea, eb): collinear with POSITIVE-length projection overlap —
+    i.e. the boundaries share a 1-D segment, not just a point. This is the
+    rook-vs-queen discriminator for polygon contiguity: shared edge ⇒ true,
+    corner-only contact ⇒ false (overlap interval has zero length)."""
+    len2, collinear, lo, hi = _collinear_pair_parts()
     return (
         f"exists({a_edges}, ea -> exists({b_edges}, eb -> "
         f"{len2} > 0 AND {collinear} AND ({hi} - {lo}) > 1e-12))"
@@ -257,6 +265,14 @@ def feature_spatial_join(
         raise ValueError("crosses is defined here for line features vs polygon zones")
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown how {how!r}")
+    if "zone_id" in features.columns:
+        # every other zone-side column is _z_-prefixed, but zone_id IS the
+        # join's output column — a same-named user column would make the
+        # inner-join output ambiguous; fail loudly instead
+        raise ValueError(
+            "feature layer carries a 'zone_id' column — rename it before "
+            "joining (zone_id is the reserved output column)"
+        )
 
     spark = features.sparkSession
     res = index.res

@@ -157,7 +157,9 @@ def near_join(
     stays JVM-side."""
     spark = points.sparkSession
     # resolution: cells comparable to the radius
-    deg = max(radius_m / 111_320.0, 1e-5)
+    # conservative degree OVER-estimate of the radius (110,000 m/deg floor;
+    # the true haversine value is 111,195) so the cover never under-spans
+    deg = max(radius_m / 110_000.0, 1e-5)
     res = int(np.clip(round(np.log2(360.0 / deg) - 1), 2, 14))
     n = 1 << res
     cell_h_deg, cell_w_deg = 180.0 / n, 360.0 / n
@@ -310,8 +312,11 @@ def knn_join_cells(
         cell_h_deg = 180.0 / n
         vert = F.lit(rho * cell_h_deg * 110_000.0)
         max_abs_lat = F.least(F.lit(90.0), F.abs(F.col("lat")) + F.lit((rho + 2) * cell_h_deg))
+        # 110,000 m/deg floor: the lower bound must UNDER-estimate the
+        # haversine distance (111,195 m/deg on this sphere), else a point
+        # can settle on a non-nearest site (kernel.ring_lower_bound_m twin)
         horiz = (
-            F.lit(rho * (360.0 / n) * 111_320.0)
+            F.lit(rho * (360.0 / n) * 110_000.0)
             * F.greatest(F.lit(0.0), F.cos(F.radians(max_abs_lat)))
         )
         settled_keys = agg.where(

@@ -376,13 +376,12 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1),
     n AS (SELECT cast(count(*) as double) AS n FROM documents),
     scored AS (SELECT doc_id, term,
-               tf * (ln(((SELECT n FROM n) + 1) / (df + 1)) + 1) AS score
+               {P.floor_scaled_sql('tf * (ln(((SELECT n FROM n) + 1) / (df + 1)) + 1)', 4)} AS score_e4
                FROM tf JOIN dfreq USING (term)),
-    r AS (SELECT doc_id, term, score,
-          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+    r AS (SELECT doc_id, term, score_e4,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score_e4 DESC, term) AS rank
           FROM scored)
-    SELECT doc_id, term, cast(rank as int) AS rank,
-           {P.floor_scaled_sql('score', 4)} AS score_e4
+    SELECT doc_id, term, cast(rank as int) AS rank, score_e4
     FROM r WHERE rank <= 3
     """,
 )

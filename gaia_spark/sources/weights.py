@@ -34,6 +34,11 @@ def read_gal(spark: SparkSession, path: str) -> DataFrame:
     seen = 0
     while i < len(tokens_by_line):
         ident, k = int(tokens_by_line[i][0]), int(tokens_by_line[i][1])
+        if k > 0 and i + 1 >= len(tokens_by_line):
+            raise ValueError(
+                f"GAL parse error at id {ident}: declared {k} neighbors "
+                "but the file ends before the neighbor line"
+            )
         nbrs = [int(t) for t in tokens_by_line[i + 1]] if k > 0 else []
         if len(nbrs) != k:
             raise ValueError(
