@@ -22,25 +22,10 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A pages-shaped table (url, warc_ts, html, text, lang) derived
     deterministically from the driver's documents table: 80% of rows get an
     embedded 'geo: lat,lon' coordinate (key-derived), 20% stay coordinate-
-    free (geoparse must yield NULL for them)."""
-    import pyspark.sql.functions as F
+    free (geoparse must yield NULL for them). Shared with q_geoparse."""
+    from gaia_spark.queries import pages_from_documents
 
-    from gaia_spark.functions import portable as P
-
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lat = P.key_lat_sql("doc_id + 7")
-    lon = P.key_lon_sql("doc_id + 7")
-    coord = f"concat(' geo: ', format_string('%.6f', {lat}), ',', format_string('%.6f', {lon}))"
-    return d.select(
-        F.concat(F.lit("https://site"), (F.col("doc_id") % 1000).cast("string"),
-                 F.lit(".example/"), F.col("doc_id").cast("string")).alias("url"),
-        (F.lit("2025-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(secs=(F.col("doc_id") * 137) % 31_536_000)).alias("warc_ts"),
-        F.encode(F.col("text"), "utf-8").alias("html"),
-        F.when(F.col("doc_id") % 5 != 0, F.concat(F.col("text"), F.expr(coord)))
-        .otherwise(F.col("text")).alias("text"),
-        F.col("lang"),
-    )
+    return pages_from_documents(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:

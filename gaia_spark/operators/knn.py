@@ -211,6 +211,75 @@ def near_join(
     )
 
 
+def near_join_cells(
+    points: DataFrame,
+    sites_df: DataFrame,
+    radius_m: float,
+    point_key: str = "url",
+    site_key: str = "site_id",
+) -> DataFrame:
+    """Distributed NearProcess: all (point, site) pairs with haversine ≤
+    radius_m, with the site side a DATAFRAME end to end (10⁶+ sites OK).
+
+    Same cover semantics as :func:`near_join` (same resolution pick, same
+    per-site latitude-aware ring extents, same wrap capping), but the cover
+    is derived with ``sequence``/``explode`` inside the plan instead of a
+    driver-side Python loop — per-site work is map-side, the only shuffle is
+    the cell equi-join. (sid, cell) rows are unique by construction: one
+    ``_yy`` per dy, and both dx branches enumerate distinct residues mod n,
+    so no dedupe pass is needed. The refine is the same codegen'd haversine.
+    """
+    deg = max(radius_m / 110_000.0, 1e-5)
+    res = int(np.clip(round(np.log2(360.0 / deg) - 1), 2, 14))
+    n = 1 << res
+    cell_h_deg, cell_w_deg = 180.0 / n, 360.0 / n
+    ring_y = int(np.ceil(deg / cell_h_deg)) + 1
+
+    s = sites_df.select(
+        F.col(site_key).alias("site_id"),
+        F.col("lat").alias("site_lat"),
+        F.col("lon").alias("site_lon"),
+    ).withColumn("_sc", F.expr(portable.cell_id_sql("site_lat", "site_lon", res)))
+    # longitude extent grows with 1/cos(lat) toward the poles — size the
+    # x-ring at the worst latitude the disc can reach (near_join twin)
+    max_abs_lat = F.least(F.lit(89.9), F.abs(F.col("site_lat")) + F.lit(deg))
+    lon_deg = F.lit(deg) / F.greatest(F.cos(F.radians(max_abs_lat)), F.lit(1e-3))
+    s = s.withColumn(
+        "_rx",
+        F.least(
+            (F.ceil(lon_deg / F.lit(cell_w_deg)) + F.lit(1)).cast("int"),
+            F.lit(n // 2),
+        ),
+    )
+    # capped ring would span ≥ n+1 columns and wrap onto duplicates — emit
+    # each of the n distinct columns exactly once instead
+    dxs = F.when(
+        F.lit(2) * F.col("_rx") + F.lit(1) >= F.lit(n),
+        F.sequence(F.lit(0), F.lit(n - 1)),
+    ).otherwise(F.sequence(-F.col("_rx"), F.col("_rx")))
+    cover = (
+        s.withColumn("_dy", F.explode(F.sequence(F.lit(-ring_y), F.lit(ring_y))))
+        .withColumn("_yy", F.expr(portable.idiv_sql("_sc", n)) + F.col("_dy"))
+        .where((F.col("_yy") >= 0) & (F.col("_yy") < n))
+        .withColumn("_dx", F.explode(dxs))
+        .withColumn("_xx", F.pmod(F.col("_sc") % n + F.col("_dx"), F.lit(n)))
+        .select(
+            "site_id",
+            "site_lat",
+            "site_lon",
+            (F.col("_yy") * n + F.col("_xx")).alias("cell"),
+        )
+    )
+    pts = with_cell(points.where(F.col("lat").isNotNull()), res, out="_cell")
+    dist = F.expr(portable.haversine_m_sql("lat", "lon", "site_lat", "site_lon"))
+    return (
+        pts.join(cover, pts["_cell"] == cover["cell"], "inner")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= F.lit(float(radius_m)))
+        .drop("_cell", "cell", "site_lat", "site_lon")
+    )
+
+
 def _ring_offsets(rho: int) -> list[tuple[int, int]]:
     """(dx, dy) offsets at exactly Chebyshev distance ``rho`` (hollow ring,
     8·rho offsets; the single (0,0) for rho=0)."""

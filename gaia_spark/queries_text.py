@@ -349,7 +349,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
     dropd AS (SELECT doc_id FROM lab WHERE doc_id != cluster_id)
-    SELECT lang, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    SELECT lang, count(*) AS n_kept, cast(sum(n_chars) as bigint) AS chars_kept
     FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
     GROUP BY lang
     """,
@@ -406,7 +406,7 @@ def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
     dropd AS (SELECT doc_id FROM lab WHERE doc_id != cluster_id)
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+    SELECT source, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS n_chars
     FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
       AND {P.floor_scaled_sql(T.quality_score_sql('text', P.DUCK), 2)} >= 70

