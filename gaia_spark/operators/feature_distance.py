@@ -110,6 +110,14 @@ def _zone_dist_sql(kind: str, zedges: str = "z.edges") -> str:
 def _with_zones_array(features: DataFrame, index: ZoneIndex, vertices_col: str, kind: str) -> DataFrame:
     if kind not in ("poly", "line"):
         raise ValueError(f"unknown kind {kind!r}")
+    # reserved output columns (feature_spatial_join twin): raise loudly
+    # instead of silently overwriting user feature columns via withColumn
+    reserved = {"zone_id", "dist_m", "rank"} & set(features.columns)
+    if reserved:
+        raise ValueError(
+            f"feature columns {sorted(reserved)} collide with reserved "
+            "output columns (zone_id, dist_m, rank) — rename them first"
+        )
     spark = features.sparkSession
     zpdf = _zones_meta_pdf(index)
     zones = spark.createDataFrame(
@@ -239,8 +247,22 @@ def feature_distance_nearest_cells(
     fmax_lat = "array_max(transform(vertices, v -> v.lat))"
     fmin_lon = "array_min(transform(vertices, v -> v.lon))"
     fmax_lon = "array_max(transform(vertices, v -> v.lon))"
-    half_diag = portable.haversine_m_sql(
-        f"({fmin_lat})", f"({fmin_lon})", f"({fmax_lat})", f"({fmax_lon})"
+    # _hd must OVER-estimate the distance from the degree-space bbox center
+    # (the ring anchor) to any feature point — half the corner-to-corner
+    # haversine does NOT (at high latitude the equatorward half of the box
+    # sees a larger cos(lat) lon scale than the diagonal's midpoint).
+    # Strict bound instead: meridian leg + parallel leg of the worst path,
+    #   d(anchor, p) ≤ 111,320·|Δlat| + 111,320·cos(φ*)·|Δlon|
+    # with 111,320 m/deg a CEILING over the sphere's 111,195 and φ* the box
+    # latitude with the largest cos (closest to the equator).
+    dlat_half = f"(({fmax_lat}) - ({fmin_lat})) / 2"
+    dlon_half = f"(({fmax_lon}) - ({fmin_lon})) / 2"
+    cos_star = (
+        f"(CASE WHEN ({fmin_lat}) <= 0 AND ({fmax_lat}) >= 0 THEN cast(1 as double) "
+        f"ELSE cos(radians(least(abs({fmin_lat}), abs({fmax_lat})))) END)"
+    )
+    half_bound = (
+        f"(111320.0 * ({dlat_half}) + 111320.0 * {cos_star} * ({dlon_half}))"
     )
     anchor_lat = f"(({fmin_lat}) + ({fmax_lat})) / 2"
     anchor_lon = f"(({fmin_lon}) + ({fmax_lon})) / 2"
@@ -248,7 +270,7 @@ def feature_distance_nearest_cells(
         F.col(feature_key).alias("_fk"),
         "vertices",
         F.expr(fedges).alias("_fedges"),
-        F.expr(f"({half_diag}) / 2").alias("_hd"),
+        F.expr(half_bound).alias("_hd"),
         F.expr(f"({anchor_lat})").alias("_alat"),
         F.expr(portable.cell_id_sql(f"({anchor_lat})", f"({anchor_lon})", res)).alias("_acell"),
     )

@@ -324,6 +324,11 @@ def getis_ord_gstar(
     S = √(Σx²/n − x̄²), Wᵢ = 1 + Σ_j w_ij. Positive = hot spot (high value
     surrounded by high), negative = cold spot.
 
+    Preconditions (guarded, not silent): n > 1, Wᵢ < n (a fully connected
+    graph including self leaves zero variance in the denominator), and
+    non-constant values (S > 0). Violations yield an explicit NULL gstar
+    rather than NaN/Infinity leaking into downstream filters.
+
     Same scale shape as the other local stats: two global scalar
     aggregations broadcast + one adjacency join + one grouped sum."""
     g = values.agg(
@@ -348,11 +353,18 @@ def getis_ord_gstar(
         )
         .withColumn("_s", F.sqrt(F.col("_sx2") / F.col("_n") - F.col("_mean") * F.col("_mean")))
         .withColumn(
+            "_den",
+            F.col("_s") * F.sqrt(
+                (F.col("_n") * F.col("wi") - F.col("wi") * F.col("wi"))
+                / (F.col("_n") - 1)
+            ),
+        )
+        .withColumn(
             "gstar",
-            (F.col("lag") - F.col("_mean") * F.col("wi"))
-            / (F.col("_s") * F.sqrt(
-                (F.col("_n") * F.col("wi") - F.col("wi") * F.col("wi")) / (F.col("_n") - 1)
-            )),
+            F.when(
+                (F.col("_n") > 1) & (F.col("wi") < F.col("_n")) & (F.col("_den") > 0),
+                (F.col("lag") - F.col("_mean") * F.col("wi")) / F.col("_den"),
+            ),  # else NULL: n==1, fully connected Wᵢ==n, or constant values
         )
         .select(cell_col, "lag", "wi", "gstar")
     )

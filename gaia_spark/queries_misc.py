@@ -187,6 +187,145 @@ def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tile_px_center_sql(n_t: int, px: int) -> tuple[str, str]:
+    """Pixel-center (plat, plon) expressions for tile (tx, ty) pixel (i, j)
+    at a zoom with ``n_t`` tiles per axis — the per-tile twin of the global
+    pixel grid in :func:`_raster_zonal_oracle` (same Mercator bounds, same
+    numpy linspace op order, proven bit-identical there)."""
+    sinh = "((exp({x}) - exp(-({x}))) / 2.0)"
+    merc_lat = "degrees(atan(" + sinh.format(x=f"pi() * (1.0 - (2 * {{y}}) / {n_t}.0)") + "))"
+    lat1 = merc_lat.format(y="ty")        # tile top
+    lat0 = merc_lat.format(y="(ty + 1)")  # tile bottom
+    lon0 = f"((tx / {n_t}.0) * 360.0 - 180.0)"
+    lon1 = f"(((tx + 1) / {n_t}.0) * 360.0 - 180.0)"
+    c_lat = f"(({lat1} + i * (({lat0} - {lat1}) / {px})) - ({lat1} - {lat0}) / {2 * px})"
+    c_lon = f"(({lon0} + j * (({lon1} - {lon0}) / {px})) + ({lon1} - {lon0}) / {2 * px})"
+    return c_lat, c_lon
+
+
+def _band_f32_sql(band: int) -> str:
+    """synth.surface_value(plat, plon, band) quantized through float32,
+    back as double (IEEE double→float32 is identical in numpy and DuckDB)."""
+    return (
+        f"cast(cast(100.0 * (sin(3.0 * radians(plat)) * cos(2.0 * radians(plon))"
+        f" + {band}.0) as float) as double)"
+    )
+
+
+def _raster_math_oracle() -> str:
+    """raster_math(calc='A + 2*B') replayed per pixel: band values float32-
+    quantized like the tile payloads, the calc evaluated in float64 (numpy
+    env dtype), the result quantized back to float32 (RASTER_SCHEMA)."""
+    n_t, px = 8, 64
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    r = f"cast(cast(({_band_f32_sql(0)}) + 2.0 * ({_band_f32_sql(1)}) as float) as double)"
+    return f"""
+    WITH t AS (SELECT tx, ty FROM generate_series(0, {n_t - 1}) a(tx),
+                                  generate_series(0, {n_t - 1}) b(ty)),
+    g AS (SELECT tx, ty, i, j FROM t, generate_series(0, {px - 1}) gi(i),
+                                      generate_series(0, {px - 1}) gj(j)),
+    pc AS (SELECT tx, ty, i * {px} + j AS p, {c_lat} AS plat, {c_lon} AS plon FROM g),
+    pv AS (SELECT tx, ty, p, {r} AS r FROM pc)
+    SELECT 3 AS zoom, tx AS x, ty AS y, 0 AS band,
+           {P.floor_scaled_sql("max(CASE WHEN p = 0 THEN r END)", 4)} AS px1_e4,
+           {P.floor_scaled_sql("max(CASE WHEN p = 2079 THEN r END)", 4)} AS px2080_e4,
+           {P.floor_scaled_sql("min(r)", 2)} AS min_e2,
+           {P.floor_scaled_sql("max(r)", 2)} AS max_e2
+    FROM pv GROUP BY tx, ty
+    """
+
+
+@register("q_raster_math", _raster_math_oracle())
+def q_raster_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterMathProcess (gdal_calc analogue): band pivot + Arrow-batched
+    numpy eval of 'A + 2*B' per tile — probe pixels + tile min/max
+    hash-checked against the closed-form per-pixel replay."""
+    from gaia_spark.operators.raster import raster_math
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0, 1))
+    out = raster_math(raster, "A + 2*B", bands=(0, 1))
+    return out.select(
+        "zoom", "x", "y", "band",
+        F.expr(P.floor_scaled_sql("cast(element_at(px, 1) as double)", 4)).alias("px1_e4"),
+        F.expr(P.floor_scaled_sql("cast(element_at(px, 2080) as double)", 4)).alias("px2080_e4"),
+        F.expr(P.floor_scaled_sql("cast(array_min(px) as double)", 2)).alias("min_e2"),
+        F.expr(P.floor_scaled_sql("cast(array_max(px) as double)", 2)).alias("max_e2"),
+    )
+
+
+def _raster_clip_oracle() -> str:
+    """SubsetProcess (gdal_clip) replayed in SQL: the tile cover of each
+    rect zone is its bbox tile range (same tile_xy formulas); kept pixels
+    are centers inside the CLOSED rect (the convex-rect case makes Spark's
+    full-tile shortcut count-neutral: a full tile's pixels are all inside).
+    Per (zoom=3, x, y): number of (zone, tile) clip rows, total unmasked
+    pixels, min/max unmasked value."""
+    from gaia_spark.queries import ZONES_CTE
+
+    n_t, px = 8, 64
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    return f"""
+    WITH {ZONES_CTE},
+    zt AS (SELECT zone_id, min_lat, min_lon, max_lat, max_lon, tx, ty
+           FROM zones, generate_series(0, {n_t - 1}) a(tx),
+                       generate_series(0, {n_t - 1}) b(ty)
+           WHERE tx BETWEEN {P.tile_x_sql('min_lon', 3)} AND {P.tile_x_sql('max_lon', 3)}
+             AND ty BETWEEN {P.tile_y_sql('max_lat', 3)} AND {P.tile_y_sql('min_lat', 3)}),
+    g AS (SELECT zone_id, min_lat, min_lon, max_lat, max_lon, tx, ty, i, j
+          FROM zt, generate_series(0, {px - 1}) gi(i),
+                   generate_series(0, {px - 1}) gj(j)),
+    pc AS (SELECT zone_id, tx, ty, min_lat, min_lon, max_lat, max_lon,
+                  {c_lat} AS plat, {c_lon} AS plon FROM g),
+    pv AS (SELECT zone_id, tx, ty,
+           CASE WHEN plat BETWEEN min_lat AND max_lat
+                 AND plon BETWEEN min_lon AND max_lon THEN 1 ELSE 0 END AS kept,
+           {_band_f32_sql(0)} AS v FROM pc),
+    pair AS (SELECT zone_id, tx, ty,
+             cast(sum(kept) as bigint) AS n_valid,
+             min(CASE WHEN kept = 1 THEN v END) AS vmin,
+             max(CASE WHEN kept = 1 THEN v END) AS vmax
+             FROM pv GROUP BY 1, 2, 3)
+    SELECT tx AS x, ty AS y,
+           cast(count(*) as bigint) AS n_rows,
+           cast(sum(n_valid) as bigint) AS n_valid,
+           {P.floor_scaled_sql('min(vmin)', 2)} AS vmin_e2,
+           {P.floor_scaled_sql('max(vmax)', 2)} AS vmax_e2
+    FROM pair GROUP BY tx, ty
+    """
+
+
+@register("q_raster_clip", _raster_clip_oracle())
+def q_raster_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubsetProcess: clip the z=3 band-0 pyramid to the 14-zone layer —
+    edge tiles get out-of-zone pixels NaN-masked by the PIP kernel; the
+    oracle rebuilds every (zone, tile, pixel) in SQL and aggregates the
+    unmasked counts/extrema per tile."""
+    from gaia_spark.operators.raster import clip_raster
+    from gaia_spark.operators.spatial_join import ZoneIndex
+    from gaia_spark.queries import oracle_zones_pdf
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0,))
+    idx = ZoneIndex.build(oracle_zones_pdf())
+    out = clip_raster(raster, idx)
+    # masked pixels surface as NULL array elements (pandas→Arrow turns the
+    # kernel's NaN floats in object lists into nulls), so filter on NULL,
+    # not isnan; array_min/max skip nulls natively
+    per = out.select(
+        "x", "y",
+        F.expr("size(filter(px, v -> v IS NOT NULL))").cast("long").alias("_nv"),
+        F.expr("cast(array_min(px) as double)").alias("_vmin"),
+        F.expr("cast(array_max(px) as double)").alias("_vmax"),
+    )
+    return per.groupBy("x", "y").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("_nv").cast("long").alias("n_valid"),
+        F.expr(P.floor_scaled_sql("min(_vmin)", 2)).alias("vmin_e2"),
+        F.expr(P.floor_scaled_sql("max(_vmax)", 2)).alias("vmax_e2"),
+    )
+
+
 def _media_oracle() -> str:
     """fake_decode mirrored byte-for-byte: payload bytes via hex(encode(
     text)) sliced 2 chars at a time, first 64 bytes zero-padded, 16-byte
