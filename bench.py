@@ -179,12 +179,12 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         parcels = spark.read.parquet(ensure_parcels_synth(spark, 1_000_000, cache_dir))
         return feature_spatial_join(parcels, idx, "intersects", feature_key="fid")
 
-    def _ngon_join():
+    def _ngon_join(refine: str = "sql"):
         from gaia_spark.operators.feature_join import feature_spatial_join
 
         cache_dir = os.path.dirname(pages_path)
         ngons = spark.read.parquet(ensure_ngon_parcels_synth(spark, 100_000, 512, cache_dir))
-        return feature_spatial_join(ngons, idx, "intersects", feature_key="fid")
+        return feature_spatial_join(ngons, idx, "intersects", feature_key="fid", refine=refine)
 
     qs = {
         # pages/sec metric: geoparse + multi-res encode over the full table.
@@ -226,6 +226,10 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         # bbox-intersection edge clip that keeps the pairwise cross sweep
         # sub-quadratic in vertex count
         "ngon512_intersects_join": lambda: _ngon_join(),
+        # A/B refine backend: the same join refined by Arrow-batched numpy
+        # (one vectorized matrix op per pair instead of interpreted HOF
+        # lambdas) — the large-vertex fast path
+        "ngon512_intersects_arrow": lambda: _ngon_join(refine="arrow"),
         "pages_knn1": lambda: knn_join_broadcast(geoparsed(), site_points_pdf(), k=1),
         # driver-table headliners (same code paths the oracle checks)
         "q_within_join": lambda: REGISTRY["q_within_join"].spark(spark, sf_dir),

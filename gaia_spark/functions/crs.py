@@ -44,3 +44,83 @@ def inv_merc(x, y) -> tuple[np.ndarray, np.ndarray]:
     lon = np.degrees(np.asarray(x, dtype=np.float64) / WEBMERCATOR_R)
     lat = np.degrees(2 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / WEBMERCATOR_R)) - np.pi / 2)
     return lat, lon
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (UTM zones) — spherical closed form
+# ---------------------------------------------------------------------------
+
+UTM_K0 = 0.9996
+UTM_FALSE_E = 500_000.0
+UTM_FALSE_N_S = 10_000_000.0  # southern-hemisphere false northing
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian of UTM zone 1..60."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return -183.0 + 6.0 * zone
+
+
+def utm_x_sql(lat: str, lon: str, zone: int) -> str:
+    """Spherical transverse-Mercator easting (meters, false easting applied).
+    B = cos(lat)·sin(lon−lon0); x = k0·R/2 · ln((1+B)/(1−B))."""
+    lon0 = utm_zone_lon0(zone)
+    b = f"(cos(radians({lat})) * sin(radians(({lon}) - {lon0!r})))"
+    return f"({UTM_K0} * {WEBMERCATOR_R} / 2 * ln((1 + {b}) / (1 - {b})) + {UTM_FALSE_E})"
+
+
+def utm_y_sql(lat: str, lon: str, zone: int, south: bool = False) -> str:
+    """Spherical transverse-Mercator northing:
+    y = k0·R·(atan(tan(lat)/cos(lon−lon0)) − lat... ) — standard spherical
+    form y = k0·R·atan2(tan(lat), cos(Δlon))."""
+    lon0 = utm_zone_lon0(zone)
+    core = f"atan(tan(radians({lat})) / cos(radians(({lon}) - {lon0!r})))"
+    fn = UTM_FALSE_N_S if south else 0.0
+    return f"({UTM_K0} * {WEBMERCATOR_R} * {core} + {fn!r})"
+
+
+SUPPORTED_CRS = ("EPSG:4326", "EPSG:3857", "EPSG:326xx (spherical)", "EPSG:327xx (spherical)")
+
+
+def reproject(df, src: str, dst: str, lat: str = "lat", lon: str = "lon", x: str = "x", y: str = "y"):
+    """CRS reprojection API (``[R] gaia/geo/geo_inputs.py :: reproject()``
+    role). Pure column expressions — codegen'd, oracle-mirrorable, no GDAL.
+
+    Supported pairs:
+
+    - ``EPSG:4326`` ↔ ``EPSG:3857`` (exact closed form)
+    - ``EPSG:4326`` → ``EPSG:326NN`` / ``EPSG:327NN`` (UTM zone NN,
+      SPHERICAL transverse Mercator — documented approximation: vs true
+      ellipsoidal UTM the northing differs by up to ~0.5% (meridian arc on
+      the R=6378137 sphere vs WGS84); use it for binning/relative
+      measures, not survey-grade coordinates)
+
+    Anything else raises with the supported-CRS story — this engine does
+    not silently mis-project. 4326 inputs read ``lat``/``lon`` columns;
+    projected inputs read ``x``/``y``; outputs are written likewise.
+    """
+    import pyspark.sql.functions as F
+
+    def norm(c: str) -> str:
+        return c.upper().replace(" ", "")
+
+    s, d = norm(src), norm(dst)
+    if s == d:
+        return df
+    if s == "EPSG:4326" and d == "EPSG:3857":
+        return df.withColumn(x, F.expr(merc_x_sql(lon))).withColumn(y, F.expr(merc_y_sql(lat)))
+    if s == "EPSG:3857" and d == "EPSG:4326":
+        return df.withColumn(lat, F.expr(inv_merc_lat_sql(y))).withColumn(
+            lon, F.expr(inv_merc_lon_sql(x))
+        )
+    if s == "EPSG:4326" and (d.startswith("EPSG:326") or d.startswith("EPSG:327")):
+        zone = int(d[8:])
+        south = d.startswith("EPSG:327")
+        return df.withColumn(x, F.expr(utm_x_sql(lat, lon, zone))).withColumn(
+            y, F.expr(utm_y_sql(lat, lon, zone, south))
+        )
+    raise NotImplementedError(
+        f"reproject {src} -> {dst}: supported CRS pairs are "
+        f"{SUPPORTED_CRS} (no proj database offline; see functions/crs.py)"
+    )

@@ -64,11 +64,24 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_hashes: int = 8,
     band_size: int = 2,
+    max_band_count: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (a < b) sharing ≥1 band of the MinHash signature.
 
     bands = n_hashes / band_size; a pair collides on a band iff all
     band_size signature slots match — the classic banding amplification.
+
+    ``max_band_count``: hot-band guard for DEGENERATE corpora. A band key
+    shared by k docs expands to k²/2 candidate pairs in the self-join; a
+    boilerplate-dominated corpus where one band matches millions of docs
+    turns that band into a quadratic straggler no AQE split can save.
+    With a cap, bands whose doc count exceeds it are dropped BEFORE the
+    self-join (tiny hot-key set, broadcast anti-join). Dropping a hot band
+    only loses pairs that collide SOLELY on it: a hot band carries no
+    discriminative signal (it matches "everything"), near-dup pairs still
+    collide on their other n_bands−1 bands, and byte-identical dups are
+    exact_dedup's job, not LSH's. Default None (no cap) keeps the operator
+    oracle-exact for the driver queries.
     """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
     n_bands = n_hashes // band_size
@@ -81,6 +94,14 @@ def minhash_lsh_pairs(
         for b in range(n_bands)
     ]
     bands = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+    if max_band_count is not None:
+        hot = (
+            bands.groupBy("band")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_band_count)
+            .select("band")
+        )
+        bands = bands.join(F.broadcast(hot), "band", "left_anti")
     a = bands.select(F.col(id_col).alias("a"), "band")
     b = bands.select(F.col(id_col).alias("b"), "band")
     return (
@@ -162,7 +183,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 30) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
     """Connected components over an undirected duplicate-pair graph:
     (doc_id, cluster_id = min doc id of the component). The step after
     pair generation in a real dedup pipeline — near-dup is not transitive,
@@ -179,7 +206,8 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter:
     )
     nodes = edges.select("doc_id").distinct()
     labels = min_label_components(
-        nodes, edges, node_col="doc_id", nbr_col="neighbor", max_iter=max_iter
+        nodes, edges, node_col="doc_id", nbr_col="neighbor", max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
     )
     return labels.withColumnRenamed("label", "cluster_id")
 

@@ -45,6 +45,7 @@ from gaia_spark.operators.feature_join import (
     _proper_cross_sql,
 )
 from gaia_spark.operators.spatial_join import ZoneIndex
+from gaia_spark.session import iter_checkpoint
 
 
 def _pt_seg_dist_m_sql(edges: str, lat: str, lon: str) -> str:
@@ -195,6 +196,7 @@ def feature_distance_nearest_cells(
     vertices_col: str = "vertices",
     kind: str = "poly",
     max_rounds: int = 8,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Distributed nearest-zone per feature for zone layers TOO LARGE TO
     BROADCAST: iterative cell-ring expansion (the knn.knn_join_cells
@@ -292,8 +294,8 @@ def feature_distance_nearest_cells(
             )
             .where(F.col("_rn") <= 1)
             .drop("_rn")
-            .localCheckpoint(eager=True)
         )
+        return iter_checkpoint(merged, reliable_checkpoint)
 
     for rho in range(max_rounds + 1):
         last = rho == max_rounds
@@ -339,7 +341,9 @@ def feature_distance_nearest_cells(
             .where(F.col("_d") < F.least(vert, horiz) - F.col("_hd"))
             .select("_fk")
         )
-        pend = pend.join(settled, "_fk", "left_anti").localCheckpoint(eager=True)
+        pend = iter_checkpoint(
+            pend.join(settled, "_fk", "left_anti"), reliable_checkpoint
+        )
         if pend.isEmpty():
             break
 

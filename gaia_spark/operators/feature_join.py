@@ -243,6 +243,7 @@ def feature_spatial_join(
     vertices_col: str = "vertices",
     kind: str = "poly",
     rings_col: str | None = None,
+    refine: str = "sql",
 ) -> DataFrame:
     """Join a polygon/polyline feature layer against a zone index.
 
@@ -254,6 +255,13 @@ def feature_spatial_join(
     MULTI-RING left features (holes / multipolygons, even-odd) — wins over
     ``vertices_col``; edges are derived per ring, probes over all rings'
     vertices. how: 'inner' (feature cols + zone_id), 'semi', 'anti'.
+
+    ``refine``: 'sql' (default — Catalyst HOF refinement, zero Python) or
+    'arrow' (numpy per-pair evaluation of the same predicate algebra via an
+    Arrow-batched pandas UDF — wins for LARGE-VERTEX layers where HOF
+    lambdas pay the interpreted-expression cost per edge; supports
+    intersects / within / crosses). Both backends produce identical rows
+    (pytest-asserted parity).
     """
     if predicate == "disjoint":
         return feature_spatial_join(
@@ -265,6 +273,13 @@ def feature_spatial_join(
         raise ValueError("crosses is defined here for line features vs polygon zones")
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown how {how!r}")
+    if refine not in ("sql", "arrow"):
+        raise ValueError(f"unknown refine backend {refine!r}")
+    if refine == "arrow" and predicate in ("touches", "touches_rook"):
+        raise ValueError(
+            "refine='arrow' supports intersects/within/crosses — the "
+            "collinear-overlap touches witness runs on the SQL backend"
+        )
     if "zone_id" in features.columns:
         # every other zone-side column is _z_-prefixed, but zone_id IS the
         # join's output column — a same-named user column would make the
@@ -383,8 +398,26 @@ def feature_spatial_join(
         .where(bbox_overlap)
         .where(F.expr(f"_cell = {rp_cell}"))
         .withColumn("_zedges", F.expr(_ZONE_EDGES))
-        .withColumn("_fedges_x", F.expr(_clip("_fedges")))
-        .withColumn("_zedges_x", F.expr(_clip("_zedges")))
+    )
+
+    if refine == "arrow":
+        matched = _arrow_refine(cand, predicate, kind, ix)
+        drop = [
+            "_fmin_lat", "_fmax_lat", "_fmin_lon", "_fmax_lon", "_fedges",
+            "_cx", "_cy", "_cell", "_z_cell", "_z_kind",
+            "_z_min_lat", "_z_min_lon", "_z_max_lat", "_z_max_lon",
+            "_z_edges_src", "_zedges",
+        ]
+        if rings_col is not None:
+            drop.append("vertices")
+        if how == "inner":
+            return matched.drop(*drop)
+        hits = matched.select(feature_key).distinct()
+        join_type = "left_semi" if how == "semi" else "left_anti"
+        return features.join(hits, feature_key, join_type)
+
+    cand = cand.withColumn("_fedges_x", F.expr(_clip("_fedges"))).withColumn(
+        "_zedges_x", F.expr(_clip("_zedges"))
     )
 
     # --- refinement primitives (feature side A, zone side B) ----------------
@@ -446,6 +479,37 @@ def feature_spatial_join(
     hits = matched.select(feature_key).distinct()
     join_type = "left_semi" if how == "semi" else "left_anti"
     return features.join(hits, feature_key, join_type)
+
+
+def _arrow_refine(cand: DataFrame, predicate: str, kind: str, ix: dict) -> DataFrame:
+    """Filter candidate pairs with the numpy predicate backend: geometry is
+    shipped as FLAT double arrays (Arrow list<double> → zero-copy numpy per
+    row), the rect is the same closed bbox-intersection the SQL clip uses,
+    and :func:`feature_refine.pair_predicate` mirrors the SQL algebra
+    bit-for-bit. Still map-side per pair — no shuffle is added."""
+    from gaia_spark.operators.feature_refine import make_pair_udf
+
+    _ok = make_pair_udf(predicate, kind)
+
+    return cand.withColumn(
+        "_okk",
+        _ok(
+            F.expr("transform(vertices, v -> v.lat)"),
+            F.expr("transform(vertices, v -> v.lon)"),
+            F.expr("transform(_fedges, e -> e.y1)"),
+            F.expr("transform(_fedges, e -> e.x1)"),
+            F.expr("transform(_fedges, e -> e.y2)"),
+            F.expr("transform(_fedges, e -> e.x2)"),
+            F.expr("transform(_zedges, e -> e.y1)"),
+            F.expr("transform(_zedges, e -> e.x1)"),
+            F.expr("transform(_zedges, e -> e.y2)"),
+            F.expr("transform(_zedges, e -> e.x2)"),
+            F.expr(ix["lat0"]),
+            F.expr(ix["lat1"]),
+            F.expr(ix["lon0"]),
+            F.expr(ix["lon1"]),
+        ),
+    ).where(F.col("_okk")).drop("_okk")
 
 
 def canonical_ring_sql(vertices: str) -> str:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from gaia_spark.functions import portable
 from gaia_spark.functions.kernel import cell_encode, haversine_m
 from gaia_spark.operators.spatial_join import with_cell
+from gaia_spark.session import iter_checkpoint
 
 
 def knn_join_broadcast(
@@ -301,6 +302,7 @@ def knn_join_cells(
     point_key: str = "url",
     site_key: str = "site_id",
     max_rounds: int = 8,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Distributed kNN via iterative cell-ring expansion (both sides large).
 
@@ -333,13 +335,14 @@ def knn_join_cells(
 
     def _merge_topk(acc: DataFrame | None, cand: DataFrame) -> DataFrame:
         merged = cand if acc is None else acc.unionByName(cand)
-        return (
+        topped = (
             merged.dropDuplicates(["_pk", "site_id"])
             .withColumn("_rn", F.row_number().over(topk_w))
             .where(F.col("_rn") <= k)
             .drop("_rn")
-            .localCheckpoint(eager=True)  # cut the iterative lineage
         )
+        # cut the iterative lineage each round
+        return iter_checkpoint(topped, reliable_checkpoint)
 
     dist = F.expr(portable.haversine_m_sql("lat", "lon", "site_lat", "site_lon"))
     for rho in range(max_rounds + 1):
@@ -391,7 +394,9 @@ def knn_join_cells(
         settled_keys = agg.where(
             (F.col("_nc") >= k) & (F.col("_dk") < F.least(vert, horiz))
         ).select("_pk")
-        pending = pending.join(settled_keys, "_pk", "left_anti").localCheckpoint(eager=True)
+        pending = iter_checkpoint(
+            pending.join(settled_keys, "_pk", "left_anti"), reliable_checkpoint
+        )
         if pending.isEmpty():
             break
 

@@ -193,6 +193,7 @@ def grid_dbscan(
     min_pts: int,
     point_key: str = "url",
     max_iter: int = 30,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """ClusterProcess as grid-DBSCAN: dense cells (count ≥ min_pts) are core;
     clusters are connected components of dense cells under rook adjacency,
@@ -216,7 +217,10 @@ def grid_dbscan(
         .select("cell")
     )
     adj = cell_rook_weights(dense, res).select("cell", "neighbor")
-    labels = min_label_components(dense, adj, node_col="cell", max_iter=max_iter)
+    labels = min_label_components(
+        dense, adj, node_col="cell", max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+    )
     return labels.withColumnRenamed("label", "cluster_id")
 
 
@@ -226,6 +230,7 @@ def min_label_components(
     node_col: str = "cell",
     nbr_col: str = "neighbor",
     max_iter: int = 30,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation WITH pointer doubling:
     returns (node_col, label) where label = min node id of the component.
@@ -236,8 +241,14 @@ def min_label_components(
     exits unconverged rather than silently returning split components.
     ``edges`` must be symmetric (or the propagation only flows one way);
     labels are always node ids, so the pointer lookup is total.
-    localCheckpoint cuts the iterative lineage each round."""
-    labels = nodes.select(node_col, F.col(node_col).alias("label")).localCheckpoint(eager=True)
+    The per-round lineage cut is localCheckpoint by default;
+    ``reliable_checkpoint=True`` survives executor loss on a real cluster
+    (see session.iter_checkpoint)."""
+    from gaia_spark.session import iter_checkpoint
+
+    labels = iter_checkpoint(
+        nodes.select(node_col, F.col(node_col).alias("label")), reliable_checkpoint
+    )
     converged = False
     for _ in range(max_iter):
         prop = (
@@ -251,13 +262,13 @@ def min_label_components(
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
         )
         parent = hop.select(F.col(node_col).alias("_p"), F.col("label").alias("_pl"))
-        new = (
+        new = iter_checkpoint(
             hop.join(parent, hop["label"] == parent["_p"], "left")
             .select(
                 node_col,
                 F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            reliable_checkpoint,
         )
         converged = (
             new.alias("a")

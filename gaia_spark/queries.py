@@ -872,6 +872,37 @@ def q_mercator_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _utm_oracle() -> str:
+    from gaia_spark.functions import crs
+
+    return f"""
+    WITH {PTS_CTE}
+    SELECT c_custkey,
+           {P.floor_scaled_sql(crs.utm_x_sql('lat', 'lon', 31), 1)} AS utm_x_e1,
+           {P.floor_scaled_sql(crs.utm_y_sql('lat', 'lon', 31), 1)} AS utm_y_e1
+    FROM pts WHERE lon >= 0.0 AND lon < 6.0
+    """
+
+
+@register("q_utm_reproject", _utm_oracle())
+def q_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-CRS reproject API: customer points inside UTM zone 31's
+    longitude band reprojected to EPSG:32631 (spherical transverse
+    Mercator, documented approximation) through ``crs.reproject`` — the
+    oracle evaluates the identical formula strings."""
+    from gaia_spark.functions.crs import reproject
+
+    pts = customer_points(spark, sf_dir).where(
+        (F.col("lon") >= 0.0) & (F.col("lon") < 6.0)
+    )
+    out = reproject(pts, "EPSG:4326", "EPSG:32631", x="utm_x", y="utm_y")
+    return out.select(
+        "c_custkey",
+        F.expr(P.floor_scaled_sql("utm_x", 1)).alias("utm_x_e1"),
+        F.expr(P.floor_scaled_sql("utm_y", 1)).alias("utm_y_e1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # geoparse (the byte-identical north-rule invariant, driver-hash-checked)
 # ---------------------------------------------------------------------------
@@ -1000,8 +1031,8 @@ _PRIORITY: list[str] = [
     "q_raster_clip",
     "q_raster_math",
     "q_shapefile_read",
-    "q_feature_buffer",
     "q_ngon_intersects_arrow",
+    "q_utm_reproject",
 ]
 
 

@@ -72,6 +72,32 @@ def q_poly_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ngon_intersects_arrow",
+    f"""
+    WITH {PARCELS_CTE}, {ZONES_CTE}
+    SELECT p_partkey, zone_id
+    FROM parcels JOIN zones
+      ON pmin_lat <= max_lat AND pmax_lat >= min_lat
+     AND pmin_lon <= max_lon AND pmax_lon >= min_lon
+    """,
+)
+def q_ngon_intersects_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME intersects join refined by the ARROW backend (numpy
+    per-pair evaluation of the predicate algebra, feature_refine.py) —
+    same oracle as q_poly_intersects_join: two refine backends, one
+    answer, driver-hash-checked. The large-vertex fast path the
+    ngon512_intersects_arrow bench entry measures."""
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    feats = parcel_features(spark, sf_dir)
+    out = feature_spatial_join(
+        feats, _zone_index(), predicate="intersects", feature_key="p_partkey",
+        refine="arrow",
+    )
+    return out.select("p_partkey", "zone_id")
+
+
+@register(
     "q_poly_within_join",
     f"""
     WITH {PARCELS_CTE}, {ZONES_CTE}

@@ -326,6 +326,44 @@ def q_raster_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_shapefile_read",
+    f"""
+    SELECT s_suppkey,
+           {P.floor_scaled_sql(P.key_lat_sql('s_suppkey'), 6)} AS lat_e6,
+           {P.floor_scaled_sql(P.key_lon_sql('s_suppkey'), 6)} AS lon_e6
+    FROM supplier
+    """,
+)
+def q_shapefile_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorFileIO .shp round-trip: supplier-derived points written as a
+    real ESRI Shapefile (.shp + .dbf sidecar, spec-conformant binary),
+    read back DISTRIBUTED via the binaryFile scan + Arrow parse — the
+    oracle replays the key-derived coordinates, so the whole binary
+    write→read path is hash-checked (IEEE doubles survive exactly)."""
+    import hashlib
+    import os
+
+    from gaia_spark.sources.shapefile import read_shapefile, write_shapefile_points
+
+    pts = (
+        load(spark, sf_dir, "supplier")
+        .withColumn("lat", F.expr(P.key_lat_sql("s_suppkey")))
+        .withColumn("lon", F.expr(P.key_lon_sql("s_suppkey")))
+        .select("s_suppkey", "lat", "lon")
+    )
+    d = f"/tmp/gaia_shp_cache/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(d + "/suppliers.shp"):
+        os.makedirs(d, exist_ok=True)
+        write_shapefile_points(pts, d + "/suppliers", props=["s_suppkey"])
+    feats = read_shapefile(spark, d)
+    return feats.select(
+        F.expr("cast(properties['s_suppkey'] as bigint)").alias("s_suppkey"),
+        F.expr(P.floor_scaled_sql("lat", 6)).alias("lat_e6"),
+        F.expr(P.floor_scaled_sql("lon", 6)).alias("lon_e6"),
+    )
+
+
 def _media_oracle() -> str:
     """fake_decode mirrored byte-for-byte: payload bytes via hex(encode(
     text)) sliced 2 chars at a time, first 64 bytes zero-padded, 16-byte

@@ -41,3 +41,17 @@ def get_session(
     for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def iter_checkpoint(df, reliable: bool = False):
+    """Lineage cut for iterative operators (ring expansion, min-label
+    propagation): ``localCheckpoint`` by default — right locally and
+    cheapest on a cluster, but its blocks live on executors and are LOST on
+    executor death, which fails the job mid-iteration. On a real cluster
+    with preemptible executors pass ``reliable=True`` to write a
+    fault-tolerant checkpoint instead (requires
+    ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`` once per app).
+    """
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -192,3 +192,33 @@ def test_dup_clusters_transitive_chain(spark):
     )
     kept = {r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()}
     assert kept == {1, 100, 500}
+
+
+def test_minhash_hot_band_cap_degenerate_corpus(spark):
+    """Adversarial corpus: 1,500 docs share the identical boilerplate text
+    (every band key collides for all of them → ~1.1M candidate pairs
+    uncapped) plus one genuine near-dup pair with distinct text. With
+    max_band_count the hot bands are dropped BEFORE the self-join: the run
+    completes without the quadratic expansion, the near-dup pair (whose
+    band keys are its own) survives, and no boilerplate pair leaks."""
+    import time
+
+    from gaia_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "the same boilerplate navigation footer text repeated everywhere"
+    near_a = "a genuinely unique long document about alpine glaciers and moraine deposits"
+    near_b = "a genuinely unique long document about alpine glaciers and moraine basins"
+    rows = [(i, boiler) for i in range(1500)]
+    rows += [(10_001, near_a), (10_002, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = time.time()
+    pairs = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(docs, max_band_count=100).collect()
+    }
+    elapsed = time.time() - t0
+    assert (10_001, 10_002) in pairs
+    assert all(a >= 10_001 for a, _ in pairs), "boilerplate pairs must be capped away"
+    # uncapped this is a ~1.1M-row self-join explosion; capped it is tiny
+    assert elapsed < 60

@@ -454,3 +454,30 @@ def test_feature_equals_canonical_invariance(spark):
     )
     got = {(r.fid, r.bid) for r in feature_equals_join(a, b, "fid", "bid").collect()}
     assert got == {(1, 10), (2, 10), (3, 10)}
+
+
+def test_arrow_refine_parity_with_sql(spark, rect_zones_idx):
+    """refine='arrow' (numpy pair predicate) must produce EXACTLY the rows
+    of the default SQL HOF refine — over the mixed rect+poly zone layer,
+    for every predicate the arrow backend supports, both kinds."""
+    from gaia_spark.synth import synth_zones_pdf
+
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+    feats = parcels_df(spark, parcels_pdf(250))
+
+    def pairs(pred, kind, refine):
+        return {
+            (r.fid, r.zone_id)
+            for r in feature_spatial_join(
+                feats, idx, pred, feature_key="fid", kind=kind, refine=refine
+            ).collect()
+        }
+
+    for pred in ("intersects", "within"):
+        assert pairs(pred, "poly", "sql") == pairs(pred, "poly", "arrow"), pred
+    # line kinds: open chains; crosses is line-only
+    for pred in ("intersects", "crosses"):
+        assert pairs(pred, "line", "sql") == pairs(pred, "line", "arrow"), pred
+
+    with pytest.raises(ValueError, match="arrow"):
+        feature_spatial_join(feats, idx, "touches", feature_key="fid", refine="arrow")

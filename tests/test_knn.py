@@ -148,3 +148,36 @@ def test_knn_cells_k3_distributed_sites(spark):
     for url, rs in per_pt.items():
         assert sorted(r for r, _ in rs) == [1, 2, 3]
         assert len({s for _, s in rs}) == 3
+
+
+def test_knn_cells_reliable_checkpoint(spark, points, sites, tmp_path):
+    """reliable_checkpoint=True swaps localCheckpoint for a fault-tolerant
+    checkpoint (survives executor loss on a cluster) — same answer."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    sites_df = spark.createDataFrame(sites)
+    a = {(r.url, r.site_id) for r in knn_join_broadcast(points, sites, k=1).collect()}
+    b = {
+        (r.url, r.site_id)
+        for r in knn_join_cells(
+            points, sites_df, k=1, res=5, reliable_checkpoint=True
+        ).collect()
+    }
+    assert a == b
+
+
+def test_near_join_cells_matches_driver_cover(spark, points, sites):
+    """The distributed sequence/explode cover (near_join_cells) must produce
+    exactly the driver-loop cover's pairs, radius small and large."""
+    from gaia_spark.operators.knn import near_join_cells
+
+    sites_df = spark.createDataFrame(sites)
+    for radius in (300_000.0, 2_000_000.0):
+        a = {
+            (r.url, r.site_id)
+            for r in near_join(points, sites, radius_m=radius).collect()
+        }
+        b = {
+            (r.url, r.site_id)
+            for r in near_join_cells(points, sites_df, radius_m=radius).collect()
+        }
+        assert a == b and len(a) > 0

@@ -138,3 +138,59 @@ def test_geojson_import_feeds_feature_join(spark, tmp_path):
     }]))
     got = {r.name for r in feature_spatial_join(imported, idx, "within", feature_key="name").collect()}
     assert got == {"in"}
+
+
+def test_shapefile_roundtrip_points_and_polys(spark, tmp_path):
+    """Spec-conformant .shp/.dbf writer → distributed binaryFile reader:
+    points keep exact doubles + attributes; multi-part polygons come back
+    as rings (outer + hole) with vertices flattened."""
+    from gaia_spark.sources.shapefile import (
+        read_shapefile, write_dbf, write_poly_shp, write_point_shp)
+
+    d = tmp_path / "layers"
+    d.mkdir()
+    (d / "pts.shp").write_bytes(write_point_shp([10.5, -120.25], [45.0, -33.5]))
+    (d / "pts.dbf").write_bytes(write_dbf([{"nm": "a"}, {"nm": "b"}]))
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]
+    (d / "zones.shp").write_bytes(write_poly_shp([[outer, hole]]))
+
+    rows = read_shapefile(spark, str(d)).collect()
+    pts = sorted(
+        [r for r in rows if r.geom_kind == "point"], key=lambda r: r.rec
+    )
+    assert [(r.lon, r.lat, r.properties["nm"]) for r in pts] == [
+        (10.5, 45.0, "a"), (-120.25, -33.5, "b")
+    ]
+    poly = [r for r in rows if r.geom_kind == "poly"][0]
+    assert len(poly.rings) == 2 and len(poly.vertices) == 10
+    assert poly.rings[1][0].lat == 2.0 and poly.properties == {}
+
+
+def test_shapefile_features_feed_spatial_join(spark, tmp_path):
+    """.shp polygons drive the generic feature join end to end (the real
+    gaia user path: read .shp, intersect with zones)."""
+    import pandas as pd
+
+    from gaia_spark.operators.feature_join import feature_spatial_join
+    from gaia_spark.operators.spatial_join import ZoneIndex
+    from gaia_spark.sources.shapefile import read_shapefile, write_poly_shp
+
+    d = tmp_path / "parcels"
+    d.mkdir()
+    sq = lambda x, y: [(x, y), (x + 4.0, y), (x + 4.0, y + 4.0), (x, y + 4.0), (x, y)]  # noqa: E731
+    (d / "p.shp").write_bytes(write_poly_shp([[sq(1.0, 1.0)], [sq(50.0, 50.0)]]))
+    feats = read_shapefile(spark, str(d)).withColumnRenamed("rec", "fid")
+
+    ring = [
+        {"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+        {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0},
+        {"lat": 0.0, "lon": 0.0},
+    ]
+    idx = ZoneIndex.build(pd.DataFrame([{
+        "zone_id": 7, "name": "z", "kind": "rect", "category": "c",
+        "min_lat": 0.0, "min_lon": 0.0, "max_lat": 10.0, "max_lon": 10.0,
+        "vertices": ring,
+    }]))
+    out = feature_spatial_join(feats, idx, "intersects", feature_key="fid")
+    assert {(r.fid, r.zone_id) for r in out.collect()} == {(1, 7)}
