@@ -178,3 +178,43 @@ def tf_idf_top_terms(
             id_col, "term", F.col("rank").cast("int").alias("rank"), "score_e4",
         )
     )
+
+
+def chunk_texts_sql(text: str, dialect: str, max_tokens: int, stride: int) -> str:
+    """Array of overlapping word-window chunks of ``text`` — the
+    training-data chunking primitive (context-length-bounded splits with
+    overlap). Chunk i covers words [i·stride+1, i·stride+max_tokens]
+    (1-based, clamped); every word is covered; docs with ≤ max_tokens
+    words yield exactly one chunk. Same expression both dialects →
+    chunk TEXT is hash-checkable."""
+    m, s = int(max_tokens), int(stride)
+    if not (0 < s <= m):
+        raise ValueError("need 0 < stride <= max_tokens")
+    w = P.split_ws(text, dialect)
+    if dialect == P.SPARK:
+        n = f"size({w})"
+        n_chunks = f"CASE WHEN {n} <= {m} THEN 1 ELSE 1 + {P.idiv_sql(f'({n} - {m} + {s} - 1)', s)} END"
+        return (
+            f"transform(sequence(0, cast(({n_chunks}) as int) - 1), "
+            f"i -> array_join(slice({w}, i * {s} + 1, {m}), ' '))"
+        )
+    n = f"len({w})"
+    n_chunks = f"CASE WHEN {n} <= {m} THEN 1 ELSE 1 + {P.idiv_sql(f'({n} - {m} + {s} - 1)', s)} END"
+    return (
+        f"list_transform(range(0, cast(({n_chunks}) as int)), "
+        f"i -> array_to_string(list_slice({w}, i * {s} + 1, i * {s} + {m}), ' '))"
+    )
+
+
+def chunk_documents(df, max_tokens: int = 50, overlap: int = 10, id_col: str = "doc_id", text_col: str = "text"):
+    """Explode documents into overlapping training chunks:
+    (id, chunk_id, chunk). Pure JVM (split + transform + posexplode) —
+    no Python in the path, chunk count per doc is O(len/stride)."""
+    import pyspark.sql.functions as F
+
+    stride = max_tokens - overlap
+    chunks = chunk_texts_sql(text_col, P.SPARK, max_tokens, stride)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk"),
+    )

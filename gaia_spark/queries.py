@@ -1033,6 +1033,8 @@ _PRIORITY: list[str] = [
     "q_shapefile_read",
     "q_ngon_intersects_arrow",
     "q_utm_reproject",
+    "q_chunk_docs",
+    "q_url_stats",
 ]
 
 

@@ -436,3 +436,66 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
     )
+
+
+@register(
+    "q_chunk_docs",
+    f"""
+    WITH c AS (SELECT doc_id,
+               unnest({T.chunk_texts_sql('text', P.DUCK, 50, 40)}) AS chunk,
+               generate_subscripts({T.chunk_texts_sql('text', P.DUCK, 50, 40)}, 1) - 1 AS chunk_id
+               FROM documents)
+    SELECT doc_id, cast(chunk_id as int) AS chunk_id, chunk,
+           cast({T.token_count_sql('chunk', P.DUCK)} as bigint) AS n_tokens
+    FROM c
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: overlapping word-window splits (50-token
+    chunks, 10-token overlap) — pure JVM split/transform/posexplode; the
+    chunk TEXT itself is hash-checked against the DuckDB twin."""
+    from gaia_spark.functions.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    out = chunk_documents(d, max_tokens=50, overlap=10)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk",
+        F.expr(T.token_count_sql("chunk", P.SPARK)).cast("long").alias("n_tokens"),
+    )
+
+
+def _url_oracle() -> str:
+    from gaia_spark.functions import web as W
+    from gaia_spark.queries import _PAGES_CTE
+
+    return f"""
+    WITH {_PAGES_CTE},
+    h AS (SELECT {W.host_sql('url')} AS host, {W.tld_sql('url')} AS tld,
+                 length(coalesce({W.path_sql('url')}, '')) AS path_len
+          FROM pages)
+    SELECT host, tld, count(*) AS n_pages,
+           cast(sum(path_len) as bigint) AS path_chars
+    FROM h GROUP BY host, tld
+    """
+
+
+@register("q_url_stats", _url_oracle())
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + host-level rollup (per-host dedup scope / crawl
+    politeness key): host/tld/path extracted by ONE regex evaluated
+    verbatim in both engines, aggregated per host."""
+    from gaia_spark.functions import web as W
+    from gaia_spark.queries import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    h = pages.select(
+        F.expr(W.host_sql("url")).alias("host"),
+        F.expr(W.tld_sql("url")).alias("tld"),
+        F.length(F.coalesce(F.expr(W.path_sql("url")), F.lit(""))).alias("path_len"),
+    )
+    return h.groupBy("host", "tld").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("path_len").cast("long").alias("path_chars"),
+    )

