@@ -148,6 +148,7 @@ def _write_baseline_md(result: dict, args) -> None:
     # preserve the controls section (alternating-level experiments) across
     # reruns of the headline measurement
     scaling_path = os.path.join(HERE, "BENCH", "scaling.json")
+    old = None
     if os.path.exists(scaling_path):
         try:
             with open(scaling_path) as f:
@@ -155,7 +156,20 @@ def _write_baseline_md(result: dict, args) -> None:
             if "controls" in old and "controls" not in result:
                 result["controls"] = old["controls"]
         except (OSError, json.JSONDecodeError):
-            pass
+            old = None
+    # scaling.json keeps the CLEANEST measurement, not the latest: a run
+    # under hypervisor-steal storms (this host's recurring failure mode)
+    # must not clobber calm-window gate evidence. Raw runs always land in
+    # scaling_run.md + BENCH/attempts/ regardless.
+    new_steal = max(result["steal_pct"].values())
+    old_steal = max(old["steal_pct"].values()) if old and old.get("steal_pct") else 1e9
+    if old is not None and new_steal > max(2.0, old_steal):
+        alt = os.path.join(HERE, "BENCH", "attempts")
+        os.makedirs(alt, exist_ok=True)
+        with open(os.path.join(alt, f"scaling_steal{new_steal:.0f}.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps({"skipped_scaling_json_update": True, "steal": new_steal}))
+        return
     with open(scaling_path, "w") as f:
         json.dump(result, f, indent=2)
 
