@@ -135,6 +135,64 @@ def simhash(
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, banded for scale.
+
+    Pigeonhole recall guarantee: split the ``bits``-bit signature into
+    ``bands`` contiguous bit-bands; a pair within ``max_hamming < bands``
+    differing bits cannot differ in every band, so it agrees EXACTLY on at
+    least one band key. Candidates therefore come from a band-key
+    equi-join (bucketed, never all-pairs — same shape as
+    :func:`minhash_lsh_pairs`), and the exact Hamming check (popcount of
+    xor via the engine-portable ``(a|b)-(a&b)`` identity — no ``^`` in
+    DuckDB, no ``xor()`` in Spark SQL) runs only on candidates.
+
+    Returns (a, b, hamming) with a < b and hamming ≤ max_hamming.
+    """
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < bands (got {max_hamming} >= "
+            f"{bands}): a pair could spread its differing bits across every band "
+            "and never collide"
+        )
+    w = bits // bands
+    sig = simhash(df, id_col, text_col, bits)
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            F.expr(f"({P.idiv_sql('simhash', 1 << (b * w))}) % {1 << w}").cast("string"),
+        ).alias("band")
+        for b in range(bands)
+    ]
+    keyed = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("band")
+    )
+    a = keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "band")
+    b = keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "band")
+    cand = (
+        a.join(b, "band")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = "bit_count((sig_a | sig_b) - (sig_a & sig_b))"
+    return (
+        cand.withColumn("hamming", F.expr(ham).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

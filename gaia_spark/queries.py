@@ -1035,6 +1035,8 @@ _PRIORITY: list[str] = [
     "q_utm_reproject",
     "q_chunk_docs",
     "q_url_stats",
+    "q_simhash_pairs",
+    "q_set_ops",
 ]
 
 

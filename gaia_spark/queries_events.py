@@ -222,3 +222,34 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = li.where("l_quantity >= 25").select(F.lit("hi").alias("kind"), "l_orderkey")
     lo = li.where("l_quantity < 25").select(F.lit("lo").alias("kind"), "l_orderkey")
     return union_features(hi, lo).groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_set_ops",
+    """
+    SELECT 'both' AS kind, k FROM (
+      SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 25
+      INTERSECT
+      SELECT l_orderkey AS k FROM lineitem WHERE l_quantity < 10)
+    UNION ALL
+    SELECT 'only_hi' AS kind, k FROM (
+      SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 25
+      EXCEPT ALL
+      SELECT l_orderkey AS k FROM lineitem WHERE l_quantity < 10)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (set-distinct) + exceptAll (multiset) feature complements —
+    both engines implement ANSI bag semantics, so the rows hash-match."""
+    from gaia_spark.operators.setops import (
+        except_features,
+        intersect_features,
+        union_features,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    a = li.where("l_quantity >= 25").select(F.col("l_orderkey").alias("k"))
+    b = li.where("l_quantity < 10").select(F.col("l_orderkey").alias("k"))
+    inter = intersect_features(a, b).select(F.lit("both").alias("kind"), "k")
+    diff = except_features(a, b).select(F.lit("only_hi").alias("kind"), "k")
+    return union_features(inter, diff)

@@ -138,23 +138,60 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-@register(
-    "q_simhash",
-    f"""
-    WITH w AS (SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents),
+def _duck_simhash_ctes() -> str:
+    """Shared DuckDB CTE chain ending in sig(doc_id, simhash) — the exact
+    16-bit SimHash replayed in SQL (mirrors dedup.simhash op order)."""
+    return f"""
+    w AS (SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents),
     h AS (SELECT doc_id, {P.md5_int60('w', P.DUCK)} AS h FROM w),
     v AS (SELECT doc_id,
           {', '.join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
-          FROM h GROUP BY doc_id)
-    SELECT doc_id,
-           cast({' + '.join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} as bigint) AS simhash
-    FROM v
+          FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+            cast({' + '.join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} as bigint) AS simhash
+            FROM v)
+    """
+
+
+@register(
+    "q_simhash",
+    f"""
+    WITH {_duck_simhash_ctes()}
+    SELECT doc_id, simhash FROM sig
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.operators.dedup import simhash
 
     return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+# simhash_near_pairs defaults: 16 bits, 4 bands of 4 bits, hamming <= 3
+_SH_BANDS = ", ".join(
+    f"concat('{b}', '_', cast(({P.idiv_sql('simhash', 1 << (b * 4))}) % 16 as varchar))"
+    for b in range(4)
+)
+
+@register(
+    "q_simhash_pairs",
+    f"""
+    WITH {_duck_simhash_ctes()},
+    bk AS (SELECT doc_id, simhash, unnest([{_SH_BANDS}]) AS band FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+             FROM bk a JOIN bk b USING (band) WHERE a.doc_id < b.doc_id)
+    SELECT a, b,
+           cast(bit_count((sig_a | sig_b) - (sig_a & sig_b)) as int) AS hamming
+    FROM cand
+    WHERE bit_count((sig_a | sig_b) - (sig_a & sig_b)) <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — banded Hamming join, pigeonhole-exact
+    (max_hamming < bands ⇒ no candidate is ever missed)."""
+    from gaia_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load(spark, sf_dir, "documents"))
 
 
 @register(

@@ -222,3 +222,30 @@ def test_minhash_hot_band_cap_degenerate_corpus(spark):
     assert all(a >= 10_001 for a, _ in pairs), "boilerplate pairs must be capped away"
     # uncapped this is a ~1.1M-row self-join explosion; capped it is tiny
     assert elapsed < 60
+
+
+def test_simhash_near_pairs_exact_vs_brute_force(spark):
+    """Pigeonhole exactness: with max_hamming < bands the banded join finds
+    EVERY pair within the Hamming budget — compare against all-pairs."""
+    from gaia_spark.operators.dedup import simhash_near_pairs
+
+    d = _docs(spark)
+    sigs = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r.a, r.b, r.hamming) for r in simhash_near_pairs(d).collect()}
+    assert got == expect
+    assert (0, 1, 0) in got  # identical docs: hamming 0
+
+
+def test_simhash_near_pairs_rejects_unsound_banding(spark):
+    from gaia_spark.operators.dedup import simhash_near_pairs
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming < bands"):
+        simhash_near_pairs(_docs(spark), bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_near_pairs(_docs(spark), bits=16, bands=5)
