@@ -3,6 +3,7 @@ from gaia_spark.streaming.ingest import (
     stream_cell_counts,
     stream_dedup_urls,
     stream_session_windows,
+    stream_spatial_join,
     stream_stream_join,
     stream_to_icelite,
     write_stream_batch,
@@ -13,6 +14,7 @@ __all__ = [
     "stream_cell_counts",
     "stream_dedup_urls",
     "stream_session_windows",
+    "stream_spatial_join",
     "stream_stream_join",
     "stream_to_icelite",
     "write_stream_batch",

@@ -101,6 +101,35 @@ def stream_to_icelite(df: DataFrame, table_path: str, checkpoint: str, trigger_o
     return writer.start()
 
 
+def stream_spatial_join(
+    pages: DataFrame,
+    index,
+    predicate: str = "within",
+) -> DataFrame:
+    """Stream-static spatial join: geoparse each micro-batch of pages and
+    assign zones from the broadcast zone index — the streaming flagship
+    (incremental crawl → live zone enrichment).
+
+    Stateless by construction: geoparse is a per-row Arrow UDF and the
+    batch :func:`~gaia_spark.operators.spatial_join.spatial_join` inner
+    path is candidate-join + filter (no aggregation, no dedup), so the
+    same operator runs unchanged on a streaming DataFrame with the zone
+    cover as the static broadcast side. No watermark needed — output rows
+    depend only on their own micro-batch. Micro-batch results are
+    byte-identical to running the batch join on the same input
+    (pytest-asserted parity).
+
+    Only ``how='inner'`` semantics: semi/anti need cross-row state
+    (dropDuplicates) that a stream would have to watermark — use
+    the batch operator for those.
+    """
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.spatial_join import spatial_join
+
+    pts = geoparse(pages).where(F.col("lat").isNotNull())
+    return spatial_join(pts, index, predicate, how="inner", strategy="broadcast")
+
+
 def stream_stream_join(
     pages: DataFrame,
     events: DataFrame,

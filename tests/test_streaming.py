@@ -130,3 +130,38 @@ def test_stream_stream_join_within_bound(spark, tmp_path):
     got = {(r.url, r.kind) for r in spark.sql("select * from ssjoin").collect()}
     want = {(r.url, "click") for r in pages.select("url").collect()}
     assert got == want  # only the within-bound events join; no late/orphan
+
+
+def test_stream_spatial_join_matches_batch(spark, tmp_path):
+    """Stream-static spatial join: micro-batch output rows are EXACTLY the
+    batch join's rows on the same input (stateless parity)."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.spatial_join import ZoneIndex, spatial_join
+    from gaia_spark.streaming import stream_spatial_join
+    from gaia_spark.synth import synth_zones_pdf
+
+    src = str(tmp_path / "incoming_sj")
+    synth_pages(spark, 400, partitions=2).write.mode("append").parquet(src)
+    idx = ZoneIndex.build(synth_zones_pdf(16))
+
+    q = (
+        stream_spatial_join(read_pages_stream(spark, src), idx)
+        .writeStream.format("memory")
+        .queryName("streamsj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.url, r.zone_id)
+        for r in spark.sql("select url, zone_id from streamsj").collect()
+    }
+
+    batch_pts = geoparse(spark.read.parquet(src)).where("lat is not null")
+    expect = {
+        (r.url, r.zone_id)
+        for r in spatial_join(batch_pts, idx, "within").select("url", "zone_id").collect()
+    }
+    assert got == expect
+    assert len(got) > 0
