@@ -1037,6 +1037,7 @@ _PRIORITY: list[str] = [
     "q_url_stats",
     "q_simhash_pairs",
     "q_set_ops",
+    "q_sample_mix",
 ]
 
 

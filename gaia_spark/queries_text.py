@@ -536,3 +536,25 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pages"),
         F.sum("path_len").cast("long").alias("path_chars"),
     )
+
+# deterministic stratified data-mix sample (operators/sampling.py)
+from gaia_spark.operators.sampling import _uniform_sql, rate_case_sql
+
+_MIX_RATES = {"en": 0.25, "de": 0.75, "fr": 1.0, "zh": 0.5}  # es -> default 0.0
+_MIX_CASE = rate_case_sql(_MIX_RATES, "lang", 0.0)
+
+
+@register(
+    "q_sample_mix",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_uniform_sql('doc_id', 's0', P.DUCK)} < {_MIX_CASE}
+    """,
+)
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data-mix sample — the driver hash-checks the
+    SAMPLED ROWS themselves, proving the selection is engine-independent."""
+    from gaia_spark.operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(d, _MIX_RATES).select("doc_id", "lang", "source")

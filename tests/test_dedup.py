@@ -249,3 +249,28 @@ def test_simhash_near_pairs_rejects_unsound_banding(spark):
         simhash_near_pairs(_docs(spark), bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divide evenly"):
         simhash_near_pairs(_docs(spark), bits=16, bands=5)
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    """Selection is a pure function of (doc_id, rate): two runs agree, and
+    raising a rate only ADDS rows (never reshuffles the kept set)."""
+    from gaia_spark.operators.sampling import stratified_sample
+    import pytest
+
+    rows = [(i, "txt", "en" if i % 3 else "de") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    half = {r.doc_id for r in stratified_sample(d, {"en": 0.5, "de": 0.2}).collect()}
+    again = {r.doc_id for r in stratified_sample(d, {"en": 0.5, "de": 0.2}).collect()}
+    assert half == again
+    assert 0 < len(half) < 300
+
+    more = {r.doc_id for r in stratified_sample(d, {"en": 0.8, "de": 0.2}).collect()}
+    assert half <= more  # monotone: higher rate is a superset
+
+    # unlisted strata use default_rate (0.0 -> dropped entirely)
+    only_de = {r.lang for r in stratified_sample(d, {"de": 1.0}).collect()}
+    assert only_de == {"de"}
+
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        stratified_sample(d, {"en": 1.5})
