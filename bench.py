@@ -179,6 +179,11 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         parcels = spark.read.parquet(ensure_parcels_synth(spark, 1_000_000, cache_dir))
         return feature_spatial_join(parcels, idx, "intersects", feature_key="fid")
 
+    def _kde(res: int = 8, bandwidth_m: float = 60_000.0):
+        from gaia_spark.operators.interpolate import kde_grid
+
+        return kde_grid(geoparsed().where(F.col("lat").isNotNull()), res, bandwidth_m)
+
     def _ngon_join(refine: str = "sql"):
         from gaia_spark.operators.feature_join import feature_spatial_join
 
@@ -231,6 +236,10 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         # lambdas) — the large-vertex fast path
         "ngon512_intersects_arrow": lambda: _ngon_join(refine="arrow"),
         "pages_knn1": lambda: knn_join_broadcast(geoparsed(), site_points_pdf(), k=1),
+        # density rasterization (round-4): join-free scatter plan — points
+        # explode onto reachable res-8 cells, one groupBy(cell); measures
+        # the IDW/KDE operator family at page scale
+        "pages_kde_grid": lambda: _kde(),
         # driver-table headliners (same code paths the oracle checks)
         "q_within_join": lambda: REGISTRY["q_within_join"].spark(spark, sf_dir),
         "q_zonal_stats": lambda: REGISTRY["q_zonal_stats"].spark(spark, sf_dir),

@@ -164,6 +164,90 @@ def ngon_bearing_sql(i: str, n: int) -> str:
     return f"(cast({i} as double) * ((2 * pi()) / {n}))"
 
 
+def cell_center_lat_sql(y: str, res: int) -> str:
+    """Latitude of the center of grid row ``y`` at ``res`` (inverse of
+    cell_y_sql's floor bucketing)."""
+    n = 1 << res
+    return f"(90.0 - (({y}) + 0.5) * {180.0 / n})"
+
+
+def cell_center_lon_sql(x: str, res: int) -> str:
+    n = 1 << res
+    return f"((({x}) + 0.5) * {360.0 / n} - 180.0)"
+
+
+def bearing_deg_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Initial great-circle bearing (forward azimuth) from point 1 to point 2,
+    degrees in [0, 360). The ST_Azimuth analog ([R] SURVEY §0 DistanceProcess
+    family). Portable: atan2/sin/cos/radians only."""
+    dlam = f"(radians({lon2}) - radians({lon1}))"
+    y = f"(sin({dlam}) * cos(radians({lat2})))"
+    x = (
+        f"(cos(radians({lat1})) * sin(radians({lat2})) - "
+        f"sin(radians({lat1})) * cos(radians({lat2})) * cos({dlam}))"
+    )
+    return pos_mod_sql(f"degrees(atan2({y}, {x}))", 360.0)
+
+
+# --- geohash (base-32 bit-interleaved encoding) ------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_bits(precision: int) -> tuple[int, int]:
+    """(lon_bits, lat_bits) of a geohash at ``precision`` chars — lon takes
+    the even stream positions starting at the MSB, so it gets the extra bit
+    when 5·precision is odd."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    return lon_bits, total - lon_bits
+
+
+def geohash_lonq_sql(lon: str, precision: int) -> str:
+    """Quantized longitude: floor((lon+180)/360 · 2^lon_bits), clamped."""
+    nbits, _ = geohash_bits(precision)
+    n = 1 << nbits
+    raw = f"cast(floor((({lon}) + 180.0) / 360.0 * {n}) as bigint)"
+    return clamp_sql(raw, "0", str(n - 1))
+
+
+def geohash_latq_sql(lat: str, precision: int) -> str:
+    _, nbits = geohash_bits(precision)
+    n = 1 << nbits
+    raw = f"cast(floor((({lat}) + 90.0) / 180.0 * {n}) as bigint)"
+    return clamp_sql(raw, "0", str(n - 1))
+
+
+def _geohash_stream_bit(latq: str, lonq: str, precision: int, pos: int) -> str:
+    """Bit at interleaved-stream position ``pos`` (0 = MSB): even positions
+    take lon bits, odd take lat bits, each MSB-first."""
+    lon_bits, lat_bits = geohash_bits(precision)
+    if pos % 2 == 0:
+        src, nbits, j = lonq, lon_bits, pos // 2
+    else:
+        src, nbits, j = latq, lat_bits, pos // 2
+    return f"({idiv_sql(src, 1 << (nbits - 1 - j))} % 2)"
+
+
+def geohash_sql(latq: str, lonq: str, precision: int) -> str:
+    """Geohash string from quantized lat/lon: each base-32 character packs 5
+    interleaved-stream bits (lon at even stream positions from the MSB).
+    Characters are built straight from the quantized integers — never through
+    the full 5·precision-bit interleaved value, which exceeds the 2^52 exact
+    range of idiv_sql's float division at precision ≥ 11. Pure +,*,%,floor
+    arithmetic with literal power-of-two constants, so the identical string
+    runs in Spark SQL and DuckDB. Exact for precision ≤ 12."""
+    chars = []
+    for i in range(precision):
+        terms = [
+            f"{_geohash_stream_bit(latq, lonq, precision, 5 * i + b)} * {1 << (4 - b)}"
+            for b in range(5)
+        ]
+        digit = "(" + " + ".join(terms) + ")"
+        chars.append(f"substring('{GEOHASH32}', cast({digit} as int) + 1, 1)")
+    return "(" + " || ".join(chars) + ")"
+
+
 # --- deterministic key-derived test geometry (FIXTURES.md §6) -----------------
 
 def key_lat_sql(key: str) -> str:

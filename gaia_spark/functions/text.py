@@ -218,3 +218,37 @@ def chunk_documents(df, max_tokens: int = 50, overlap: int = 10, id_col: str = "
         F.col(id_col),
         F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk"),
     )
+
+
+# --- PII scrubbing (training-data redaction pass) ----------------------------
+#
+# Patterns are written with character classes ONLY (no backslash escapes):
+# Spark SQL string literals consume backslashes while DuckDB's don't, so a
+# shared pattern string must avoid them entirely (round-4 lesson, web.py).
+# Both engines treat these identically (Java regex / RE2 common subset).
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def scrub_sql(text: str, pattern: str, token: str, dialect: str) -> str:
+    """Replace every match of ``pattern`` with ``token``. Spark's SQL
+    regexp_replace is global; DuckDB needs the explicit 'g' flag."""
+    if dialect == P.SPARK:
+        return f"regexp_replace({text}, '{pattern}', '{token}')"
+    return f"regexp_replace({text}, '{pattern}', '{token}', 'g')"
+
+
+def pattern_count_sql(text: str, pattern: str, dialect: str) -> str:
+    if dialect == P.SPARK:
+        return f"regexp_count({text}, '{pattern}')"
+    return f"len(regexp_extract_all({text}, '{pattern}'))"
+
+
+def pii_scrub_sql(text: str, dialect: str) -> str:
+    """Email → phone → IPv4 scrub chain (order matters: the email pattern
+    must run before IPv4 so 'user@10.0.0.1' redacts as one email)."""
+    s = scrub_sql(text, EMAIL_RE, "<EMAIL>", dialect)
+    s = scrub_sql(s, PHONE_RE, "<PHONE>", dialect)
+    return scrub_sql(s, IPV4_RE, "<IP>", dialect)

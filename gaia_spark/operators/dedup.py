@@ -193,6 +193,53 @@ def simhash_near_pairs(
     )
 
 
+def url_edit_pairs(
+    pages: DataFrame,
+    max_dist: int = 2,
+    url_col: str = "url",
+    max_host_count: int | None = None,
+) -> DataFrame:
+    """URL-variant near-dup pairs (crawl-frontier dedup): pairs of URLs on
+    the SAME host within ``max_dist`` Levenshtein edits — catches trailing
+    slashes, tracking-parameter noise, pagination twins.
+
+    Scale shape: candidates come from a host equi-join (the natural crawl
+    politeness key — one shuffle, never all-pairs); ``levenshtein`` is a
+    JVM builtin on both engines, and Spark's threshold form
+    ``levenshtein(a, b, t)`` early-exits the DP once distance exceeds t.
+    Mega-hosts make the per-key join quadratic — ``max_host_count`` drops
+    hosts above the cap via a broadcast anti-join of the (tiny) hot-host
+    set, the same guard pattern as minhash_lsh_pairs.
+
+    Returns (url_a, url_b, dist) with url_a < url_b and dist ≤ max_dist.
+    """
+    from gaia_spark.functions import web as W
+
+    u = pages.select(
+        F.col(url_col).alias("url"), F.expr(W.host_sql(url_col)).alias("host")
+    ).where(F.col("host").isNotNull()).distinct()
+    if max_host_count is not None:
+        hot = (
+            u.groupBy("host").agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_host_count)
+            .select("host")
+        )
+        u = u.join(F.broadcast(hot), "host", "left_anti")
+    a = u.select(F.col("url").alias("url_a"), "host")
+    b = u.select(F.col("url").alias("url_b"), "host")
+    return (
+        a.join(b, "host")
+        .where(F.col("url_a") < F.col("url_b"))
+        # threshold form stops the DP early; it returns -1 ABOVE the
+        # threshold, so the filter must exclude negatives explicitly
+        .withColumn(
+            "dist", F.expr(f"levenshtein(url_a, url_b, {int(max_dist)})").cast("int")
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= int(max_dist)))
+        .select("url_a", "url_b", "dist")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

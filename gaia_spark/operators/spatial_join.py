@@ -271,6 +271,24 @@ def with_cell(df: DataFrame, res: int, lat: str = "lat", lon: str = "lon", out: 
     return df.withColumn(out or f"cell_r{res}", F.expr(portable.cell_id_sql(lat, lon, res)))
 
 
+def with_geohash(
+    df: DataFrame, precision: int, lat: str = "lat", lon: str = "lon", out: str = "geohash"
+) -> DataFrame:
+    """Attach the standard base-32 geohash string at ``precision`` chars —
+    the third cell-index family beside the packed grid cell (with_cell) and
+    the Web-Mercator tile (with_tile). Pure JVM arithmetic (quantize →
+    per-character bit packing, portable.geohash_sql), no Python; the DuckDB
+    oracle evaluates the identical SQL string. Geohash prefixes nest, so
+    coarser groupings are ``substring(geohash, 1, k)`` — no re-encode."""
+    latq, lonq = f"__{out}_latq", f"__{out}_lonq"
+    return (
+        df.withColumn(latq, F.expr(portable.geohash_latq_sql(lat, precision)))
+        .withColumn(lonq, F.expr(portable.geohash_lonq_sql(lon, precision)))
+        .withColumn(out, F.expr(portable.geohash_sql(latq, lonq, precision)))
+        .drop(latq, lonq)
+    )
+
+
 def spatial_join(
     points: DataFrame,
     index: ZoneIndex,

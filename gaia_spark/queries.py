@@ -564,6 +564,52 @@ def q_distance_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _bearing_oracle() -> str:
+    b = P.bearing_deg_sql("plat", "plon", "slat", "slon")
+    return f"""
+    WITH {PTS_CTE}, {SITES_CTE},
+    d AS (SELECT c_custkey, site_id, pts.lat AS plat, pts.lon AS plon,
+          sites.lat AS slat, sites.lon AS slon,
+          {P.haversine_m_sql('pts.lat', 'pts.lon', 'sites.lat', 'sites.lon')} AS dist
+          FROM pts CROSS JOIN sites),
+    r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY dist, site_id) AS rnk
+          FROM d)
+    SELECT c_custkey, site_id,
+           cast(floor(dist) as bigint) AS dist_m_floor,
+           {P.floor_scaled_sql(b, 4)} AS bearing_e4
+    FROM r WHERE rnk = 1
+    """
+
+
+@register("q_knn_bearing", _bearing_oracle())
+def q_knn_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward azimuth to the nearest site (the ST_Azimuth analog of the
+    DistanceProcess family): k=1 broadcast kNN, then the portable
+    bearing_deg_sql formula on the joined coordinates — all JVM-side."""
+    from gaia_spark.operators.knn import knn_join_broadcast
+
+    pts = customer_points(spark, sf_dir)
+    near = knn_join_broadcast(pts, site_points_pdf(), k=1, point_key="c_custkey")
+    sites = near.sparkSession.createDataFrame(
+        site_points_pdf().rename(columns={"lat": "slat", "lon": "slon"})
+    )
+    # the kNN output carries only (key, site_id, dist_m, rank); point coords
+    # re-derive from the key formulas (cheaper than a second join at scale)
+    j = (
+        near.withColumn("plat", F.expr(P.key_lat_sql("c_custkey")))
+        .withColumn("plon", F.expr(P.key_lon_sql("c_custkey")))
+        .join(F.broadcast(sites), "site_id")
+    )
+    return j.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "site_id",
+        F.expr("cast(floor(dist_m) as bigint)").alias("dist_m_floor"),
+        F.expr(P.floor_scaled_sql(P.bearing_deg_sql("plat", "plon", "slat", "slon"), 4)).alias("bearing_e4"),
+    )
+
+
 @register("q_knn3", _KNN_ORACLE.format(k=3))
 def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.operators.knn import knn_join_broadcast
@@ -1038,6 +1084,12 @@ _PRIORITY: list[str] = [
     "q_simhash_pairs",
     "q_set_ops",
     "q_sample_mix",
+    "q_geohash_counts",
+    "q_idw_grid",
+    "q_kde_grid",
+    "q_pii_scrub",
+    "q_knn_bearing",
+    "q_url_edit_pairs",
 ]
 
 

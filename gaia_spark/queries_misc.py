@@ -585,3 +585,107 @@ def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.floor_scaled_sql("lag", 4)).alias("lag_e4"),
         F.expr(P.floor_scaled_sql("gstar", 4)).alias("gstar_e4"),
     )
+
+
+def _geohash_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    gh5 = P.geohash_sql("latq", "lonq", 5)
+    return f"""
+    WITH {PTS_CTE},
+    q AS (SELECT c_acctbal, {P.geohash_latq_sql('lat', 5)} AS latq,
+                 {P.geohash_lonq_sql('lon', 5)} AS lonq FROM pts),
+    g AS (SELECT c_acctbal, {gh5} AS gh5 FROM q)
+    SELECT gh5, substring(gh5, 1, 3) AS gh3,
+           count(*) AS n_pts,
+           {P.floor_scaled_sql('avg(c_acctbal)', 2)} AS avg_bal_e2
+    FROM g GROUP BY 1, 2
+    """
+
+
+@register("q_geohash_counts", _geohash_oracle())
+def q_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell-index family: encode customer points at precision 5
+    (JVM bit-packing arithmetic, with_geohash) and roll up per geohash plus
+    its precision-3 PREFIX — prefix nesting is the geohash analog of
+    cell_parent bit-math, checked here against the oracle re-encoding.
+    Validated against published vectors + an independent interval-halving
+    reference in tests/test_kernel.py."""
+    from gaia_spark.operators.spatial_join import with_geohash
+
+    pts = with_geohash(customer_points(spark, sf_dir), 5, out="gh5")
+    return (
+        pts.withColumn("gh3", F.expr("substring(gh5, 1, 3)"))
+        .groupBy("gh5", "gh3")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.expr(P.floor_scaled_sql("avg(c_acctbal)", 2)).alias("avg_bal_e2"),
+        )
+    )
+
+
+def _idw_oracle() -> str:
+    from gaia_spark.operators.interpolate import idw_weight_sql
+    from gaia_spark.queries import PTS_CTE
+
+    clat = P.cell_center_lat_sql("gy", 6)
+    clon = P.cell_center_lon_sql("gx", 6)
+    w = idw_weight_sql("d", 2.0, 1.0)
+    return f"""
+    WITH {PTS_CTE},
+    grid AS (SELECT gx, gy FROM generate_series(0, 63) AS t1(gx),
+             generate_series(0, 63) AS t2(gy)),
+    cand AS (SELECT gy * 64 + gx AS cell, c_acctbal,
+             {P.haversine_m_sql('lat', 'lon', clat, clon)} AS d
+             FROM pts, grid)
+    SELECT cell, count(*) AS n_src,
+           {P.floor_scaled_sql(f'(sum({w} * c_acctbal) / sum({w}))', 4)} AS idw_e4
+    FROM cand WHERE d <= cast(400000 as double) GROUP BY 1
+    """
+
+
+@register("q_idw_grid", _idw_oracle())
+def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterpolationProcess analog: IDW surface of customer account balance
+    on the res-6 grid (400 km disc, p=2). Spark runs the JOIN-FREE scatter
+    plan (each point explodes onto reachable cells, one groupBy(cell) with
+    map-side combine); the oracle replays a full grid x points cross join —
+    two different physical strategies, one disc semantics."""
+    from gaia_spark.operators.interpolate import idw_grid
+
+    out = idw_grid(customer_points(spark, sf_dir), "c_acctbal", res=6, radius_m=400_000.0)
+    return out.select(
+        "cell", "n_src", F.expr(P.floor_scaled_sql("idw", 4)).alias("idw_e4")
+    )
+
+
+def _kde_oracle() -> str:
+    from gaia_spark.operators.interpolate import kde_weight_sql
+    from gaia_spark.queries import PTS_CTE
+
+    clat = P.cell_center_lat_sql("gy", 6)
+    clon = P.cell_center_lon_sql("gx", 6)
+    return f"""
+    WITH {PTS_CTE},
+    grid AS (SELECT gx, gy FROM generate_series(0, 63) AS t1(gx),
+             generate_series(0, 63) AS t2(gy)),
+    cand AS (SELECT gy * 64 + gx AS cell,
+             {P.haversine_m_sql('lat', 'lon', clat, clon)} AS d
+             FROM pts, grid)
+    SELECT cell, count(*) AS n_src,
+           {P.floor_scaled_sql(f"sum({kde_weight_sql('d', 150_000.0)})", 6)} AS density_e6
+    FROM cand WHERE d <= cast(450000 as double) GROUP BY 1
+    """
+
+
+@register("q_kde_grid", _kde_oracle())
+def q_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian KDE heatmap (h = 150 km, 3-sigma cut) of customer points on
+    the res-6 grid - density rasterization via the same scatter plan as
+    q_idw_grid."""
+    from gaia_spark.operators.interpolate import kde_grid
+
+    out = kde_grid(customer_points(spark, sf_dir), res=6, bandwidth_m=150_000.0)
+    return out.select(
+        "cell", "n_src", F.expr(P.floor_scaled_sql("density", 6)).alias("density_e6")
+    )

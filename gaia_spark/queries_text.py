@@ -558,3 +558,92 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return stratified_sample(d, _MIX_RATES).select("doc_id", "lang", "source")
+
+
+# --- PII scrub (redaction pass over the corpus) ------------------------------
+
+def _pii_aug_sql() -> str:
+    """Deterministic PII spans appended to the (PII-free) synthetic corpus —
+    the same portable string builds the input in both engines, so the scrub
+    regexes chew on identical bytes."""
+    return (
+        "(text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || cast(doc_id as string)"
+        " || '@mail' || cast(doc_id % 7 as string) || '.example.org' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' tel 555-'"
+        " || lpad(cast(doc_id % 1000 as string), 3, '0') || '-'"
+        " || lpad(cast(doc_id % 10000 as string), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || cast(doc_id % 256 as string)"
+        " || '.0.' || cast(doc_id % 100 as string) ELSE '' END)"
+    )
+
+
+def _pii_oracle() -> str:
+    aug = _pii_aug_sql()
+    return f"""
+    WITH a AS (SELECT doc_id, {aug} AS t FROM documents)
+    SELECT doc_id,
+           {T.pii_scrub_sql('t', P.DUCK)} AS scrubbed,
+           cast({T.pattern_count_sql('t', T.EMAIL_RE, P.DUCK)} as bigint) AS n_emails,
+           cast({T.pattern_count_sql('t', T.PHONE_RE, P.DUCK)} as bigint) AS n_phones
+    FROM a
+    """
+
+
+@register("q_pii_scrub", _pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (training-data scrub): email -> phone -> IPv4
+    regexp_replace chain, all JVM-side, char-class-only patterns shared
+    verbatim with the oracle. The full scrubbed TEXT is value-hashed, so
+    match-boundary behavior is checked byte-for-byte on every row."""
+    d = load(spark, sf_dir, "documents").withColumn("t", F.expr(_pii_aug_sql()))
+    return d.select(
+        "doc_id",
+        F.expr(T.pii_scrub_sql("t", P.SPARK)).alias("scrubbed"),
+        F.expr(T.pattern_count_sql("t", T.EMAIL_RE, P.SPARK)).cast("long").alias("n_emails"),
+        F.expr(T.pattern_count_sql("t", T.PHONE_RE, P.SPARK)).cast("long").alias("n_phones"),
+    )
+
+
+# Crawl-frontier URL fixture for edit-distance dedup: the pages table has
+# one url per host at small SF, so pairs are built from a denser layer —
+# 25 hosts plus deterministic trailing-slash variants, the same portable
+# expressions on both sides.
+_FRONTIER_URL = (
+    "concat('https://s', cast(doc_id % 25 as string), '.example/p', "
+    "cast(doc_id as string))"
+)
+_FRONTIER_CTE = (
+    f"frontier AS (SELECT {_FRONTIER_URL} AS url FROM documents "
+    f"UNION ALL SELECT {_FRONTIER_URL} || '/' AS url FROM documents "
+    "WHERE doc_id % 4 = 0)"
+)
+
+
+def _url_edit_oracle() -> str:
+    from gaia_spark.functions import web as W
+
+    return f"""
+    WITH {_FRONTIER_CTE},
+    u AS (SELECT DISTINCT url, {W.host_sql('url')} AS host FROM frontier
+          WHERE {W.host_sql('url')} IS NOT NULL)
+    SELECT a.url AS url_a, b.url AS url_b,
+           cast(levenshtein(a.url, b.url) as int) AS dist
+    FROM u a JOIN u b ON a.host = b.host AND a.url < b.url
+    WHERE levenshtein(a.url, b.url) <= 2
+    """
+
+
+@register("q_url_edit_pairs", _url_edit_oracle())
+def q_url_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-variant near-dup pairs: host-bucketed self-join + Levenshtein
+    (threshold form early-exits the DP in Spark; the oracle replays the
+    plain builtin) - the crawl-frontier dedup pass. Catches both the
+    trailing-slash variants and close pagination ids."""
+    from gaia_spark.operators.dedup import url_edit_pairs
+
+    d = load(spark, sf_dir, "documents")
+    frontier = d.select(F.expr(_FRONTIER_URL).alias("url")).unionAll(
+        d.where("doc_id % 4 = 0").select(F.expr(_FRONTIER_URL + " || '/'").alias("url"))
+    )
+    return url_edit_pairs(frontier, max_dist=2)

@@ -274,3 +274,40 @@ def test_stratified_sample_deterministic_and_monotone(spark):
 
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         stratified_sample(d, {"en": 1.5})
+
+
+def test_url_edit_pairs_known_fixture(spark):
+    from gaia_spark.operators.dedup import url_edit_pairs
+
+    urls = [
+        "https://a.com/page1",
+        "https://a.com/page2",      # dist 1 from page1
+        "https://a.com/page1/",     # dist 1 from page1, 2 from page2
+        "https://a.com/totally-different-path",
+        "https://b.com/page1",      # other host: never paired with a.com
+        "https://b.com/page3",
+    ]
+    d = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {
+        (r.url_a, r.url_b): r.dist for r in url_edit_pairs(d, max_dist=2).collect()
+    }
+    assert out == {
+        ("https://a.com/page1", "https://a.com/page2"): 1,
+        ("https://a.com/page1", "https://a.com/page1/"): 1,
+        ("https://a.com/page1/", "https://a.com/page2"): 2,
+        ("https://b.com/page1", "https://b.com/page3"): 1,
+    }
+
+
+def test_url_edit_pairs_hot_host_guard(spark):
+    from gaia_spark.operators.dedup import url_edit_pairs
+
+    rows = [(f"https://hot.com/x{i}",) for i in range(50)] + [
+        ("https://cold.com/y1",),
+        ("https://cold.com/y2",),
+    ]
+    d = spark.createDataFrame(rows, "url string")
+    out = url_edit_pairs(d, max_dist=2, max_host_count=10).collect()
+    # the 50-url host is dropped wholesale; the small host survives
+    hosts = {r.url_a.split("/")[2] for r in out}
+    assert hosts == {"cold.com"}

@@ -213,3 +213,71 @@ def test_polygon_cover_nonconvex_exact():
         cl = np.array([la0, la0, la1, la1])
         co = np.array([lo0, lo1, lo0, lo1])
         assert prep.contains(cl, co).all()
+
+
+# --- geohash (portable SQL, validated via DuckDB — no Spark needed) ----------
+
+def _geohash_ref(lat: float, lon: float, precision: int) -> str:
+    """Independent interval-halving geohash (the textbook algorithm), used
+    to validate the arithmetic bit-packing SQL in portable.geohash_sql."""
+    from gaia_spark.functions import portable as P
+
+    latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+    out, ch, bits, even = "", 0, 0, True
+    while len(out) < precision:
+        r = lonr if even else latr
+        mid = (r[0] + r[1]) / 2
+        v = lon if even else lat
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            r[0] = mid
+        else:
+            r[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out += P.GEOHASH32[ch]
+            ch, bits = 0, 0
+    return out
+
+
+def _geohash_duck(lat: float, lon: float, precision: int) -> str:
+    import duckdb
+
+    from gaia_spark.functions import portable as P
+
+    latq = P.geohash_latq_sql(f"cast({lat!r} as double)", precision)
+    lonq = P.geohash_lonq_sql(f"cast({lon!r} as double)", precision)
+    sql = (
+        f"WITH q AS (SELECT {latq} AS latq, {lonq} AS lonq) "
+        f"SELECT {P.geohash_sql('latq', 'lonq', precision)} FROM q"
+    )
+    return duckdb.sql(sql).fetchone()[0]
+
+
+def test_geohash_published_vectors():
+    assert _geohash_duck(57.64911, 10.40744, 11) == "u4pruydqqvj"  # wiki vector
+    assert _geohash_duck(42.6, -5.6, 5) == "ezs42"  # wiki vector
+    assert _geohash_duck(0.0, 0.0, 1) == "s"
+
+
+def test_geohash_matches_interval_halving_reference():
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-90, 90, 40)
+    lons = rng.uniform(-180, 180, 40)
+    # boundary / clamp cases (90, 180 quantize to the top bucket)
+    cases = list(zip(lats, lons)) + [(90.0, 180.0), (-90.0, -180.0), (0.0, 0.0)]
+    for precision in (1, 5, 11, 12):
+        for lat, lon in cases:
+            assert _geohash_duck(lat, lon, precision) == _geohash_ref(lat, lon, precision)
+
+
+def test_geohash_prefix_nesting():
+    # coarser geohash == prefix of the finer one (the rollup identity
+    # q_geohash_counts relies on)
+    rng = np.random.default_rng(11)
+    for lat, lon in zip(rng.uniform(-85, 85, 10), rng.uniform(-180, 180, 10)):
+        g8 = _geohash_duck(lat, lon, 8)
+        for p in (1, 3, 5, 7):
+            assert _geohash_duck(lat, lon, p) == g8[:p]
