@@ -274,3 +274,78 @@ def key_lon_py(key):
 
     k = np.asarray(key, dtype=np.int64)
     return (k * 104729 % 36000) / 100.0 - 180.0
+
+
+# --- hexagonal binning (pointy-top axial hex grid in degree space) ----------
+#
+# The hexagonal analog of the packed rect cell: points are assigned to the
+# nearest center of a pointy-top hex lattice laid over (lon, lat) degree
+# space (same planar simplification as the rect grid — document distortion,
+# don't hide it). Assignment = fractional axial coords + cube rounding,
+# all portable arithmetic: the one rounding primitive is floor(x + 0.5),
+# which evaluates identically on identical binary doubles in both engines
+# (Spark/DuckDB round() would not).
+
+SQRT3 = 1.7320508075688772
+_HEX_OFF = 1 << 20  # axial coords are offset non-negative before packing
+
+
+def hex_q_sql(lat: str, lon: str, size_deg: float) -> str:
+    """Fractional axial q of a pointy-top hex lattice (circumradius
+    ``size_deg`` degrees): q = (√3/3·x − 1/3·y) / s with x=lon, y=lat."""
+    s = float(size_deg)
+    return f"(({SQRT3} / 3.0 * ({lon}) - 1.0 / 3.0 * ({lat})) / {s!r})"
+
+
+def hex_r_sql(lat: str, lon: str, size_deg: float) -> str:
+    s = float(size_deg)
+    return f"((2.0 / 3.0 * ({lat})) / {s!r})"
+
+
+def hex_round_cols_sql(q: str, r: str) -> dict[str, str]:
+    """Cube-rounding intermediates over fractional axial columns ``q, r``:
+    returns SQL for _rx/_ry/_rz (half-up rounded cube coords) and
+    _dx/_dy/_dz (rounding errors). Meant to be staged as columns (Spark
+    withColumn / oracle CTE) so the final fix-up CASEs stay small."""
+    return {
+        "_rx": f"floor(({q}) + 0.5)",
+        "_ry": f"floor((-({q}) - ({r})) + 0.5)",
+        "_rz": f"floor(({r}) + 0.5)",
+        "_dx": f"abs(floor(({q}) + 0.5) - ({q}))",
+        "_dy": f"abs(floor((-({q}) - ({r})) + 0.5) - (-({q}) - ({r})))",
+        "_dz": f"abs(floor(({r}) + 0.5) - ({r}))",
+    }
+
+
+def hex_axial_x_sql() -> str:
+    """Final axial x after the cube fix-up (largest rounding error is
+    recomputed from the other two so x+y+z == 0). Reads the staged
+    _rx/_ry/_rz/_dx/_dy/_dz columns."""
+    return (
+        "(CASE WHEN _dx > _dy AND _dx > _dz THEN -_ry - _rz ELSE _rx END)"
+    )
+
+
+def hex_axial_z_sql() -> str:
+    return (
+        "(CASE WHEN _dx > _dy AND _dx > _dz THEN _rz "
+        "WHEN _dy > _dz THEN _rz ELSE -_rx - _ry END)"
+    )
+
+
+def hex_id_sql(ax: str, az: str) -> str:
+    """Pack offset axial (x, z) into one BIGINT: (x+2^20)·2^21 + (z+2^20)."""
+    return (
+        f"(cast(({ax}) + {_HEX_OFF} as bigint) * {1 << 21} "
+        f"+ cast(({az}) + {_HEX_OFF} as bigint))"
+    )
+
+
+def hex_center_lat_sql(az: str, size_deg: float) -> str:
+    """Latitude of a hex center from its axial z (r): y = s·(3/2)·r."""
+    return f"({float(size_deg)!r} * 1.5 * ({az}))"
+
+
+def hex_center_lon_sql(ax: str, az: str, size_deg: float) -> str:
+    """Longitude of a hex center: x = s·√3·(q + r/2)."""
+    return f"({float(size_deg)!r} * {SQRT3} * (({ax}) + ({az}) / 2.0))"

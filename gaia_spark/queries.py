@@ -1090,6 +1090,8 @@ _PRIORITY: list[str] = [
     "q_pii_scrub",
     "q_knn_bearing",
     "q_url_edit_pairs",
+    "q_pack_spans",
+    "q_hex_counts",
 ]
 
 

@@ -689,3 +689,44 @@ def q_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cell", "n_src", F.expr(P.floor_scaled_sql("density", 6)).alias("density_e6")
     )
+
+
+def _hex_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    q = P.hex_q_sql("lat", "lon", 2.5)
+    r = P.hex_r_sql("lat", "lon", 2.5)
+    rounds = ", ".join(
+        f"{v} AS {k}" for k, v in P.hex_round_cols_sql("_hq", "_hr").items()
+    )
+    return f"""
+    WITH {PTS_CTE},
+    f AS (SELECT c_acctbal, {q} AS _hq, {r} AS _hr FROM pts),
+    g AS (SELECT c_acctbal, {rounds} FROM f),
+    h AS (SELECT c_acctbal, {P.hex_axial_x_sql()} AS _ax, {P.hex_axial_z_sql()} AS _az FROM g)
+    SELECT {P.hex_id_sql('_ax', '_az')} AS hex_id,
+           {P.floor_scaled_sql(P.hex_center_lat_sql('_az', 2.5), 6)} AS clat_e6,
+           {P.floor_scaled_sql(P.hex_center_lon_sql('_ax', '_az', 2.5), 6)} AS clon_e6,
+           count(*) AS n_pts,
+           {P.floor_scaled_sql('avg(c_acctbal)', 2)} AS avg_bal_e2
+    FROM h GROUP BY 1, 2, 3
+    """
+
+
+@register("q_hex_counts", _hex_oracle())
+def q_hex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning (with_hex, the hex-index analog of the packed
+    cell): customer points bucketed into 2.5-degree pointy-top hexes via
+    cube rounding, rolled up with their lattice center coordinates - all
+    portable arithmetic, assignment == Voronoi of the hex-center lattice."""
+    from gaia_spark.operators.spatial_join import with_hex
+
+    pts = with_hex(customer_points(spark, sf_dir), 2.5, keep_axial=True)
+    return pts.groupBy(
+        "hex_id",
+        F.expr(P.floor_scaled_sql(P.hex_center_lat_sql("_az", 2.5), 6)).alias("clat_e6"),
+        F.expr(P.floor_scaled_sql(P.hex_center_lon_sql("_ax", "_az", 2.5), 6)).alias("clon_e6"),
+    ).agg(
+        F.count("*").alias("n_pts"),
+        F.expr(P.floor_scaled_sql("avg(c_acctbal)", 2)).alias("avg_bal_e2"),
+    )

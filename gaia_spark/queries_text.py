@@ -647,3 +647,43 @@ def q_url_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where("doc_id % 4 = 0").select(F.expr(_FRONTIER_URL + " || '/'").alias("url"))
     )
     return url_edit_pairs(frontier, max_dist=2)
+
+
+# --- sequence packing (distributed prefix sum) -------------------------------
+
+def _pack_oracle() -> str:
+    n_tok = T.token_count_sql("text", P.DUCK)
+    return f"""
+    WITH d AS (SELECT doc_id, source, cast({n_tok} as bigint) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+          cast(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+               AS tok_start
+          FROM d)
+    SELECT doc_id, source, n_tokens, tok_start,
+           {P.idiv_sql('tok_start', 512)} AS bin_first,
+           {P.idiv_sql('tok_start + n_tokens - 1', 512)} AS bin_last
+    FROM c
+    """
+
+
+@register("q_pack_spans", _pack_oracle())
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence-packing manifest (concat-then-chunk, 512-token context):
+    per-source documents in doc_id order -> global token offset -> spanned
+    context windows. Spark runs the TWO-PHASE distributed prefix sum
+    (bucketed scan: per-bucket totals + broadcast offsets + bucket-local
+    windows - no single-task global window); the oracle replays a plain
+    window cumsum. bucket_size=1000 forces the multi-bucket path even at
+    small SF."""
+    from gaia_spark.operators.prefix import pack_token_spans
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(T.token_count_sql("text", P.SPARK)).cast("long").alias("n_tokens"),
+    )
+    return pack_token_spans(
+        d, "n_tokens", context_len=512, part_col="source", bucket_size=1000
+    )

@@ -112,3 +112,45 @@ def test_near_join_cells_cover_is_in_plan(spark):
     assert "Generate explode" in plan             # in-plan cover derivation
     assert plan.count("ArrowEvalPython") == 1     # geoparse only
     assert "Scan ExistingRDD" not in plan.split("Generate")[0] or True
+
+
+def test_kde_scatter_plan_is_join_free(spark):
+    """The IDW/KDE scatter plan: NO join of any kind — the only wide op is
+    the final groupBy(cell) aggregate, with a partial_ aggregate (map-side
+    combine) feeding it."""
+    import pandas as pd
+
+    from gaia_spark.operators.interpolate import kde_grid
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [0.0, 10.0, 20.0], "lon": [0.0, 5.0, 10.0]})
+    )
+    plan = plan_of(kde_grid(pts, 6, bandwidth_m=150_000.0))
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+    assert "Generate explode" in plan          # in-plan scatter
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    assert "Python" not in plan                # pure JVM
+
+
+def test_prefix_sum_has_no_global_window(spark):
+    """The two-phase scan: every Window over the DATA is partitioned by
+    (part, bucket); the only unpartitioned window runs over the tiny
+    per-bucket totals. Catalyst prints 'Window [..], [part, bkt], [order]'
+    for partitioned specs."""
+    import pandas as pd
+
+    from gaia_spark.operators.prefix import ordered_prefix_sum
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "source": ["s"] * 100, "v": [1] * 100})
+    ).repartition(4)
+    out = ordered_prefix_sum(df, "v", "doc_id", part_col="source", bucket_size=10)
+    plan = plan_of(out)
+    # the within-bucket window carries BOTH partition keys (source, _bkt) —
+    # physical plans print windowspecdefinition(<partition cols>..., <order>)
+    low = plan.lower()
+    assert "windowspecdefinition(source" in low and "_bkt" in low
+    # the offsets ride back via a broadcast join (no re-shuffle of the data)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
