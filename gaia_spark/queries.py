@@ -1092,6 +1092,8 @@ _PRIORITY: list[str] = [
     "q_url_edit_pairs",
     "q_pack_spans",
     "q_hex_counts",
+    "q_zone_hulls",
+    "q_simplify",
 ]
 
 

@@ -730,3 +730,115 @@ def q_hex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pts"),
         F.expr(P.floor_scaled_sql("avg(c_acctbal)", 2)).alias("avg_bal_e2"),
     )
+
+
+# --- convex hull (ConvexHullProcess; analytic circle fixture) ----------------
+
+# Shared construction of the hull test layer from customer keys: 10 groups;
+# members sit equally spaced on a circle of radius r_g (boundary points,
+# key%3!=0) or at radius r_g/3 (interior, key%3=0). By construction every
+# boundary point is a hull vertex (distinct angles on a circle, never 3
+# collinear) and every interior point is strictly inside (polygon inradius
+# >= r*cos(max_gap/2) >= r/2 > r/3), so the oracle knows the hull
+# ANALYTICALLY - n_hull, area, perimeter in closed form - while Spark runs
+# the real monotone-chain operator. One SQL string builds the layer in both
+# engines, so vertex doubles are bit-identical and the per-vertex
+# floor-scaled lat checksum must agree exactly.
+_HULL_PTS_SQL = """
+    SELECT g, is_boundary, clat + rad * sin(theta) AS lat,
+           clon + rad * cos(theta) AS lon
+    FROM (
+      SELECT g, is_boundary, clat, clon,
+             CASE WHEN is_boundary = 1 THEN r ELSE r / 3.0 END AS rad,
+             2.0 * pi() * (cast(row_number() OVER (PARTITION BY g ORDER BY c_custkey) as double) - 1.0)
+               / cast(cnt as double) AS theta
+      FROM (
+        SELECT c_custkey, c_custkey % 10 AS g,
+               CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 1 END AS is_boundary,
+               -60.0 + 12.0 * (c_custkey % 10) AS clat,
+               -120.0 + 25.0 * ((c_custkey % 10) % 5) AS clon,
+               2.0 + 0.3 * (c_custkey % 10) AS r,
+               count(*) OVER (PARTITION BY c_custkey % 10) AS cnt
+        FROM customer
+      ) t0
+    ) t1
+"""
+
+
+def _hull_oracle() -> str:
+    lat_floor = P.floor_scaled_sql("lat", 4)
+    return f"""
+    WITH pts AS ({_HULL_PTS_SQL}),
+    b AS (SELECT g, 2.0 + 0.3 * g AS r, lat,
+          atan2(lat - (-60.0 + 12.0 * g), lon - (-120.0 + 25.0 * (g % 5))) AS th
+          FROM pts WHERE is_boundary = 1),
+    d AS (SELECT g, r, lat,
+          coalesce(lead(th) OVER (PARTITION BY g ORDER BY th),
+                   min(th) OVER (PARTITION BY g) + 2.0 * pi()) - th AS dth
+          FROM b)
+    SELECT g, cast(count(*) as int) AS n_hull,
+           cast(sum({lat_floor}) as bigint) AS lat_sum_e4,
+           {P.floor_scaled_sql('sum(r * r / 2.0 * sin(dth))', 3)} AS area_e3,
+           {P.floor_scaled_sql('sum(2.0 * r * sin(dth / 2.0))', 3)} AS perim_e3
+    FROM d GROUP BY g
+    """
+
+
+@register("q_zone_hulls", _hull_oracle())
+def q_zone_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvexHullProcess: per-group monotone-chain hull (applyInPandas
+    numpy kernel - the genuinely iterative geometry case), audited four
+    ways against the analytic oracle: vertex count, exact per-vertex
+    floor-scaled lat checksum (bit-identical construction doubles), and
+    shoelace area / planar perimeter vs the inscribed-polygon closed
+    forms."""
+    from gaia_spark.operators.hull import convex_hull_per_group
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    pts = spark.sql(_HULL_PTS_SQL)
+    hulls = convex_hull_per_group(pts, "g")
+
+    closed = "concat(vertices, slice(vertices, 1, 1))"
+    pairs = (
+        f"zip_with(slice({closed}, 1, size({closed}) - 1), "
+        f"slice({closed}, 2, size({closed}) - 1), "
+        "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))"
+    )
+    area = f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + (p.x1 * p.y2 - p.x2 * p.y1)) / 2.0"
+    perim = (
+        f"aggregate({pairs}, cast(0 as double), (acc, p) -> "
+        "acc + sqrt((p.x2 - p.x1) * (p.x2 - p.x1) + (p.y2 - p.y1) * (p.y2 - p.y1)))"
+    )
+    lat_sum = (
+        "aggregate(vertices, cast(0 as bigint), (acc, v) -> "
+        f"acc + {P.floor_scaled_sql('v.lat', 4)})"
+    )
+    return hulls.select(
+        "g",
+        "n_hull",
+        F.expr(lat_sum).alias("lat_sum_e4"),
+        F.expr(P.floor_scaled_sql(area, 3)).alias("area_e3"),
+        F.expr(P.floor_scaled_sql(perim, 3)).alias("perim_e3"),
+    )
+
+
+@register("q_simplify", oracle=None)
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimplifyProcess (Douglas-Peucker, rows-only: recursive split is not
+    SQL-expressible; exactness evidence is the property pytest - endpoint
+    retention, deviation bound, idempotence, tolerance monotonicity).
+    Buffers customer points to 24-gon rings, simplifies at a tolerance that
+    must collapse them to coarser rings, and reports vertex counts."""
+    from gaia_spark.operators.hull import simplify_lines
+    from gaia_spark.operators.scalar_geo import buffer_ngon_sql
+
+    pts = customer_points(spark, sf_dir).limit(500)
+    rings = pts.select(
+        "c_custkey",
+        F.expr(buffer_ngon_sql("lat", "lon", radius_m=50_000.0, n=24)).alias("vertices"),
+    )
+    out = simplify_lines(rings, tol_deg=0.05)
+    return out.select(
+        "c_custkey",
+        F.expr("size(vertices)").cast("int").alias("n_simplified"),
+    )
