@@ -60,6 +60,12 @@ def scatter_to_grid(
     # bench shape), and the brute-force cover-parity test pins it
     ring_y = int(np.ceil(deg / cell_h_deg + 0.5))
 
+    for reserved in ("cell", "dist_m"):
+        if reserved in points.columns:
+            raise ValueError(
+                f"input already has a {reserved!r} column - rename it before "
+                "scattering (cell/dist_m are the reserved output columns)"
+            )
     pts = points.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
     pts = pts.withColumn("_cy", F.expr(portable.cell_y_sql(lat, res)))
     pts = pts.withColumn("_cx", F.expr(portable.cell_x_sql(lon, res)))

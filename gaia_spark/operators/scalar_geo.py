@@ -119,6 +119,30 @@ def chain_length_m_sql(vertices: str = "vertices") -> str:
     return f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + {h})"
 
 
+def ring_area_sphere_m2_sql(vertices: str = "vertices") -> str:
+    """SPHERICAL polygon area (m²) as ONE JVM aggregate — the
+    Chamberlain–Duquette / spherical-shoelace form
+    |R²/2 · Σ (λ₂−λ₁)(sin φ₁ + sin φ₂)| over the CLOSED ring. Upgrades
+    AreaProcess from the planar/rect forms: exact on the sphere for
+    rhumb-edged rings, and reduces algebraically to rect_area_m2_sql on
+    lat/lon-aligned rectangles (the oracle cross-check in
+    q_parcel_area_sphere). Not valid for rings crossing the antimeridian
+    (same caveat as every degree-space vertex op here)."""
+    from gaia_spark.functions import portable as P
+
+    pairs = (
+        f"zip_with(slice({vertices}, 1, size({vertices}) - 1), "
+        f"slice({vertices}, 2, size({vertices}) - 1), "
+        "(a, b) -> struct(a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2))"
+    )
+    term = (
+        "(radians(p.lon2) - radians(p.lon1)) * "
+        "(sin(radians(p.lat1)) + sin(radians(p.lat2)))"
+    )
+    acc = f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + {term})"
+    return f"abs(({acc}) * {P.EARTH_RADIUS_M * P.EARTH_RADIUS_M / 2.0})"
+
+
 def ring_centroid_area_sql(vertices: str = "vertices") -> str:
     """AREA-WEIGHTED polygon centroid (planar shoelace) as a JVM expression
     returning struct(lat, lon) — the semantics of shapely's ``centroid``

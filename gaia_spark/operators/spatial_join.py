@@ -280,6 +280,8 @@ def with_geohash(
     per-character bit packing, portable.geohash_sql), no Python; the DuckDB
     oracle evaluates the identical SQL string. Geohash prefixes nest, so
     coarser groupings are ``substring(geohash, 1, k)`` — no re-encode."""
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists - pass out=")
     latq, lonq = f"__{out}_latq", f"__{out}_lonq"
     return (
         df.withColumn(latq, F.expr(portable.geohash_latq_sql(lat, precision)))
@@ -304,6 +306,8 @@ def with_hex(
     Assignment is exactly the Voronoi cell of the hex-center lattice
     (validated against an independent implementation + brute neighbor check
     in tests). ``keep_axial`` keeps ``_ax``/``_az`` for center derivation."""
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists - pass out=")
     q = portable.hex_q_sql(lat, lon, size_deg)
     r = portable.hex_r_sql(lat, lon, size_deg)
     d = df.withColumn("_hq", F.expr(q)).withColumn("_hr", F.expr(r))

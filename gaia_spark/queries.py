@@ -1094,6 +1094,7 @@ _PRIORITY: list[str] = [
     "q_hex_counts",
     "q_zone_hulls",
     "q_simplify",
+    "q_parcel_area_sphere",
 ]
 
 

@@ -550,3 +550,30 @@ def q_zone_parcel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F2.expr(P.floor_scaled_sql("sum(_perim)", 0)).alias("perim_sum_e0"),
         )
     )
+
+
+def _parcel_area_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    return f"""
+    WITH {PARCELS_CTE}
+    SELECT p_partkey,
+           {P.floor_scaled_sql(P.rect_area_m2_sql('pmin_lat', 'pmin_lon', 'pmax_lat', 'pmax_lon'), 0)} AS area_m2_e0
+    FROM parcels
+    """
+
+
+@register("q_parcel_area_sphere", _parcel_area_oracle())
+def q_parcel_area_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AreaProcess on the SPHERE: the generic Chamberlain-Duquette ring
+    aggregate (one JVM expression over the vertex array) against the rect
+    closed form - the engine sees only vertices; the rect identity is
+    oracle-private knowledge."""
+    from gaia_spark.operators.scalar_geo import ring_area_sphere_m2_sql
+    from gaia_spark.functions import portable as P
+
+    feats = parcel_features(spark, sf_dir)
+    return feats.select(
+        "p_partkey",
+        F.expr(P.floor_scaled_sql(ring_area_sphere_m2_sql("vertices"), 0)).alias("area_m2_e0"),
+    )

@@ -64,3 +64,11 @@ def test_hex_bins_partition_points(spark):
     out = with_hex(spark.createDataFrame(pdf), S)
     assert set(out.columns) == {"lat", "lon", "hex_id"}
     assert out.where("hex_id IS NULL").count() == 0
+
+
+def test_with_hex_output_collision_guard(spark):
+    import pytest
+
+    pdf = pd.DataFrame({"lat": [0.0], "lon": [0.0], "hex_id": [1]})
+    with pytest.raises(ValueError, match="already exists"):
+        with_hex(spark.createDataFrame(pdf), S)

@@ -83,3 +83,13 @@ def test_kde_peak_at_source(spark):
     )
     vals = [v for _, v in ds]
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_scatter_reserved_column_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [0.0], "lon": [0.0], "cell": [1]})
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        scatter_to_grid(df, RES, 1000.0)

