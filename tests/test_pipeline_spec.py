@@ -164,3 +164,39 @@ def test_pipeline_feature_distance_and_near(spark, tmp_path):
                 for r in feature_near_join(
                     spark.read.parquet(path), idx, 500000.0, feature_key="feature_id").collect()}
     assert via_n == direct_n and len(via_n) > 0
+
+
+def test_corpus_clean_job_end_to_end(spark, tmp_path):
+    """jobs/corpus_clean.py main() in-process: quality gate + scrub + dedup
+    + packing manifest land through the resumable commit path; rerun is a
+    no-op; the minhash variant never KEEPS more docs."""
+    import jobs.corpus_clean as job
+
+    out = str(tmp_path / "clean")
+    lin = str(tmp_path / "clean_lineage")
+    argv = [
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--lineage", lin, "--job-id", "t-clean",
+        "--quality-min", "0.3",
+    ]
+    job.main(argv)
+    got = IceTable(out).read(spark)
+    n1 = got.count()
+    assert n1 > 0
+    cols = set(got.columns)
+    assert {"doc_id", "source", "n_tokens", "tok_start", "bin_first", "bin_last"} <= cols
+    # spans are internally consistent
+    bad = got.where("bin_first > bin_last + 1 OR tok_start < 0").count()
+    assert bad == 0
+    # rerun: all units skipped, output unchanged
+    job.main(argv)
+    assert IceTable(out).read(spark).count() == n1
+
+    out2 = str(tmp_path / "clean_mh")
+    lin2 = str(tmp_path / "clean_mh_lineage")
+    job.main([
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out2, "--lineage", lin2, "--job-id", "t-clean-mh",
+        "--quality-min", "0.3", "--minhash",
+    ])
+    assert 0 < IceTable(out2).read(spark).count() <= n1
