@@ -158,3 +158,34 @@ def stream_stream_join(
         ),
         "inner",
     ).select("url", "warc_ts", "event_ts", "kind")
+
+
+def stream_kde_grid(
+    pages: DataFrame,
+    res: int,
+    bandwidth_m: float,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    cutoff: float = 3.0,
+) -> DataFrame:
+    """Live density heatmap: geoparse each micro-batch, scatter points onto
+    reachable grid cells (the SAME in-plan explode as the batch
+    interpolate.scatter_to_grid — stateless, join-free), then a watermarked
+    event-time-windowed aggregate sums the Gaussian kernel per (window,
+    cell). State is bounded by watermark × raster width; late pages beyond
+    the watermark are dropped, within it they update their window's cells.
+    Batch parity: summing a window's density over micro-batches equals the
+    batch kde_grid over the same rows (pytest-asserted)."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.interpolate import kde_weight_sql, scatter_to_grid
+
+    pts = geoparse(pages).where(F.col("lat").isNotNull())
+    sc = scatter_to_grid(pts, res, float(bandwidth_m) * cutoff)
+    return (
+        sc.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "cell")
+        .agg(
+            F.count("*").alias("n_src"),
+            F.sum(F.expr(kde_weight_sql("dist_m", bandwidth_m))).alias("density"),
+        )
+    )

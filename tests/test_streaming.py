@@ -165,3 +165,59 @@ def test_stream_spatial_join_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_kde_matches_batch(spark, tmp_path):
+    """Windowed streaming KDE: per-(window, cell) density from the stream
+    equals the batch kde_grid over the same rows bucketed by the same
+    event-time window."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.streaming import stream_kde_grid
+
+    src = str(tmp_path / "incoming_kde")
+    synth_pages(spark, 400, partitions=2).write.mode("append").parquet(src)
+
+    q = (
+        stream_kde_grid(read_pages_stream(spark, src), res=5, bandwidth_m=300_000.0,
+                        window="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("streamkde")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.win), int(r.cell)): (int(r.n_src), round(float(r.density), 9))
+        for r in spark.sql("select win, cell, n_src, density from streamkde").collect()
+    }
+
+    from gaia_spark.operators.interpolate import kde_weight_sql, scatter_to_grid
+
+    pts = geoparse(spark.read.parquet(src)).where("lat is not null")
+    sc = scatter_to_grid(pts, 5, 900_000.0)  # bandwidth * default 3.0 cutoff
+    batch = (
+        sc.groupBy(F.window("warc_ts", "10 minutes").alias("win"), "cell")
+        .agg(
+            F.count("*").alias("n_src"),
+            F.sum(F.expr(kde_weight_sql("dist_m", 300_000.0))).alias("density"),
+        )
+    )
+    rows = batch.collect()
+    expect = {
+        (str(r.win), int(r.cell)): (int(r.n_src), round(float(r.density), 9))
+        for r in rows
+    }
+    # append mode emits a window only once the watermark passes its end, so
+    # the final (still-open) window is withheld — everything emitted must
+    # match the batch values exactly, and the only missing keys may belong
+    # to trailing windows the watermark hasn't closed
+    assert len(got) > 0 and set(got) <= set(expect)
+    for k, v in got.items():
+        assert expect[k] == v
+    max_emitted_end = max(r.win.end for r in rows if (str(r.win), int(r.cell)) in got)
+    for r in rows:
+        if (str(r.win), int(r.cell)) not in got:
+            assert r.win.end > max_emitted_end
