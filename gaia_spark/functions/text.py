@@ -220,6 +220,56 @@ def chunk_documents(df, max_tokens: int = 50, overlap: int = 10, id_col: str = "
     )
 
 
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals per document — the filters a
+    training-data pipeline uses to drop boilerplate/spam pages (Rae et al.
+    2021 §A1.1 analogs on whitespace words):
+
+    - ``n_words`` / ``n_distinct_words`` — occurrence and vocabulary size;
+    - ``dup_word_frac_e4`` — fraction of word OCCURRENCES whose word
+      appears more than once in the doc (fixed-point e4);
+    - ``top_bigram_n`` / ``top_bigram_frac_e4`` — occurrences of the most
+      frequent word bigram and its share of all bigram slots.
+
+    Scale shape: two explode → groupBy(doc, token) → groupBy(doc) chains,
+    both with map-side combine; per-doc state is vocabulary-sized, nothing
+    is ever keyed by less than doc_id, so skew is bounded by the longest
+    single document. Pure JVM throughout (shingles_sql k=2 supplies the
+    bigrams — docs under 2 words fall back to one whole-text shingle,
+    identically in the oracle)."""
+    import pyspark.sql.functions as F
+
+    words = df.select(
+        F.col(id_col), F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("w")
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    ws = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_dup"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.expr(shingles_sql(text_col, P.SPARK, 2))).alias("g"),
+    )
+    gc = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    gs = gc.groupBy(id_col).agg(
+        F.max("c").alias("top_bigram_n"), F.sum("c").alias("_n_bigrams")
+    )
+    frac = P.floor_scaled_sql("cast(_dup as double) / cast(n_words as double)", 4)
+    bfrac = P.floor_scaled_sql(
+        "cast(top_bigram_n as double) / cast(_n_bigrams as double)", 4
+    )
+    return ws.join(gs, id_col).select(
+        F.col(id_col),
+        F.col("n_words").cast("long"),
+        F.col("n_distinct_words").cast("long"),
+        F.expr(frac).alias("dup_word_frac_e4"),
+        F.col("top_bigram_n").cast("long"),
+        F.expr(bfrac).alias("top_bigram_frac_e4"),
+    )
+
+
 # --- PII scrubbing (training-data redaction pass) ----------------------------
 #
 # Patterns are written with character classes ONLY (no backslash escapes):

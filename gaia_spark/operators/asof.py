@@ -20,6 +20,63 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def interval_join(
+    intervals: DataFrame,
+    events: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_s: int = 600,
+) -> DataFrame:
+    """Interval (range) join: every ``events`` row paired with every
+    ``intervals`` row of the same ``key`` whose half-open window
+    ``[start, end)`` contains ``ts``. Spark's optimizer turns a raw
+    inequality join into BroadcastNestedLoopJoin (quadratic, undistributed);
+    instead each interval is exploded onto the coarse time BUCKETS it
+    overlaps (``sequence`` over floor-divided epoch micros — in-plan, no
+    driver loop), events map to exactly one bucket, and the only shuffle is
+    an equi-join on ``(key, bucket)`` followed by the exact window filter.
+    An event has one bucket, so a (interval, event) pair can meet on at most
+    one bucket — no post-join dedup. Choose ``bucket_s`` near the typical
+    interval length: buckets-per-interval = len/bucket_s + 1. Hot
+    ``(key, bucket)`` pairs (heavy users) are AQE-skew-split; the join keys
+    carry both columns so salting composes if needed.
+
+    Returns intervals' columns (left) + events' columns, cross-prefixed
+    ``l_``/``r_`` only where names collide."""
+    w_us = int(bucket_s) * 1_000_000
+    dup = set(intervals.columns) & set(events.columns)
+    ev = events
+    for c in dup:
+        if c not in (key,):
+            intervals = intervals.withColumnRenamed(c, f"l_{c}")
+            ev = ev.withColumnRenamed(c, f"r_{c}")
+    start_c = f"l_{start}" if start in dup and start != key else start
+    end_c = f"l_{end}" if end in dup and end != key else end
+    ts_c = f"r_{ts}" if ts in dup and ts != key else ts
+    # unix_micros rejects TIMESTAMP_NTZ (parquet default); the cast shifts
+    # all three columns by the same session-TZ offset, so bucket alignment
+    # and the exact window filter are unaffected.
+    us = "unix_micros(cast({c} as timestamp))"
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.expr(
+                f"sequence(cast(floor({us.format(c=start_c)} / {w_us}) as bigint), "
+                f"cast(floor(({us.format(c=end_c)} - 1) / {w_us}) as bigint))"
+            )
+        ),
+    )
+    evb = ev.withColumn(
+        "_bkt", F.expr(f"cast(floor({us.format(c=ts_c)} / {w_us}) as bigint)")
+    )
+    out = iv.join(evb, on=[key, "_bkt"]).where(
+        (F.col(ts_c) >= F.col(start_c)) & (F.col(ts_c) < F.col(end_c))
+    )
+    return out.drop("_bkt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -194,3 +194,57 @@ def add_buffer(
             ),
         )
     return points.withColumn(out, buffer_ngon_udf("lat", "lon", F.lit(float(radius_m))))
+
+
+# --- great-circle densification (waypoint interpolation) ---------------------
+
+
+def slerp_cols_sql(
+    lat1: str, lon1: str, lat2: str, lon2: str, f: str
+) -> dict[str, str]:
+    """Spherical linear interpolation at fraction ``f`` along the great
+    circle from point 1 to point 2 — the classic aviation-formulary slerp
+    (weights sin((1-f)d)/sin d and sin(fd)/sin d on the unit-sphere
+    vectors, recombined via atan2). One shared SQL string per output
+    column, valid in Spark AND DuckDB, so densified waypoints are
+    hash-checkable. Degenerate d = 0 (coincident endpoints) divides by
+    zero — callers guarantee distinct endpoints."""
+    p1, l1 = f"radians({lat1})", f"radians({lon1})"
+    p2, l2 = f"radians({lat2})", f"radians({lon2})"
+    hav = (
+        f"sin(({p2} - {p1}) / 2) * sin(({p2} - {p1}) / 2) + "
+        f"cos({p1}) * cos({p2}) * sin(({l2} - {l1}) / 2) * sin(({l2} - {l1}) / 2)"
+    )
+    d = f"(2 * asin(sqrt({hav})))"
+    a = f"(sin((1.0 - ({f})) * {d}) / sin({d}))"
+    b = f"(sin(({f}) * {d}) / sin({d}))"
+    x = f"({a} * cos({p1}) * cos({l1}) + {b} * cos({p2}) * cos({l2}))"
+    y = f"({a} * cos({p1}) * sin({l1}) + {b} * cos({p2}) * sin({l2}))"
+    z = f"({a} * sin({p1}) + {b} * sin({p2}))"
+    return {
+        "lat": f"degrees(atan2({z}, sqrt({x} * {x} + {y} * {y})))",
+        "lon": f"degrees(atan2({y}, {x}))",
+    }
+
+
+def densify_great_circle(
+    segs: DataFrame,
+    n_points: int,
+    lat0: str = "lat0",
+    lon0: str = "lon0",
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+) -> DataFrame:
+    """One row per (input row, waypoint i in 0..n_points): the input
+    segment resampled to n_points+1 points along the geodesic (endpoints
+    included bit-exact via f=0 / f=1). In-plan explode + closed-form trig —
+    a Generate + Project pipeline, no shuffle, no Python."""
+    d = segs.withColumn("i", F.explode(F.expr(f"sequence(0, {int(n_points)})")))
+    f = f"(cast(i as double) / {int(n_points)})"
+    cols = slerp_cols_sql(lat0, lon0, lat1, lon1, f)
+    return d.select(
+        *segs.columns,
+        F.col("i").cast("int").alias("i"),
+        F.expr(cols["lat"]).alias("way_lat"),
+        F.expr(cols["lon"]).alias("way_lon"),
+    )

@@ -322,6 +322,48 @@ def with_hex(
     return d if keep_axial else d.drop("_ax", "_az")
 
 
+def hex_kring_offsets(k: int) -> list[tuple[int, int]]:
+    """Axial (dx, dz) offsets of the hex k-ring DISC (cube distance ≤ k):
+    all (dx, dz) with |dx|, |dz|, |dx+dz| ≤ k — 3k(k+1)+1 cells."""
+    return [
+        (dx, dz)
+        for dx in range(-k, k + 1)
+        for dz in range(max(-k, -dx - k), min(k, -dx + k) + 1)
+    ]
+
+
+def hex_smooth(
+    counts: DataFrame,
+    k: int = 1,
+    hex_col: str = "hex_id",
+    val_col: str = "n_pts",
+) -> DataFrame:
+    """Hex-neighborhood smoothing (the kRing aggregate on the hex lattice):
+    for every hex in ``counts``, sum ``val_col`` over its k-ring disc.
+    Scale shape: each row explodes onto the 3k(k+1)+1 literal offsets (a
+    tiny in-plan array — the hex twin of the cell kRing), then ONE
+    groupBy(hex) — no join, all integer arithmetic. Returns
+    ``(hex_col, n_nbr, smoothed)`` where n_nbr counts populated disc cells.
+    Output rows are the DISC CENTERS that receive ≥1 contribution (hexes
+    with data plus their halo)."""
+    off = 1 << 20
+    m = 1 << 21
+    pairs = ", ".join(f"struct({dx} AS dx, {dz} AS dz)" for dx, dz in hex_kring_offsets(k))
+    d = (
+        counts.withColumn("_ax", F.expr(f"cast({hex_col} / {m} as bigint) - {off}"))
+        .withColumn("_az", F.expr(f"{hex_col} % {m} - {off}"))
+        .withColumn("_o", F.explode(F.expr(f"array({pairs})")))
+        .withColumn(
+            "_nbr",
+            F.expr(f"(_ax + _o.dx + {off}) * {m} + (_az + _o.dz + {off})"),
+        )
+    )
+    return d.groupBy(F.col("_nbr").alias(hex_col)).agg(
+        F.count("*").alias("n_nbr"),
+        F.sum(val_col).alias("smoothed"),
+    )
+
+
 def spatial_join(
     points: DataFrame,
     index: ZoneIndex,

@@ -1095,6 +1095,12 @@ _PRIORITY: list[str] = [
     "q_zone_hulls",
     "q_simplify",
     "q_parcel_area_sphere",
+    "q_hex_smooth",
+    "q_repetition",
+    "q_interval_join",
+    "q_tile_clip",
+    "q_rasterize_zones",
+    "q_densify",
 ]
 
 

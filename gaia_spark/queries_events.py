@@ -133,6 +133,47 @@ def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interval_join",
+    f"""
+    WITH inc AS (
+      SELECT event_id AS incident_id, user_id, ts AS t0,
+             ts + INTERVAL 10 MINUTE AS t1
+      FROM events WHERE event_type = 'error')
+    SELECT i.incident_id, e.event_id AS hit_id, e.event_type AS hit_type,
+           {P.floor_scaled_sql('e.value', 2)} AS value_e2
+    FROM inc i JOIN events e
+      ON e.user_id = i.user_id AND e.ts >= i.t0 AND e.ts < i.t1
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every error event opens a 10-minute incident
+    window; all same-user events inside any window attach to it. The Spark
+    plan is the bucketed equi-join of ``interval_join`` (intervals exploded
+    onto coarse time buckets in-plan, one shuffle on (user, bucket)) — the
+    oracle is the raw inequality join Spark itself must NOT run (that plan
+    is a nested-loop cross product)."""
+    from gaia_spark.operators.asof import interval_join
+
+    e = load(spark, sf_dir, "events")
+    inc = e.where("event_type = 'error'").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        F.expr("ts + interval 10 minute").alias("t1"),
+    )
+    ev = e.select(
+        F.col("event_id").alias("hit_id"), "user_id", "ts", "event_type", "value"
+    )
+    out = interval_join(inc, ev, key="user_id", ts="ts", start="t0", end="t1", bucket_s=600)
+    return out.select(
+        "incident_id",
+        "hit_id",
+        F.col("event_type").alias("hit_type"),
+        F.expr(P.floor_scaled_sql("value", 2)).alias("value_e2"),
+    )
+
+
+@register(
     "q_asof_join",
     f"""
     WITH r AS (

@@ -842,3 +842,218 @@ def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.expr("size(vertices)").cast("int").alias("n_simplified"),
     )
+
+
+def _hex_smooth_oracle() -> str:
+    from gaia_spark.operators.spatial_join import hex_kring_offsets
+    from gaia_spark.queries import PTS_CTE
+
+    q = P.hex_q_sql("lat", "lon", 2.5)
+    r = P.hex_r_sql("lat", "lon", 2.5)
+    rounds = ", ".join(
+        f"{v} AS {k}" for k, v in P.hex_round_cols_sql("_hq", "_hr").items()
+    )
+    offs = ", ".join(f"({dx}, {dz})" for dx, dz in hex_kring_offsets(1))
+    off, m = 1 << 20, 1 << 21
+    return f"""
+    WITH {PTS_CTE},
+    f AS (SELECT {q} AS _hq, {r} AS _hr FROM pts),
+    g AS (SELECT {rounds} FROM f),
+    h AS (SELECT cast({P.hex_axial_x_sql()} as bigint) AS ax, cast({P.hex_axial_z_sql()} as bigint) AS az FROM g),
+    c AS (SELECT ax, az, count(*) AS n_pts FROM h GROUP BY 1, 2),
+    o (dx, dz) AS (SELECT * FROM (VALUES {offs}) AS t(dx, dz))
+    SELECT (c.ax + o.dx + {off}) * {m} + (c.az + o.dz + {off}) AS hex_id,
+           cast(count(*) as bigint) AS n_nbr,
+           cast(sum(c.n_pts) as bigint) AS smoothed
+    FROM c CROSS JOIN o GROUP BY 1
+    """
+
+
+@register("q_hex_smooth", _hex_smooth_oracle())
+def q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex kRing smoothing: per-hex counts scattered onto the 7-cell k=1
+    disc and re-aggregated (pure integer arithmetic end to end, no join;
+    the hex twin of the cell kRing). Oracle replays the disc with a VALUES
+    offsets cross join."""
+    from gaia_spark.operators.spatial_join import hex_smooth, with_hex
+
+    pts = with_hex(customer_points(spark, sf_dir), 2.5)
+    counts = pts.groupBy("hex_id").agg(F.count("*").alias("n_pts"))
+    out = hex_smooth(counts, k=1)
+    return out.select(
+        "hex_id", "n_nbr", F.col("smoothed").cast("long").alias("smoothed")
+    )
+
+
+_SEG_DLAT = "(((s_suppkey * 13) % 17 - 8) / cast(2 as double))"
+_SEG_DLON = "(((s_suppkey * 29) % 23 - 11) / cast(2 as double))"
+_SEGS_CTE = (
+    "segs AS (SELECT s_suppkey, "
+    "((s_suppkey * 7919 % 15000) / cast(100 as double) - 75.0 + 0.0003) AS lat0, "
+    "((s_suppkey * 104729 % 34000) / cast(100 as double) - 170.0 + 0.0007) AS lon0, "
+    f"((s_suppkey * 7919 % 15000) / cast(100 as double) - 75.0 + 0.0003) + {_SEG_DLAT} AS lat1, "
+    f"((s_suppkey * 104729 % 34000) / cast(100 as double) - 170.0 + 0.0007) + {_SEG_DLON} AS lon1 "
+    "FROM supplier)"
+)
+_TC_ZOOM, _TC_EXTENT = 6, 4096
+
+
+def _tile_clip_oracle() -> str:
+    from gaia_spark.operators import tiling as TL
+
+    n = 1 << _TC_ZOOM
+    x0 = TL.merc_xc_sql("lon0", _TC_ZOOM)
+    y0 = TL.merc_yc_sql("lat0", _TC_ZOOM)
+    dx = f"({TL.merc_xc_sql('lon1', _TC_ZOOM)}) - ({x0})"
+    dy = f"({TL.merc_yc_sql('lat1', _TC_ZOOM)}) - ({y0})"
+    bx0 = P.clamp_sql("cast(floor(least(_x0, _x0 + _dx)) as bigint)", "0", str(n - 1))
+    bx1 = P.clamp_sql("cast(floor(greatest(_x0, _x0 + _dx)) as bigint)", "0", str(n - 1))
+    by0 = P.clamp_sql("cast(floor(least(_y0, _y0 + _dy)) as bigint)", "0", str(n - 1))
+    by1 = P.clamp_sql("cast(floor(greatest(_y0, _y0 + _dy)) as bigint)", "0", str(n - 1))
+    ts = TL.clip_t_cols_sql()
+    return f"""
+    WITH {_SEGS_CTE},
+    pre AS (SELECT s_suppkey, {x0} AS _x0, {y0} AS _y0, {dx} AS _dx, {dy} AS _dy FROM segs),
+    cx AS (SELECT pre.*, unnest(generate_series({bx0}, {bx1})) AS _tx FROM pre),
+    cy AS (SELECT cx.*, unnest(generate_series({by0}, {by1})) AS _ty FROM cx),
+    t AS (SELECT cy.*, {ts['_t0']} AS _t0, {ts['_t1']} AS _t1 FROM cy)
+    SELECT s_suppkey, _tx AS tx, _ty AS ty,
+           {TL.quantize_sql('_x0', '_dx', '_t0', '_tx', _TC_EXTENT)} AS u0,
+           {TL.quantize_sql('_y0', '_dy', '_t0', '_ty', _TC_EXTENT)} AS v0,
+           {TL.quantize_sql('_x0', '_dx', '_t1', '_tx', _TC_EXTENT)} AS u1,
+           {TL.quantize_sql('_y0', '_dy', '_t1', '_ty', _TC_EXTENT)} AS v1
+    FROM t WHERE _t0 < _t1
+    """
+
+
+@register("q_tile_clip", _tile_clip_oracle())
+def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile line clipping: diagonal supplier segments cut to the
+    zoom-6 tiles they cross (Liang–Barsky in continuous Mercator tile
+    space) and quantized to MVT extent-4096 local coordinates. The whole
+    operator is Generate+Filter+Project — NO shuffle; the oracle evaluates
+    the identical closed-form SQL string, so every clipped coordinate is
+    hash-checked bit-for-bit."""
+    from gaia_spark.operators.tiling import clip_segments_to_tiles
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr("((s_suppkey * 7919 % 15000) / cast(100 as double) - 75.0 + 0.0003)").alias("lat0"),
+        F.expr("((s_suppkey * 104729 % 34000) / cast(100 as double) - 170.0 + 0.0007)").alias("lon0"),
+    )
+    s = s.select(
+        "s_suppkey",
+        "lat0",
+        "lon0",
+        F.expr(f"lat0 + {_SEG_DLAT}").alias("lat1"),
+        F.expr(f"lon0 + {_SEG_DLON}").alias("lon1"),
+    )
+    out = clip_segments_to_tiles(s, zoom=_TC_ZOOM, extent=_TC_EXTENT)
+    return out.select("s_suppkey", "tx", "ty", "u0", "v0", "u1", "v1")
+
+
+_TRI_A = "cast((n_nationkey * 13 % 140) - 70 as double)"
+_TRI_B = "cast((n_nationkey * 37 % 300) - 150 as double)"
+_TRI_S = "cast(4 + n_nationkey % 5 as double)"
+_TRI_T = "cast(6 + n_nationkey % 7 as double)"
+_RZ_RES = 7
+
+
+def _rasterize_oracle() -> str:
+    from gaia_spark.operators.raster import crossing_test_sql
+
+    n = 1 << _RZ_RES
+    py = P.cell_center_lat_sql("y", _RZ_RES)
+    px = P.cell_center_lon_sql("x", _RZ_RES)
+    # closed ring (a,b) -> (a+s,b) -> (a,b+t) -> (a,b); same three edges the
+    # engine's HOF filter walks
+    edges = [
+        ("a", "b", "(a + s)", "b"),
+        ("(a + s)", "b", "a", "(b + t)"),
+        ("a", "(b + t)", "a", "b"),
+    ]
+    crossings = " + ".join(
+        f"CASE WHEN {crossing_test_sql(py, px, ay, ax, by, bx)} THEN 1 ELSE 0 END"
+        for ay, ax, by, bx in edges
+    )
+    return f"""
+    WITH tri AS (SELECT n_nationkey AS zone_id, {_TRI_A} AS a, {_TRI_B} AS b,
+                        {_TRI_S} AS s, {_TRI_T} AS t FROM nation),
+    xs AS (SELECT tri.*, unnest(generate_series({P.cell_x_sql('b', _RZ_RES)},
+                                                {P.cell_x_sql('(b + t)', _RZ_RES)})) AS x FROM tri),
+    ys AS (SELECT xs.*, unnest(generate_series({P.cell_y_sql('(a + s)', _RZ_RES)},
+                                               {P.cell_y_sql('a', _RZ_RES)})) AS y FROM xs)
+    SELECT zone_id, y * {n} + x AS cell
+    FROM ys WHERE ({crossings}) % 2 = 1
+    """
+
+
+@register("q_rasterize_zones", _rasterize_oracle())
+def q_rasterize_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster burn-in: triangular nation zones rasterized onto the
+    res-7 packed grid by the even-odd rule on cell centers — the missing
+    direction of the raster<->vector bridge (pixels_of / tile pyramids go
+    raster->vector). The engine walks the closed vertex ring with one JVM
+    higher-order filter per bbox cell (Generate+Filter, no shuffle); the
+    oracle replays the identical crossing-test SQL string on the three
+    explicit edges."""
+    from gaia_spark.operators.raster import rasterize_zones
+
+    tri = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("zone_id"),
+        F.expr(_TRI_A).alias("a"),
+        F.expr(_TRI_B).alias("b"),
+        F.expr(_TRI_S).alias("s"),
+        F.expr(_TRI_T).alias("t"),
+    )
+    ring = (
+        "array(struct(a AS lat, b AS lon), struct(a + s AS lat, b AS lon), "
+        "struct(a AS lat, b + t AS lon), struct(a AS lat, b AS lon))"
+    )
+    zones = tri.select("zone_id", F.expr(ring).alias("vertices"))
+    return rasterize_zones(zones, res=_RZ_RES)
+
+
+_DENSIFY_N = 8
+
+
+def _densify_oracle() -> str:
+    from gaia_spark.operators.scalar_geo import slerp_cols_sql
+
+    f = f"(cast(i as double) / {_DENSIFY_N})"
+    cols = slerp_cols_sql("lat0", "lon0", "lat1", "lon1", f)
+    return f"""
+    WITH {_SEGS_CTE},
+    w AS (SELECT segs.*, unnest(generate_series(0, {_DENSIFY_N})) AS i FROM segs)
+    SELECT s_suppkey, cast(i as int) AS i,
+           {P.floor_scaled_sql(cols['lat'], 6)} AS way_lat_e6,
+           {P.floor_scaled_sql(cols['lon'], 6)} AS way_lon_e6
+    FROM w
+    """
+
+
+@register("q_densify", _densify_oracle())
+def q_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic densification: each supplier segment resampled to 9
+    great-circle waypoints (aviation-formulary slerp as one shared
+    closed-form SQL string, exploded in-plan — no shuffle, no Python);
+    waypoint coordinates hash-checked at e6."""
+    from gaia_spark.operators.scalar_geo import densify_great_circle
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr("((s_suppkey * 7919 % 15000) / cast(100 as double) - 75.0 + 0.0003)").alias("lat0"),
+        F.expr("((s_suppkey * 104729 % 34000) / cast(100 as double) - 170.0 + 0.0007)").alias("lon0"),
+    )
+    s = s.select(
+        "s_suppkey", "lat0", "lon0",
+        F.expr(f"lat0 + {_SEG_DLAT}").alias("lat1"),
+        F.expr(f"lon0 + {_SEG_DLON}").alias("lon1"),
+    )
+    out = densify_great_circle(s, n_points=_DENSIFY_N)
+    return out.select(
+        "s_suppkey",
+        "i",
+        F.expr(P.floor_scaled_sql("way_lat", 6)).alias("way_lat_e6"),
+        F.expr(P.floor_scaled_sql("way_lon", 6)).alias("way_lon_e6"),
+    )

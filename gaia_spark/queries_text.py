@@ -86,6 +86,34 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_repetition",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+    ws AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+           FROM wc GROUP BY 1),
+    g AS (SELECT doc_id, unnest({T.shingles_sql('text', P.DUCK, 2)}) AS g FROM documents),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+    gs AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS nb FROM gc GROUP BY 1)
+    SELECT ws.doc_id,
+           cast(n_words as bigint) AS n_words,
+           cast(n_distinct_words as bigint) AS n_distinct_words,
+           {P.floor_scaled_sql('cast(dup as double) / cast(n_words as double)', 4)} AS dup_word_frac_e4,
+           cast(top_bigram_n as bigint) AS top_bigram_n,
+           {P.floor_scaled_sql('cast(top_bigram_n as double) / cast(nb as double)', 4)} AS top_bigram_frac_e4
+    FROM ws JOIN gs USING (doc_id)
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-word-occurrence
+    fraction, top-bigram share) — the boilerplate/spam filters of a
+    training-data pipeline, as two explode→double-agg chains with
+    map-side combine; every float leaves as fixed-point e4."""
+    return T.repetition_stats(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
