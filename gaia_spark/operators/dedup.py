@@ -331,3 +331,59 @@ def dedup_keep_canonical(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def line_dedup(
+    docs: DataFrame,
+    seg_words: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
+    pass): split every document into non-overlapping ``seg_words``-word
+    segments, find segments appearing in >= ``min_docs`` DISTINCT documents
+    (nav bars, cookie banners, license footers), and rebuild each document
+    with those segments removed, order preserved.
+
+    Returns one row per input document: ``(id_col, clean_text, n_kept)``
+    (``clean_text = ''`` when every segment was boilerplate — the row is
+    NOT silently dropped).
+
+    Scale shape: segment counting is one combine-enabled hash agg keyed by
+    segment; the HOT set (everything above threshold) is by definition tiny
+    relative to the corpus, so the removal is a broadcast LEFT ANTI join
+    (``broadcast_hot=False`` falls back to a shuffled anti-join for
+    adversarial corpora where boilerplate is a large fraction). The rebuild
+    is one groupBy(doc) with an array_sort over (pos, seg) structs — per-doc
+    state is document-sized, never corpus-sized, and no stage collects to
+    the driver."""
+    from gaia_spark.functions.text import chunk_texts_sql
+
+    chunks = chunk_texts_sql(text_col, P.SPARK, seg_words, seg_words)
+    seg = docs.select(
+        F.col(id_col), F.posexplode(F.expr(chunks)).alias("pos", "seg")
+    )
+    hot = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("seg")
+    )
+    kept = seg.join(F.broadcast(hot) if broadcast_hot else hot, "seg", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg), ' ')"
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -1101,6 +1101,7 @@ _PRIORITY: list[str] = [
     "q_tile_clip",
     "q_rasterize_zones",
     "q_densify",
+    "q_line_dedup",
 ]
 
 

@@ -715,3 +715,35 @@ def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_spans(
         d, "n_tokens", context_len=512, part_col="source", bucket_size=1000
     )
+
+
+_LD_K, _LD_MIN = 3, 5
+
+
+def _line_dedup_oracle() -> str:
+    ch = T.chunk_texts_sql("text", P.DUCK, _LD_K, _LD_K)
+    return f"""
+    WITH cw AS (SELECT doc_id, {ch} AS chunks FROM documents),
+    ch AS (SELECT doc_id, i AS pos, chunks[i + 1] AS seg
+           FROM cw, unnest(generate_series(0, len(chunks) - 1)) AS t(i)),
+    hot AS (SELECT seg FROM ch GROUP BY seg
+            HAVING count(distinct doc_id) >= {_LD_MIN}),
+    kept AS (SELECT * FROM ch WHERE seg NOT IN (SELECT seg FROM hot)),
+    agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+           cast(coalesce(agg.n_kept, 0) as bigint) AS n_kept
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register("q_line_dedup", _line_dedup_oracle())
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet/RefinedWeb boilerplate removal):
+    3-word segments occurring in >= 5 distinct docs stripped from every
+    document, order preserved, fully-boilerplate docs kept as empty text.
+    The cleaned TEXT itself is hash-checked on all rows."""
+    from gaia_spark.operators.dedup import line_dedup
+
+    return line_dedup(load(spark, sf_dir, "documents"), seg_words=_LD_K, min_docs=_LD_MIN)

@@ -311,3 +311,45 @@ def test_url_edit_pairs_hot_host_guard(spark):
     # the 50-url host is dropped wholesale; the small host survives
     hosts = {r.url_a.split("/")[2] for r in out}
     assert hosts == {"cold.com"}
+
+
+# --- line_dedup (corpus boilerplate-line removal) ----------------------------
+
+from gaia_spark.operators.dedup import line_dedup
+
+
+def _ld(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r.doc_id: r for r in line_dedup(df, **kw).collect()}
+
+
+def test_line_dedup_strips_hot_segment_preserves_order(spark):
+    boiler = "accept all cookies"
+    texts = [f"{boiler} alpha{i} beta{i} gamma{i} delta{i} epsil{i}" for i in range(5)]
+    texts.append("solo words here nothing shared at")
+    out = _ld(spark, texts, seg_words=3, min_docs=5)
+    assert len(out) == 6
+    for i in range(5):
+        # boilerplate chunk (in all 5 docs) stripped; the doc's own chunks
+        # (positional: [alpha beta gamma], [delta epsil]) stay in order
+        assert out[i].clean_text == f"alpha{i} beta{i} gamma{i} delta{i} epsil{i}"
+        assert out[i].n_kept == 2
+    assert out[5].clean_text == texts[5] and out[5].n_kept == 2
+
+
+def test_line_dedup_below_threshold_kept(spark):
+    boiler = "accept all cookies"
+    texts = [f"{boiler} unique{i} word{i} tail{i}" for i in range(4)]
+    out = _ld(spark, texts, seg_words=3, min_docs=5)  # only 4 docs share it
+    assert all(r.clean_text.startswith(boiler) for r in out.values())
+
+
+def test_line_dedup_fully_boilerplate_doc_survives_empty(spark):
+    boiler = "one two three"
+    texts = [boiler] * 6 + ["fresh content entirely different words now"]
+    out = _ld(spark, texts, seg_words=3, min_docs=5)
+    for i in range(6):
+        assert out[i].clean_text == "" and out[i].n_kept == 0
+    assert out[6].n_kept == 2  # 6 words -> two positional 3-word chunks
