@@ -56,3 +56,72 @@ def pixel_zonal_stats(
         px.withColumnRenamed("v", "value"), index, predicate="intersects", point_key="pixel_id"
     )
     return zonal_stats(assigned, "value")
+
+
+# --- areal interpolation (zonal reaggregation by overlap area) ---------------
+
+
+def overlap_weight_sql(
+    fmin_lat: str, fmin_lon: str, fmax_lat: str, fmax_lon: str,
+    zmin_lat: str, zmin_lon: str, zmax_lat: str, zmax_lon: str,
+) -> str:
+    """Spherical overlap-area fraction of a feature bbox inside a zone
+    rect: area(bbox ∩ zone) / area(bbox), via the (sin φ₁ − sin φ₂)·Δλ
+    band form — one shared SQL string, exact on the sphere for
+    axis-aligned rectangles, identical IEEE arithmetic in both engines.
+    Touch-only pairs (zero-width overlap) weigh exactly 0."""
+    from gaia_spark.functions.portable import rect_area_m2_sql
+
+    o = rect_area_m2_sql(
+        f"greatest({fmin_lat}, {zmin_lat})",
+        f"greatest({fmin_lon}, {zmin_lon})",
+        f"least({fmax_lat}, {zmax_lat})",
+        f"least({fmax_lon}, {zmax_lon})",
+    )
+    f = rect_area_m2_sql(fmin_lat, fmin_lon, fmax_lat, fmax_lon)
+    return f"(({o}) / ({f}))"
+
+
+def areal_reaggregate(
+    features: DataFrame,
+    index,
+    zone_rects: DataFrame,
+    value_col: str,
+    feature_key: str = "feature_id",
+    vertices_col: str = "vertices",
+) -> DataFrame:
+    """Areal interpolation (the census reaggregation op): redistribute each
+    feature's ``value_col`` onto the target zones proportionally to
+    overlap area, and sum per zone. Exact for axis-aligned rectangular
+    features (census blocks / grid cells / bboxes); for general rings the
+    feature is represented by its bounding box — the documented
+    approximation (the reference's raster analog burns a mask instead).
+
+    Scale shape: candidates come from the cell-bucketed
+    ``feature_spatial_join`` (never all-pairs); ``zone_rects``
+    (zone_id, min/max lat/lon) is broadcast to attach extents; the weight
+    is one closed-form JVM expression; the result is a single combinable
+    groupBy(zone). Float summation order differs across engines, so the
+    allocation leaves as floor-scaled fixed point downstream."""
+    from gaia_spark.operators.feature_join import feature_spatial_join
+
+    pairs = feature_spatial_join(
+        features, index, "intersects", feature_key=feature_key, vertices_col=vertices_col
+    )
+    lats = f"transform({vertices_col}, q -> q.lat)"
+    lons = f"transform({vertices_col}, q -> q.lon)"
+    j = (
+        pairs.join(F.broadcast(zone_rects), "zone_id")
+        .withColumn("_fmin_lat", F.expr(f"array_min({lats})"))
+        .withColumn("_fmax_lat", F.expr(f"array_max({lats})"))
+        .withColumn("_fmin_lon", F.expr(f"array_min({lons})"))
+        .withColumn("_fmax_lon", F.expr(f"array_max({lons})"))
+    )
+    w = overlap_weight_sql(
+        "_fmin_lat", "_fmin_lon", "_fmax_lat", "_fmax_lon",
+        "min_lat", "min_lon", "max_lat", "max_lon",
+    )
+    return j.groupBy("zone_id").agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.sum(F.col(value_col) * F.expr(w)).alias("alloc"),
+    )
