@@ -154,3 +154,51 @@ def test_prefix_sum_has_no_global_window(spark):
     assert "windowspecdefinition(source" in low and "_bkt" in low
     # the offsets ride back via a broadcast join (no re-shuffle of the data)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tile_clip_and_rasterize_have_no_shuffle(spark):
+    """The tiling bridge ops are Generate+Filter+Project pipelines — a
+    shuffle (Exchange) anywhere means the in-plan scatter regressed to a
+    join."""
+    import pandas as pd
+
+    from gaia_spark.operators.raster import rasterize_zones
+    from gaia_spark.operators.tiling import clip_segments_to_tiles
+
+    segs = spark.createDataFrame(
+        [(1, 10.0, -40.0, 20.0, 15.0)],
+        "seg_id long, lat0 double, lon0 double, lat1 double, lon1 double",
+    )
+    plan = plan_of(clip_segments_to_tiles(segs, zoom=6))
+    assert "Exchange" not in plan and "Python" not in plan
+
+    ring = [{"lat": 0.0, "lon": 0.0}, {"lat": 20.0, "lon": 0.0},
+            {"lat": 0.0, "lon": 30.0}, {"lat": 0.0, "lon": 0.0}]
+    zones = spark.createDataFrame(
+        pd.DataFrame([{"zone_id": 1, "vertices": ring}]),
+        "zone_id long, vertices array<struct<lat: double, lon: double>>",
+    )
+    plan = plan_of(rasterize_zones(zones, res=6))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_interval_join_is_single_equi_join_no_nested_loop(spark):
+    """interval_join must plan as ONE equi-join on (key, bucket) — never
+    the BroadcastNestedLoopJoin a raw inequality join degenerates to."""
+    from datetime import datetime
+
+    from gaia_spark.operators.asof import interval_join
+
+    iv = spark.createDataFrame(
+        [(1, "k", datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 10, 0))],
+        "iv_id long, key string, t0 timestamp, t1 timestamp",
+    ).repartition(4)
+    ev = spark.createDataFrame(
+        [(1, "k", datetime(2024, 1, 1, 0, 5, 0))],
+        "ev_id long, key string, ts timestamp",
+    ).repartition(4)
+    plan = plan_of(interval_join(iv, ev, "key", "ts", "t0", "t1"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1
