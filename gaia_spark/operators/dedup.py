@@ -387,3 +387,51 @@ def line_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination scan (the eval-leakage check every
+    training-corpus pipeline runs before a model sees the data): for each
+    training document, the fraction of its word ``k``-gram shingles that
+    also appear in the ``benchmark`` corpus.
+
+    Returns ``(id_col, n_grams, n_hit, contam_e4)`` for every training doc
+    (``contam_e4`` = hit fraction, fixed-point e4) — thresholding/dropping
+    is the caller's policy decision.
+
+    Scale shape: the benchmark n-gram vocabulary is distinct-deduped and
+    BROADCAST (eval suites are tiny next to a training corpus — thousands
+    of docs vs billions); the training side is one shingle explode + one
+    broadcast LEFT SEMI-shaped join (inner join + per-doc count, then a
+    left join back for zero-hit docs) + two combinable aggs. Nothing
+    corpus-sized ever shuffles on anything finer than ``id_col``."""
+    from gaia_spark.functions.text import shingles_sql
+
+    sh = shingles_sql(text_col, P.SPARK, k)
+    bench_grams = (
+        benchmark.select(F.explode(F.expr(sh)).alias("g")).distinct()
+    )
+    grams = docs.select(F.col(id_col), F.explode(F.expr(sh)).alias("g"))
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    frac = P.floor_scaled_sql("cast(n_hit as double) / cast(n_grams as double)", 4)
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long"),
+            F.col("n_hit").cast("long"),
+            F.expr(frac).alias("contam_e4"),
+        )
+    )

@@ -1102,6 +1102,7 @@ _PRIORITY: list[str] = [
     "q_densify",
     "q_line_dedup",
     "q_areal_interp",
+    "q_decontaminate",
     # rows-only by design (weakest check) — parked at 51, just outside the
     # 50-entry graded window; its recall is pytest-proven against exact
     "q_ann_ivf",

@@ -747,3 +747,34 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.operators.dedup import line_dedup
 
     return line_dedup(load(spark, sf_dir, "documents"), seg_words=_LD_K, min_docs=_LD_MIN)
+
+
+def _decontaminate_oracle() -> str:
+    sh = T.shingles_sql("text", P.DUCK, 3)
+    return f"""
+    WITH bench AS (SELECT DISTINCT g
+                   FROM (SELECT unnest({sh}) AS g FROM documents WHERE doc_id % 97 = 0)),
+    train AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+    grams AS (SELECT doc_id, unnest({sh}) AS g FROM train),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+    hits AS (SELECT doc_id, count(*) AS n_hit
+             FROM grams JOIN bench USING (g) GROUP BY 1)
+    SELECT t.doc_id, cast(t.n_grams as bigint) AS n_grams,
+           cast(coalesce(h.n_hit, 0) as bigint) AS n_hit,
+           {P.floor_scaled_sql('cast(coalesce(h.n_hit, 0) as double) / cast(t.n_grams as double)', 4)} AS contam_e4
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@register("q_decontaminate", _decontaminate_oracle())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document plays the eval suite;
+    each remaining training doc reports the fraction of its 3-gram
+    shingles found in the benchmark vocabulary (broadcast bench grams, one
+    explode + one broadcast join + combinable aggs)."""
+    from gaia_spark.operators.dedup import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.where("doc_id % 97 = 0")
+    train = d.where("doc_id % 97 != 0")
+    return decontaminate(train, bench, k=3)

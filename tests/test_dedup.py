@@ -353,3 +353,30 @@ def test_line_dedup_fully_boilerplate_doc_survives_empty(spark):
     for i in range(6):
         assert out[i].clean_text == "" and out[i].n_kept == 0
     assert out[6].n_kept == 2  # 6 words -> two positional 3-word chunks
+
+
+# --- decontaminate (benchmark n-gram leakage scan) ---------------------------
+
+from gaia_spark.operators.dedup import decontaminate
+
+
+def test_decontaminate_counts_and_zero_hit_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # grams: [a b the, quick brown fox] -> second gram is a bench gram
+            (1, "a b the quick brown fox"),
+            (2, "totally novel words nothing shared here"),
+            (3, "the quick brown fox jumps"),  # fully contaminated (all 3 grams)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(train, bench, k=3).collect()}
+    # positional? no — shingles are sliding windows: doc 1 has 4 grams,
+    # of which 'the quick brown' and 'quick brown fox' appear in bench
+    assert (out[1].n_grams, out[1].n_hit) == (4, 2)
+    assert out[1].contam_e4 == 5000
+    assert (out[2].n_hit, out[2].contam_e4) == (0, 0)
+    assert out[3].n_hit == out[3].n_grams == 3 and out[3].contam_e4 == 10000
