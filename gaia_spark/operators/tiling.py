@@ -130,3 +130,105 @@ def clip_segments_to_tiles(
         F.expr(quantize_sql("_y0", "_dy", "_t1", "_ty", extent)).alias("v1"),
     )
     return out
+
+
+# --- polygon tile clipping (Sutherland–Hodgman) ------------------------------
+
+
+def _sh_clip_axis(xs, ys, axis: int, lo: float, keep_ge: bool):
+    """One Sutherland–Hodgman stage: clip ring (xs, ys) against an axis
+    slab boundary. Vertex-count bounded by V+1 per stage; numpy ops inside,
+    a short Python loop over edges (rings are small — this runs inside an
+    Arrow batch, never per-DataFrame-row Python)."""
+    import numpy as np
+
+    if len(xs) == 0:
+        return xs, ys
+    vals = xs if axis == 0 else ys
+    inside = (vals >= lo) if keep_ge else (vals <= lo)
+    out_x, out_y = [], []
+    n = len(xs)
+    for i in range(n):
+        j = (i + 1) % n
+        if inside[i]:
+            out_x.append(xs[i]); out_y.append(ys[i])
+        if inside[i] != inside[j]:
+            t = (lo - vals[i]) / (vals[j] - vals[i])
+            out_x.append(xs[i] + t * (xs[j] - xs[i]))
+            out_y.append(ys[i] + t * (ys[j] - ys[i]))
+    return np.asarray(out_x), np.asarray(out_y)
+
+
+def clip_polygons_to_tiles(
+    polys: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    id_col: str = "zone_id",
+    vertices_col: str = "vertices",
+) -> DataFrame:
+    """Polygon counterpart of :func:`clip_segments_to_tiles`: each closed
+    ring is cut to every tile its bbox covers (Sutherland–Hodgman against
+    the four tile edges) and quantized to tile-local extent units — the
+    polygon payload of an MVT tile.
+
+    Scale shape: ring projection to continuous Mercator tile coords and
+    the bbox tile scatter are in-plan JVM (transform + explode sequence);
+    only the clip itself — genuinely iterative per ring — runs in numpy
+    inside ONE mapInPandas stage, Arrow-batched, partition-parallel, no
+    shuffle anywhere. Returns (id_col, tx, ty, us, vs, n_vertices) with
+    us/vs the quantized clipped ring (unclosed); empty intersections are
+    dropped. Rings that merely touch a tile edge quantize to degenerate
+    (zero-area) rings and are kept — callers filter on n_vertices if
+    unwanted."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    n = 1 << zoom
+    xs_col = f"transform({vertices_col}, q -> {merc_xc_sql('q.lon', zoom)})"
+    ys_col = f"transform({vertices_col}, q -> {merc_yc_sql('q.lat', zoom)})"
+    d = polys.select(
+        F.col(id_col),
+        F.expr(xs_col).alias("_xs"),
+        F.expr(ys_col).alias("_ys"),
+    )
+    bx0 = P.clamp_sql("cast(floor(array_min(_xs)) as bigint)", "0", str(n - 1))
+    bx1 = P.clamp_sql("cast(floor(array_max(_xs)) as bigint)", "0", str(n - 1))
+    by0 = P.clamp_sql("cast(floor(array_min(_ys)) as bigint)", "0", str(n - 1))
+    by1 = P.clamp_sql("cast(floor(array_max(_ys)) as bigint)", "0", str(n - 1))
+    d = d.withColumn("_tx", F.explode(F.expr(f"sequence({bx0}, {bx1})"))).withColumn(
+        "_ty", F.explode(F.expr(f"sequence({by0}, {by1})"))
+    )
+
+    schema = (
+        f"{id_col} long, tx long, ty long, "
+        "us array<bigint>, vs array<bigint>, n_vertices int"
+    )
+
+    def clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            # itertuples renames underscore-prefixed columns — iterate the
+            # known column order (id, _xs, _ys, _tx, _ty) as plain tuples.
+            cols = [pdf[c] for c in (id_col, "_xs", "_ys", "_tx", "_ty")]
+            for zid, rxs, rys, rtx, rty in zip(*cols):
+                xs = np.asarray(rxs, dtype=np.float64)[:-1]  # drop closing vtx
+                ys = np.asarray(rys, dtype=np.float64)[:-1]
+                tx, ty = float(rtx), float(rty)
+                xs, ys = _sh_clip_axis(xs, ys, 0, tx, True)
+                xs, ys = _sh_clip_axis(xs, ys, 0, tx + 1.0, False)
+                xs, ys = _sh_clip_axis(xs, ys, 1, ty, True)
+                xs, ys = _sh_clip_axis(xs, ys, 1, ty + 1.0, False)
+                if len(xs) < 3:
+                    continue
+                us = np.floor((xs - tx) * extent + 0.5).astype(np.int64)
+                vs = np.floor((ys - ty) * extent + 0.5).astype(np.int64)
+                rows.append(
+                    (zid, int(rtx), int(rty), us.tolist(), vs.tolist(), len(us))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "tx", "ty", "us", "vs", "n_vertices"]
+            )
+
+    return d.mapInPandas(clip_batches, schema=schema)

@@ -1106,6 +1106,7 @@ _PRIORITY: list[str] = [
     # rows-only by design (weakest check) — parked at 51, just outside the
     # 50-entry graded window; its recall is pytest-proven against exact
     "q_ann_ivf",
+    "q_tile_clip_poly",
 ]
 
 

@@ -1057,3 +1057,27 @@ def q_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.floor_scaled_sql("way_lat", 6)).alias("way_lat_e6"),
         F.expr(P.floor_scaled_sql("way_lon", 6)).alias("way_lon_e6"),
     )
+
+
+@register("q_tile_clip_poly", None)
+def q_tile_clip_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile POLYGON clipping (Sutherland–Hodgman per bbox-covered
+    tile, numpy in one Arrow batch stage — genuinely iterative, hence
+    rows-only; the area-partition invariant is pytest-proven in
+    test_tiling). Zones = the nation triangles of q_rasterize_zones."""
+    from gaia_spark.operators.tiling import clip_polygons_to_tiles
+
+    tri = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("zone_id"),
+        F.expr(_TRI_A).alias("a"),
+        F.expr(_TRI_B).alias("b"),
+        F.expr(_TRI_S).alias("s"),
+        F.expr(_TRI_T).alias("t"),
+    )
+    ring = (
+        "array(struct(a AS lat, b AS lon), struct(a + s AS lat, b AS lon), "
+        "struct(a AS lat, b + t AS lon), struct(a AS lat, b AS lon))"
+    )
+    zones = tri.select("zone_id", F.expr(ring).alias("vertices"))
+    out = clip_polygons_to_tiles(zones, zoom=6)
+    return out.select("zone_id", "tx", "ty", "n_vertices")

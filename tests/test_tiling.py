@@ -60,3 +60,79 @@ def test_payload_rides_along_and_diagonal_cover(spark):
     assert len(out) >= 2  # at least the two diagonal-corner tiles
     assert all(r.seg_id == 7 for r in out)
     assert all(0 <= r.u0 <= 4096 and 0 <= r.v1 <= 4096 for r in out)
+
+
+# --- clip_polygons_to_tiles (Sutherland-Hodgman) -----------------------------
+
+import math
+
+import pandas as pd
+
+from gaia_spark.operators.tiling import clip_polygons_to_tiles
+
+
+def _poly_df(spark, rings):
+    rows = [
+        {"zone_id": i, "vertices": [{"lat": la, "lon": lo} for la, lo in ring]}
+        for i, ring in enumerate(rings)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows), "zone_id long, vertices array<struct<lat: double, lon: double>>"
+    )
+
+
+def _shoelace(us, vs):
+    n = len(us)
+    s = 0.0
+    for i in range(n):
+        j = (i + 1) % n
+        s += us[i] * vs[j] - us[j] * vs[i]
+    return abs(s) / 2.0
+
+
+def _merc_xy(lat, lon, zoom):
+    n = 1 << zoom
+    x = (lon + 180.0) / 360.0 * n
+    y = (1.0 - math.log(math.tan(math.radians(lat)) + 1.0 / math.cos(math.radians(lat))) / math.pi) / 2.0 * n
+    return x, y
+
+
+def test_polygon_clip_partitions_area(spark):
+    """Pieces of a polygon cut by the tile grid must tile it: total
+    shoelace area of the quantized pieces == original area (within
+    quantization tolerance)."""
+    zoom, extent = 1, 4096
+    ring = [(-40.0, -120.0), (50.0, -100.0), (45.0, 60.0), (-30.0, 30.0), (-40.0, -120.0)]
+    out = clip_polygons_to_tiles(_poly_df(spark, [ring]), zoom=zoom, extent=extent).collect()
+    assert len(out) >= 2  # spans several of the 4 world tiles at z1
+    # original area in EXTENT units
+    pts = [_merc_xy(la, lo, zoom) for la, lo in ring[:-1]]
+    orig = _shoelace([p[0] * extent for p in pts], [p[1] * extent for p in pts])
+    total = sum(_shoelace(r.us, r.vs) for r in out)
+    assert abs(total - orig) / orig < 1e-3
+    for r in out:
+        assert all(0 <= u <= extent for u in r.us)
+        assert all(0 <= v <= extent for v in r.vs)
+
+
+def test_polygon_fully_inside_one_tile_unchanged(spark):
+    zoom, extent = 1, 4096
+    ring = [(10.0, -170.0), (60.0, -150.0), (20.0, -100.0), (10.0, -170.0)]
+    out = clip_polygons_to_tiles(_poly_df(spark, [ring]), zoom=zoom, extent=extent).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.tx, r.ty) == (0, 0) and r.n_vertices == 3
+    exp = [_merc_xy(la, lo, zoom) for la, lo in ring[:-1]]
+    for (x, y), u, v in zip(exp, r.us, r.vs):
+        assert u == math.floor(x * extent + 0.5)
+        assert v == math.floor(y * extent + 0.5)
+
+
+def test_polygon_outside_tile_dropped(spark):
+    # bbox overlaps tile (1,0) but the triangle itself stays in (0,*):
+    # candidate pairs with empty intersection must vanish
+    zoom = 2
+    ring = [(10.0, -170.0), (40.0, -160.0), (12.0, -150.0), (10.0, -170.0)]
+    out = clip_polygons_to_tiles(_poly_df(spark, [ring]), zoom=zoom).collect()
+    for r in out:
+        assert r.n_vertices >= 3
