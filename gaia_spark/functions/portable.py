@@ -248,6 +248,57 @@ def geohash_sql(latq: str, lonq: str, precision: int) -> str:
     return "(" + " || ".join(chars) + ")"
 
 
+# --- quadkey / Morton Z-order (tile linearization) ---------------------------
+#
+# Role: `[R] raster↔vector tiling` — the Bing-style quadkey names a tile by
+# the base-4 digits of its bit-interleaved (x, y), and the same digits read
+# as an integer are the Morton (Z-order) code. Morton is the 100-TB layout
+# primitive: sorting/range-partitioning a table by morton before writing
+# parquet makes spatially-adjacent tiles land in the same files, so min/max
+# row-group stats prune bbox queries. Pure unrolled +,*,%,floor arithmetic
+# (the geohash pattern) — one string for both engines; exact for zoom ≤ 26
+# (morton < 4^26 = 2^52, within idiv_sql's float-exact range).
+
+
+def _tile_bit_sql(v: str, zoom: int, i: int) -> str:
+    """Bit (zoom - i) of a tile coordinate, i = 1..zoom (MSB first)."""
+    shift = zoom - i
+    if shift == 0:
+        return f"(({v}) % 2)"
+    return f"({idiv_sql(v, 1 << shift)} % 2)"
+
+
+def quadkey_sql(tx: str, ty: str, zoom: int) -> str:
+    """Quadkey string of tile (tx, ty) at ``zoom``: digit_i = 2·bit_i(y) +
+    bit_i(x), MSB first. The level-(z-1) quadkey is the leading prefix —
+    parent/child containment is string prefix testing."""
+    chars = [
+        "substring('0123', cast(2 * "
+        + _tile_bit_sql(ty, zoom, i)
+        + " + "
+        + _tile_bit_sql(tx, zoom, i)
+        + " as int) + 1, 1)"
+        for i in range(1, zoom + 1)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def morton_sql(tx: str, ty: str, zoom: int) -> str:
+    """Morton (Z-order) code — the quadkey digits read base-4: Σ digit_i ·
+    4^(zoom-i). Interleaves bits so 2-D-adjacent tiles are near in 1-D."""
+    if zoom > 26:
+        raise ValueError("morton_sql exact only for zoom <= 26 (2^52 bound)")
+    terms = [
+        "(2 * "
+        + _tile_bit_sql(ty, zoom, i)
+        + " + "
+        + _tile_bit_sql(tx, zoom, i)
+        + f") * {4 ** (zoom - i)}"
+        for i in range(1, zoom + 1)
+    ]
+    return "cast((" + " + ".join(terms) + ") as bigint)"
+
+
 # --- deterministic key-derived test geometry (FIXTURES.md §6) -----------------
 
 def key_lat_sql(key: str) -> str:

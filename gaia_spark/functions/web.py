@@ -33,3 +33,89 @@ def tld_sql(url: str) -> str:
     """Last dot-label of the host (naive TLD — no public-suffix list
     offline; good enough for grouping keys, documented limit)."""
     return f"nullif(regexp_extract({host_sql(url)}, '{_TLD_RE}', 1), '')"
+
+
+# --- HTML → text extraction (the Common-Crawl preprocessing step) ------------
+#
+# Role: `[R] web-page ingestion` — a pages table carries html:binary; every
+# downstream text operator (geoparse, dedup, quality, lang-id) consumes the
+# EXTRACTED text, so the extraction itself must be deterministic and
+# engine-independent. Scale shape: a regexp_replace/replace chain is pure
+# JVM whole-stage-codegen — map-only, zero shuffle, no Python.
+#
+# Patterns are backslash-free (the Spark-literal-eats-backslashes lesson) and
+# RE2-safe (non-greedy + inline (?s) work in both Java regex and RE2).
+
+SPARK = "spark"
+DUCK = "duck"
+
+_COMMENT_RE = "(?s)<!--.*?-->"
+_SCRIPT_RE = "(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>"
+_STYLE_RE = "(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>"
+_TAG_RE = "<[^>]*>"
+
+# decode order matters: '&amp;' LAST, so '&amp;lt;' yields the literal '&lt;'
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "''"),  # SQL-escaped apostrophe
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def _re_replace_all(s: str, pat: str, repl: str, dialect: str) -> str:
+    """Global regexp_replace: Spark replaces all matches by default, DuckDB
+    only the first unless passed the 'g' option."""
+    if dialect == SPARK:
+        return f"regexp_replace({s}, '{pat}', '{repl}')"
+    return f"regexp_replace({s}, '{pat}', '{repl}', 'g')"
+
+
+def html_to_text_sql(html: str, dialect: str) -> str:
+    """Boilerplate-stripping text extraction from an HTML string: comments,
+    then script/style blocks (their bodies may hold bare '<'), then all
+    tags, then the six core entities, then whitespace collapse + trim.
+    Stage order is load-bearing: tags strip BEFORE entity decode so decoded
+    '&lt;cite&gt;' survives as literal text."""
+    s = _re_replace_all(html, _COMMENT_RE, " ", dialect)
+    s = _re_replace_all(s, _SCRIPT_RE, " ", dialect)
+    s = _re_replace_all(s, _STYLE_RE, " ", dialect)
+    s = _re_replace_all(s, _TAG_RE, " ", dialect)
+    for ent, ch in _ENTITIES:
+        s = f"replace({s}, '{ent}', '{ch}')"
+    ws = "\\\\s+" if dialect == SPARK else "\\s+"
+    return f"trim({_re_replace_all(s, ws, ' ', dialect)})"
+
+
+def rich_html_sql(text: str, doc_id: str) -> str:
+    """Deterministic 'real page' wrapper around a clean text column — head
+    with title/style, a script whose body holds bare '<' and '&&', an HTML
+    comment, attribute-laden tags, and an entity-laden footer. One shared
+    string for both engines (||, cast as string, no backslashes), so the
+    extraction chain chews identical bytes cross-engine."""
+    return (
+        "('<!DOCTYPE html><html><head><title>doc ' || cast("
+        + doc_id
+        + " as string) || '</title>"
+        "<style type=''text/css''>body { color: #fff; }</style></head>"
+        "<body data-id=''' || cast(" + doc_id + " as string) || '''>"
+        "<script type=''text/javascript''>var v = 1 < 2 && f(''x'');</script>"
+        "<!-- crawler <meta> noise -->"
+        "<h1 class=''t''>Doc ' || cast(" + doc_id + " as string) || '</h1>"
+        "<p>' || " + text + " || '</p>"
+        "<div id=''footer''>&lt;cite&gt; A &amp; B &#39;26 &quot;q&quot;&nbsp;fin</div>"
+        "</body></html>')"
+    )
+
+
+def extracted_expected_sql(text: str, doc_id: str) -> str:
+    """The closed-form expected output of html_to_text_sql ∘ rich_html_sql —
+    the byte-identity invariant a test can assert without running the
+    extraction chain."""
+    return (
+        "('doc ' || cast(" + doc_id + " as string) || ' Doc ' || cast("
+        + doc_id
+        + " as string) || ' ' || " + text + " || ' <cite> A & B ''26 \"q\" fin')"
+    )

@@ -30,6 +30,22 @@ def with_tile(df: DataFrame, zoom: int, lat: str = "lat", lon: str = "lon") -> D
     ).withColumn("ty", F.expr(portable.tile_y_sql(lat, zoom)))
 
 
+def with_quadkey(
+    df: DataFrame, zoom: int, tx: str = "tx", ty: str = "ty"
+) -> DataFrame:
+    """Attach the Bing-style quadkey string and the Morton (Z-order) code of
+    an XYZ tile. Both are one unrolled JVM arithmetic expression (no UDF, no
+    shuffle). Morton is the layout key for 100-TB writes: repartitionByRange
+    ('morton') before a parquet write co-locates spatially adjacent tiles in
+    the same files, so row-group min/max stats prune bbox scans."""
+    for out in ("quadkey", "morton"):
+        if out in df.columns:
+            raise ValueError(f"column '{out}' already present; rename it first")
+    return df.withColumn(
+        "quadkey", F.expr(portable.quadkey_sql(tx, ty, zoom))
+    ).withColumn("morton", F.expr(portable.morton_sql(tx, ty, zoom)))
+
+
 def point_tile_pyramid(points: DataFrame, max_zoom: int, min_zoom: int = 0) -> DataFrame:
     """Aggregate points once at max_zoom, then roll the pyramid up zoom by
     zoom with integer-shift parent keys — each level aggregates the previous

@@ -1107,6 +1107,10 @@ _PRIORITY: list[str] = [
     # 50-entry graded window; its recall is pytest-proven against exact
     "q_ann_ivf",
     "q_tile_clip_poly",
+    "q_html_extract",
+    "q_quadkey_counts",
+    "q_od_flows",
+    "q_trip_stats",
 ]
 
 

@@ -294,3 +294,69 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = intersect_features(a, b).select(F.lit("both").alias("kind"), "k")
     diff = except_features(a, b).select(F.lit("only_hi").alias("kind"), "k")
     return union_features(inter, diff)
+
+
+# --- trajectory analytics (OD flows, movement stats) -------------------------
+
+_EV_PTS = (
+    f"e AS (SELECT user_id, ts, event_id, {P.key_lat_sql('event_id')} AS lat, "
+    f"{P.key_lon_sql('event_id')} AS lon FROM events)"
+)
+_EV_PREV = (
+    "p AS (SELECT user_id, lat, lon, lag(lat) OVER w AS prev_lat, "
+    "lag(lon) OVER w AS prev_lon FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+)
+
+
+@register(
+    "q_od_flows",
+    f"""
+    WITH {_EV_PTS}, {_EV_PREV}
+    SELECT {P.cell_id_sql('prev_lat', 'prev_lon', 4)} AS cell_from,
+           {P.cell_id_sql('lat', 'lon', 4)} AS cell_to,
+           count(*) AS n_trips
+    FROM p WHERE prev_lat IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix between res-4 cells over each user's
+    event timeline (key-derived event positions): ONE user-partitioned
+    window shuffle + a flow-matrix agg bounded by cells^2, never an
+    events self-join. Self-loop flows are the stay signal."""
+    from gaia_spark.operators.trajectory import od_flows
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(P.key_lat_sql("event_id")).alias("lat"),
+        F.expr(P.key_lon_sql("event_id")).alias("lon"),
+    )
+    return od_flows(e, res=4)
+
+
+@register(
+    "q_trip_stats",
+    f"""
+    WITH {_EV_PTS}, {_EV_PREV},
+    legs AS (SELECT user_id,
+      CASE WHEN prev_lat IS NOT NULL
+           THEN {P.haversine_m_sql('prev_lat', 'prev_lon', 'lat', 'lon')} END AS leg_m
+      FROM p)
+    SELECT user_id, cast(count(leg_m) as bigint) AS n_legs,
+           {P.floor_scaled_sql("coalesce(sum(leg_m), cast(0 as double))", 3)} AS total_m_e3,
+           {P.floor_scaled_sql("coalesce(max(leg_m), cast(0 as double))", 3)} AS max_leg_m_e3
+    FROM legs GROUP BY user_id
+    """,
+)
+def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user movement summary (leg count, total + max great-circle leg)
+    — the window lag and the per-user agg share the user partitioning, so
+    Catalyst plans ONE exchange for both."""
+    from gaia_spark.operators.trajectory import trip_stats
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(P.key_lat_sql("event_id")).alias("lat"),
+        F.expr(P.key_lon_sql("event_id")).alias("lon"),
+    )
+    return trip_stats(e)

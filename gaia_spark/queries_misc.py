@@ -1081,3 +1081,42 @@ def q_tile_clip_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = tri.select("zone_id", F.expr(ring).alias("vertices"))
     out = clip_polygons_to_tiles(zones, zoom=6)
     return out.select("zone_id", "tx", "ty", "n_vertices")
+
+
+# --- quadkey / Morton Z-order (tile linearization family) --------------------
+
+def _quadkey_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    tx6, ty6 = P.tile_x_sql("lon", 6), P.tile_y_sql("lat", 6)
+    tx4, ty4 = P.tile_x_sql("lon", 4), P.tile_y_sql("lat", 4)
+    # qk4 encoded INDEPENDENTLY at zoom 4 — Spark derives it as a string
+    # prefix of the zoom-6 quadkey, so agreement proves prefix nesting
+    return f"""
+    WITH {PTS_CTE},
+    t AS (SELECT {tx6} AS tx, {ty6} AS ty,
+                 {P.quadkey_sql(tx4, ty4, 4)} AS qk4
+          FROM pts)
+    SELECT {P.quadkey_sql('tx', 'ty', 6)} AS quadkey,
+           {P.morton_sql('tx', 'ty', 6)} AS morton,
+           min(qk4) AS qk4, count(*) AS n
+    FROM t GROUP BY tx, ty
+    """
+
+
+@register("q_quadkey_counts", _quadkey_oracle())
+def q_quadkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey + Morton Z-order tile rollup. The oracle re-encodes the
+    zoom-4 quadkey directly from lat/lon while Spark takes the string
+    prefix of the zoom-6 key — two derivations, one answer = the nesting
+    property is driver-checked, not just pytest-claimed. Morton is the
+    100-TB parquet layout key (range-partition by it before writing)."""
+    from gaia_spark.operators.raster import with_quadkey, with_tile
+
+    pts = with_tile(customer_points(spark, sf_dir), 6)
+    qk = with_quadkey(pts, 6)
+    out = qk.groupBy("quadkey", "morton").agg(F.count("*").alias("n"))
+    return out.select(
+        "quadkey", "morton",
+        F.substring("quadkey", 1, 4).alias("qk4"), "n",
+    )

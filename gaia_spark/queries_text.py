@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gaia_spark.functions import portable as P
 from gaia_spark.functions import text as T
+from gaia_spark.functions import web as W
 from gaia_spark.operators.simsearch import lsh_bucket_sql
 from gaia_spark.queries import load, register
 
@@ -778,3 +779,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where("doc_id % 97 = 0")
     train = d.where("doc_id % 97 != 0")
     return decontaminate(train, bench, k=3)
+
+
+# --- HTML -> text extraction (Common-Crawl preprocessing) --------------------
+
+def _html_extract_oracle() -> str:
+    html = W.rich_html_sql("text", "doc_id")
+    ext = W.html_to_text_sql("html", P.DUCK)
+    return f"""
+    WITH h AS (SELECT doc_id, {html} AS html FROM documents)
+    SELECT doc_id, {ext} AS extracted,
+           cast(length({ext}) as bigint) AS n_chars
+    FROM h
+    """
+
+
+@register("q_html_extract", _html_extract_oracle())
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction, the step every Common-Crawl pipeline runs
+    before geoparse/dedup/quality: comments, script/style blocks, tags,
+    entities, whitespace — one codegen'd regexp_replace/replace chain, map
+    only, zero shuffle, no Python. The page html is rebuilt deterministically
+    from documents (rich_html_sql) so BOTH engines extract from identical
+    bytes, and the EXTRACTED TEXT is hash-checked on every row; the
+    round-trip identity extract(wrap(text)) == expected closed form is
+    pytest-pinned in test_html."""
+    from gaia_spark.functions import web as WW
+
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(WW.rich_html_sql("text", "doc_id")).alias("html"))
+    ext = WW.html_to_text_sql("html", P.SPARK)
+    return h.select(
+        "doc_id",
+        F.expr(ext).alias("extracted"),
+        F.length(F.expr(ext)).cast("long").alias("n_chars"),
+    )

@@ -1,0 +1,61 @@
+"""quadkey_sql / morton_sql — published vectors, nesting, Z-order layout."""
+
+import duckdb
+import pyspark.sql.functions as F
+
+from gaia_spark.functions import portable as P
+
+
+def _eval_duck(exprs: str, src: str) -> tuple:
+    return duckdb.connect().execute(f"SELECT {exprs} FROM {src}").fetchone()
+
+
+def test_published_vectors():
+    """Bing Maps documentation examples: tile (3,5) level 3 -> '213';
+    level-1 tiles are the four quadrants '0','1','2','3'."""
+    got = _eval_duck(
+        f"{P.quadkey_sql('3', '5', 3)}, {P.morton_sql('3', '5', 3)}", "(SELECT 1)"
+    )
+    assert got == ("213", 2 * 16 + 1 * 4 + 3)
+    for tx, ty, exp in [(0, 0, "0"), (1, 0, "1"), (0, 1, "2"), (1, 1, "3")]:
+        assert _eval_duck(P.quadkey_sql(str(tx), str(ty), 1), "(SELECT 1)")[0] == exp
+
+
+def test_morton_is_base4_quadkey_everywhere(spark):
+    """For every tile at zoom 4: int(quadkey, base=4) == morton, parent
+    prefix holds, and Spark agrees with DuckDB on the same expressions."""
+    tiles = spark.sql(
+        "SELECT tx, ty FROM (SELECT explode(sequence(0, 15)) tx) "
+        "CROSS JOIN (SELECT explode(sequence(0, 15)) ty)"
+    )
+    rows = tiles.select(
+        "tx", "ty",
+        F.expr(P.quadkey_sql("tx", "ty", 4)).alias("qk"),
+        F.expr(P.morton_sql("tx", "ty", 4)).alias("m"),
+        F.expr(P.quadkey_sql(P.idiv_sql("tx", 2), P.idiv_sql("ty", 2), 3)).alias("qk_parent"),
+    ).collect()
+    assert len(rows) == 256
+    assert len({r.m for r in rows}) == 256  # bijection
+    for r in rows:
+        assert int(r.qk, 4) == r.m
+        assert r.qk[:3] == r.qk_parent
+
+
+def test_zorder_layout_prunes(spark, tmp_path):
+    """The 100-TB claim in miniature: range-partitioning by morton yields
+    parquet files whose morton (hence tile) ranges don't interleave — the
+    precondition for row-group min/max pruning of bbox scans."""
+    df = spark.sql(
+        "SELECT tx, ty FROM (SELECT explode(sequence(0, 31)) tx) "
+        "CROSS JOIN (SELECT explode(sequence(0, 31)) ty)"
+    ).withColumn("morton", F.expr(P.morton_sql("tx", "ty", 5)))
+    out = str(tmp_path / "zordered")
+    df.repartitionByRange(8, "morton").write.parquet(out)
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    stats = back.groupBy("f").agg(
+        F.min("morton").alias("lo"), F.max("morton").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()
+    spans = sorted((r.lo, r.hi) for r in stats if r.n > 0)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next  # disjoint, ordered ranges

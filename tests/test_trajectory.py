@@ -1,0 +1,59 @@
+"""od_flows / trip_stats — closed-form fixtures + plan shape."""
+
+import pyspark.sql.functions as F
+
+from gaia_spark.functions.kernel import haversine_m
+from gaia_spark.operators.trajectory import od_flows, trip_stats
+
+
+def _events(spark, rows):
+    # rows: (user_id, ts_str, event_id, lat, lon)
+    return spark.createDataFrame(
+        [(u, t, e, la, lo) for u, t, e, la, lo in rows],
+        "user_id long, ts string, event_id long, lat double, lon double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_trip_stats_closed_form(spark):
+    rows = [
+        (1, "2025-01-01 00:00:00", 1, 0.0, 0.0),
+        (1, "2025-01-01 01:00:00", 2, 0.0, 1.0),
+        (1, "2025-01-01 02:00:00", 3, 1.0, 1.0),
+        (2, "2025-01-01 00:00:00", 4, 50.0, 50.0),  # single event: 0 legs
+    ]
+    out = {r.user_id: r for r in trip_stats(_events(spark, rows)).collect()}
+    leg1 = haversine_m(0.0, 0.0, 0.0, 1.0)
+    leg2 = haversine_m(0.0, 1.0, 1.0, 1.0)
+    assert out[1].n_legs == 2
+    assert out[1].total_m_e3 == int((leg1 + leg2) * 1000 + 0.5)
+    assert out[1].max_leg_m_e3 == int(max(leg1, leg2) * 1000 + 0.5)
+    assert (out[2].n_legs, out[2].total_m_e3, out[2].max_leg_m_e3) == (0, 0, 0)
+
+
+def test_od_flows_self_loop_and_ordering(spark):
+    # user 3 bounces A -> B -> A; user 4 stays in A (self-loop flow);
+    # a ts tie is broken by event_id (10 before 11), deterministically
+    rows = [
+        (3, "2025-01-01 00:00:00", 10, 0.0, 0.0),
+        (3, "2025-01-01 00:00:00", 11, 0.0, 91.0),  # tie with event 10
+        (3, "2025-01-01 01:00:00", 12, 0.0, 0.0),
+        (4, "2025-01-01 00:00:00", 13, 0.0, 0.0),
+        (4, "2025-01-01 01:00:00", 14, -0.1, 0.1),  # same res-4 cell (lat 0
+        # is the cell-row boundary: both 0 and -0.1 floor to row 8)
+    ]
+    flows = {
+        (r.cell_from, r.cell_to): r.n_trips
+        for r in od_flows(_events(spark, rows), res=4).collect()
+    }
+    a = [k for k in flows if k[0] == k[1]]
+    assert len(a) == 1 and flows[a[0]] == 1  # user 4's stay
+    ab = [k for k in flows if k[0] != k[1]]
+    assert len(ab) == 2  # A->B and B->A from user 3
+    assert sum(flows.values()) == 3
+
+
+def test_trip_stats_single_exchange(spark):
+    """The lag window and the per-user agg must share one shuffle."""
+    df = _events(spark, [(1, "2025-01-01 00:00:00", 1, 0.0, 0.0)])
+    plan = trip_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
