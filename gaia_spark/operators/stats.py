@@ -379,3 +379,70 @@ def getis_ord_gstar(
         )
         .select(cell_col, "lag", "wi", "gstar")
     )
+
+
+def ripleys_k(
+    points: DataFrame,
+    radii_m: list[float],
+    key_col: str = "pid",
+    lat: str = "lat",
+    lon: str = "lon",
+    region_area_sql: str | None = None,
+) -> DataFrame:
+    """Ripley's K point-pattern statistic (naive estimator, no edge
+    correction — documented): K(r) = A · N_pairs(r) / (n·(n−1)) over
+    ORDERED pairs i≠j with d(i,j) ≤ r, plus the variance-stabilized
+    L(r) = sqrt(K/π).
+
+    Scale shape: pair generation reuses the distributed near-pair cover
+    (:func:`gaia_spark.operators.knn.near_join_cells` at r_max — cell
+    equi-join, never the all-pairs cross join); the per-radius histogram
+    is ONE conditional aggregate (map-side combinable, no radius join);
+    n and the K normalization ride a broadcast of two scalar rows. The
+    closed-form K/L arithmetic is a single shared expression, so results
+    are engine-deterministic (no double accumulation beyond the count).
+
+    Returns (r_m, n_pairs, k_m2_e0, l_m_e3) — K in m² fixed-point e0,
+    L in m fixed-point e3. ``region_area_sql`` is a SQL expression for
+    the study-region area in m² (default: unit area 1.0, yielding the
+    normalized pair fraction)."""
+    from gaia_spark.operators.knn import near_join_cells
+
+    radii = sorted(float(r) for r in radii_m)
+    rmax = radii[-1]
+    pts = points.select(F.col(key_col).alias("pid"), lat, lon)
+    sites = points.select(
+        F.col(key_col).alias("site_id"), F.col(lat).alias("lat"), F.col(lon).alias("lon")
+    )
+    pairs = near_join_cells(pts, sites, rmax, point_key="pid", site_key="site_id")
+    pairs = pairs.where(F.col("pid") != F.col("site_id"))
+
+    counts = pairs.agg(
+        *[
+            F.sum(F.when(F.col("dist_m") <= r, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    n_df = pts.agg(F.count("*").cast("long").alias("_n"))
+    stack = ", ".join(
+        f"cast({r} as double), _c{i}" for i, r in enumerate(radii)
+    )
+    area = region_area_sql if region_area_sql is not None else "cast(1 as double)"
+    k_expr = (
+        f"(({area}) * cast(n_pairs as double) / "
+        "(cast(_n as double) * cast(_n - 1 as double)))"
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_df))
+        .select(
+            F.expr(f"stack({len(radii)}, {stack}) AS (r_m, n_pairs)"), "_n"
+        )
+        .select(
+            "r_m",
+            "n_pairs",
+            F.expr(portable.floor_scaled_sql(k_expr, 0)).alias("k_m2_e0"),
+            F.expr(portable.floor_scaled_sql(f"sqrt({k_expr} / pi())", 3)).alias("l_m_e3"),
+        )
+    )

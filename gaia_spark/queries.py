@@ -1111,6 +1111,10 @@ _PRIORITY: list[str] = [
     "q_quadkey_counts",
     "q_od_flows",
     "q_trip_stats",
+    "q_dissolve",
+    "q_ripleys_k",
+    "q_snap_lines",
+    "q_pagerank",
 ]
 
 

@@ -628,3 +628,164 @@ def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src",
         F.expr(P2.floor_scaled_sql("alloc", 2)).alias("alloc_e2"),
     )
+
+
+# --- dissolve (union-by-attribute via interior-edge cancellation) ------------
+#
+# Grid-mesh fixture: the 100 suppliers tile a 10x10 quadrat mesh (2.5 deg
+# cells, vertex-exact shared edges by construction); group = s_suppkey % 7
+# scatters each group into several disjoint parts. Shared strings keep the
+# vertex doubles bit-identical across engines; the ENGINE sees only
+# (grp, fid, vertices) — the grid structure is oracle-private knowledge.
+
+_MESH_GX = "(s_suppkey % 10)"
+_MESH_GY = "cast(floor(s_suppkey / cast(10 as double)) as bigint)"
+_MESH_GRP = "(s_suppkey % 7)"
+_MESH_LA0 = f"(cast(-30 as double) + {_MESH_GY} * (cast(25 as double) / 10))"
+_MESH_LA1 = f"(cast(-30 as double) + ({_MESH_GY} + 1) * (cast(25 as double) / 10))"
+_MESH_LO0 = f"(cast(-60 as double) + {_MESH_GX} * (cast(25 as double) / 10))"
+_MESH_LO1 = f"(cast(-60 as double) + ({_MESH_GX} + 1) * (cast(25 as double) / 10))"
+
+
+def mesh_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("fid"),
+        F.expr(_MESH_GRP).alias("grp"),
+        F.expr(_MESH_LA0).alias("_a"),
+        F.expr(_MESH_LA1).alias("_c"),
+        F.expr(_MESH_LO0).alias("_b"),
+        F.expr(_MESH_LO1).alias("_d"),
+    )
+    ring = (
+        "array(struct(_a AS lat, _b AS lon), struct(_a AS lat, _d AS lon), "
+        "struct(_c AS lat, _d AS lon), struct(_c AS lat, _b AS lon), "
+        "struct(_a AS lat, _b AS lon))"
+    )
+    return s.select("grp", "fid", F.expr(ring).alias("vertices"))
+
+
+def _dissolve_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    q = lambda x: P.floor_scaled_sql(x, 9)  # noqa: E731
+    h = P.haversine_m_sql("la_a", "lo_a", "la_b", "lo_b")
+    return f"""
+    WITH RECURSIVE mesh AS (SELECT s_suppkey AS fid, {_MESH_GRP} AS grp,
+                         {_MESH_GX} AS gx, {_MESH_GY} AS gy,
+                         {_MESH_LA0} AS la0, {_MESH_LA1} AS la1,
+                         {_MESH_LO0} AS lo0, {_MESH_LO1} AS lo1
+                  FROM supplier),
+    edges AS (
+      SELECT grp, la0 AS la_a, lo0 AS lo_a, la0 AS la_b, lo1 AS lo_b FROM mesh
+      UNION ALL
+      SELECT grp, la1, lo0, la1, lo1 FROM mesh
+      UNION ALL
+      SELECT grp, la0, lo0, la1, lo0 FROM mesh
+      UNION ALL
+      SELECT grp, la0, lo1, la1, lo1 FROM mesh),
+    canon AS (SELECT grp, {q('la_a')} AS ka, {q('lo_a')} AS ko,
+                     {q('la_b')} AS kb, {q('lo_b')} AS kp,
+                     {P.floor_scaled_sql(h, 3)} AS len_e3
+              FROM edges),
+    ek AS (SELECT grp, ka, ko, kb, kp, count(*) AS cnt, min(len_e3) AS len_e3
+           FROM canon GROUP BY grp, ka, ko, kb, kp),
+    outline AS (SELECT grp, cast(sum(len_e3) as bigint) AS boundary_m_e3
+                FROM ek WHERE cnt = 1 GROUP BY grp),
+    areas AS (SELECT grp, count(*) AS n_features,
+                     cast(sum({P.floor_scaled_sql(P.rect_area_m2_sql('la0', 'lo0', 'la1', 'lo1'), 0)}) as bigint) AS area_m2_e0
+              FROM mesh GROUP BY grp),
+    -- disjoint parts from rook adjacency on the grid (oracle-private
+    -- knowledge; the engine derives adjacency from vertex-exact edge keys)
+    adj AS (SELECT a.fid AS a, b.fid AS b FROM mesh a JOIN mesh b
+            ON a.grp = b.grp AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1),
+    reach AS (SELECT fid AS a, fid AS b FROM mesh
+              UNION
+              SELECT r.a, j.b FROM reach r JOIN adj j ON r.b = j.a),
+    lab AS (SELECT a AS fid, min(b) AS label FROM reach GROUP BY a),
+    parts AS (SELECT m.grp, count(DISTINCT l.label) AS n_parts
+              FROM mesh m JOIN lab l ON m.fid = l.fid GROUP BY m.grp)
+    SELECT a.grp AS grp, a.n_features, a.area_m2_e0,
+           coalesce(o.boundary_m_e3, 0) AS boundary_m_e3, p.n_parts
+    FROM areas a LEFT JOIN outline o ON a.grp = o.grp
+    JOIN parts p ON a.grp = p.grp
+    """
+
+
+@register("q_dissolve", _dissolve_oracle())
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIS dissolve: quadrat-mesh features unioned by group — area (summed
+    spherical shoelace, quantized per feature so group sums are integer-
+    exact), outer boundary (interior shared edges cancel), and disjoint
+    part count (pointer-doubling components over the shared-edge graph).
+    The oracle knows the grid (rect areas, rook adjacency, recursive-CTE
+    closure); the engine runs the fully generic vertex machinery — two
+    derivations, one answer."""
+    from gaia_spark.operators.dissolve import dissolve_parts, dissolve_rings
+
+    feats = mesh_features(spark, sf_dir)
+    # area_scale=0: the shoelace-vs-rect-closed-form cross-check needs the
+    # coarser fixed point (both engines integerize identical doubles)
+    d = dissolve_rings(feats, group_col="grp", id_col="fid", area_scale=0)
+    parts = dissolve_parts(feats, group_col="grp", id_col="fid")
+    return d.join(parts, "grp").select(
+        "grp", "n_features", "area_m2_e0", "boundary_m_e3", "n_parts"
+    )
+
+
+# --- snap-to-line (map-matching primitive) -----------------------------------
+
+def _snap_oracle() -> str:
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.snap import snap_point_sql, snap_t_sql
+    from gaia_spark.queries import PTS_CTE
+
+    t = snap_t_sql("p.lat", "p.lon", "s.y1", "s.x1", "s.y2", "s.x2")
+    # scored works on cand's bare projected columns, not the joined aliases
+    sy, sx = snap_point_sql("t", "y1", "x1", "y2", "x2")
+    return f"""
+    WITH {PTS_CTE}, {LINES_CTE},
+    seg AS (SELECT s_suppkey, 0 AS seg_idx, la AS y1, lo AS x1,
+                   CASE WHEN horiz THEN la ELSE la + len END AS y2,
+                   CASE WHEN horiz THEN lo + len ELSE lo END AS x2
+            FROM lines),
+    cand AS (SELECT p.c_custkey, s.s_suppkey, s.seg_idx, {t} AS t,
+                    s.y1, s.x1, s.y2, s.x2, p.lat, p.lon
+             FROM pts p CROSS JOIN seg s),
+    scored AS (SELECT c_custkey, s_suppkey, seg_idx, t, {sy} AS sy, {sx} AS sx,
+                      {P.floor_scaled_sql(P.haversine_m_sql('lat', 'lon', sy, sx), 3)} AS dist_m_e3
+               FROM cand),
+    hit AS (SELECT * FROM scored WHERE dist_m_e3 <= 500000000),
+    r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY dist_m_e3, s_suppkey, seg_idx) AS rk FROM hit)
+    SELECT c_custkey, s_suppkey, seg_idx,
+           {P.floor_scaled_sql('t', 6)} AS t_e6,
+           {P.floor_scaled_sql('sy', 6)} AS snap_lat_e6,
+           {P.floor_scaled_sql('sx', 6)} AS snap_lon_e6,
+           dist_m_e3
+    FROM r WHERE rk = 1
+    """
+
+
+@register("q_snap_lines", _snap_oracle())
+def q_snap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching snap: every customer point gets its closest ON-LINE
+    location (segment, clamped t, projected point, distance) within
+    500 km. Engine candidates come from the wrap-safe expanded-bbox cell
+    scatter; the oracle runs the brute cross join over the same shared
+    projection formulas — derivation disagreement on the candidate
+    generator, bit-identical snap arithmetic."""
+    from gaia_spark.operators.snap import snap_to_lines
+    from gaia_spark.queries import customer_points
+
+    pts = customer_points(spark, sf_dir).select(
+        F.col("c_custkey"), "lat", "lon"
+    )
+    out = snap_to_lines(
+        pts,
+        line_features(spark, sf_dir),
+        max_dist_m=500_000.0,
+        res=5,
+        point_key="c_custkey",
+        line_key="s_suppkey",
+    )
+    return out

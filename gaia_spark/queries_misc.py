@@ -1120,3 +1120,53 @@ def q_quadkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quadkey", "morton",
         F.substring("quadkey", 1, 4).alias("qk4"), "n",
     )
+
+
+# --- Ripley's K (point-pattern statistic) ------------------------------------
+
+_RIPLEY_RADII = [200_000.0, 500_000.0, 1_000_000.0]
+_RIPLEY_AREA = P.rect_area_m2_sql(
+    "cast(-85 as double)", "cast(-170 as double)",
+    "cast(85 as double)", "cast(170 as double)",
+)
+
+
+def _ripley_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    h = P.haversine_m_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    rmax = max(_RIPLEY_RADII)
+    rows = " UNION ALL ".join(
+        f"SELECT cast({r} as double) AS r_m, "
+        f"(SELECT count(*) FROM pairs WHERE d <= {r}) AS n_pairs"
+        for r in _RIPLEY_RADII
+    )
+    k = (
+        f"(({_RIPLEY_AREA}) * cast(n_pairs as double) / "
+        "(cast(n as double) * cast(n - 1 as double)))"
+    )
+    return f"""
+    WITH {PTS_CTE},
+    pairs AS (SELECT {h} AS d FROM pts a JOIN pts b ON a.c_custkey != b.c_custkey
+              WHERE {h} <= {rmax}),
+    hist AS ({rows}),
+    nn AS (SELECT count(*) AS n FROM pts)
+    SELECT r_m, cast(n_pairs as bigint) AS n_pairs,
+           {P.floor_scaled_sql(k, 0)} AS k_m2_e0,
+           {P.floor_scaled_sql(f'sqrt({k} / pi())', 3)} AS l_m_e3
+    FROM hist CROSS JOIN nn
+    """
+
+
+@register("q_ripleys_k", _ripley_oracle())
+def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K / L over the customer point layer at 200/500/1000 km:
+    the engine counts ordered pairs through the distributed cell-cover
+    near join (never all-pairs); the oracle runs the brute cross join —
+    derivation disagreement on the candidate generator, one answer."""
+    from gaia_spark.operators.stats import ripleys_k
+
+    pts = customer_points(spark, sf_dir)
+    return ripleys_k(
+        pts, _RIPLEY_RADII, key_col="c_custkey", region_area_sql=_RIPLEY_AREA
+    )

@@ -814,3 +814,72 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ext).alias("extracted"),
         F.length(F.expr(ext)).cast("long").alias("n_chars"),
     )
+
+
+# --- PageRank over the host link graph ---------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+_PR_EDGES_CTE = (
+    "hosts AS (SELECT DISTINCT doc_id % 97 AS h FROM documents), "
+    "edges AS (SELECT h AS src, (h * 3 + 1) % 97 AS dst FROM hosts WHERE h % 10 != 0 "
+    "UNION SELECT h, (h * 5 + 2) % 97 FROM hosts WHERE h % 10 != 0 "
+    "UNION SELECT h, (h * 7 + 3) % 97 FROM hosts WHERE h % 10 != 0)"
+)
+
+
+def _pagerank_oracle() -> str:
+    from gaia_spark.operators.graph import rank_update_sql
+
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        prev = f"it{k - 1}"
+        upd = rank_update_sql("coalesce(c._contrib, cast(0 as double))", "dm._dm", "nn.n", _PR_DAMP)
+        its.append(
+            f"it{k} AS (SELECT b.node, {upd} AS rank "
+            f"FROM nodes b CROSS JOIN nn CROSS JOIN "
+            f"(SELECT coalesce(sum(r.rank), cast(0 as double)) AS _dm FROM {prev} r "
+            f" LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL) dm "
+            f"LEFT JOIN (SELECT e.dst, sum(r.rank / deg.out_deg) AS _contrib "
+            f"  FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"  JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON b.node = c.dst)"
+        )
+    chain = ", ".join(its)
+    return f"""
+    WITH {_PR_EDGES_CTE},
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, cast(count(*) as double) AS out_deg FROM edges GROUP BY src),
+    nn AS (SELECT cast(count(*) as double) AS n FROM nodes),
+    it0 AS (SELECT node, cast(1 as double) / n AS rank FROM nodes CROSS JOIN nn),
+    {chain}
+    SELECT node, {P.floor_scaled_sql('rank', 12)} AS rank_e12 FROM it{_PR_ITERS}
+    """
+
+
+@register("q_pagerank", _pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped power iterations) over a deterministic host link
+    graph with deliberate dangling hosts — bit-identical cross-engine
+    because ranks re-quantize to e12 between rounds (the oracle chains the
+    same five CTE rounds). Each engine round: one join + one combinable
+    agg + two broadcast scalars."""
+    from gaia_spark.operators.graph import pagerank
+
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).alias("h"))
+        .distinct()
+        .where("h % 10 != 0")
+    )
+    edges = (
+        hosts.select(
+            "h",
+            F.explode(
+                F.expr("array((h * 3 + 1) % 97, (h * 5 + 2) % 97, (h * 7 + 3) % 97)")
+            ).alias("dst"),
+        )
+        .select(F.col("h").alias("src"), "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)
+    return pr.select("node", F.expr(P.floor_scaled_sql("rank", 12)).alias("rank_e12"))

@@ -1,0 +1,45 @@
+"""pagerank — closed forms, mass conservation, dangling redistribution."""
+
+import pyspark.sql.functions as F
+
+from gaia_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_two_node_cycle_symmetric(spark):
+    """A <-> B is symmetric: both ranks stay exactly 0.5 at every
+    iteration, any damping."""
+    out = {r.node: r.rank for r in pagerank(_edges(spark, [(1, 2), (2, 1)]), iters=4).collect()}
+    assert out == {1: 0.5, 2: 0.5}
+
+
+def test_mass_conserved_with_dangling(spark):
+    """Node 3 is dangling (no out-edges): its mass redistributes uniformly
+    and total rank mass stays 1 (to quantization)."""
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    ranks = pagerank(e, iters=5).collect()
+    total = sum(r.rank for r in ranks)
+    assert abs(total - 1.0) < 1e-9
+    assert len(ranks) == 3
+
+
+def test_authority_gets_top_rank(spark):
+    """Star graph: everyone links to node 0 (which links back to 1) —
+    node 0 must end with the highest rank. Needs enough rounds: the 0<->1
+    exchange oscillates with period 2 and decays by d^2 per cycle."""
+    e = _edges(spark, [(i, 0) for i in range(1, 6)] + [(0, 1)])
+    out = {r.node: r.rank for r in pagerank(e, iters=24).collect()}
+    assert max(out, key=out.get) == 0
+    assert out[0] > 2 * max(v for k, v in out.items() if k not in (0, 1))
+
+
+def test_quantization_is_stable_across_partitionings(spark):
+    """The e12 re-quantization makes ranks independent of physical
+    partitioning (the determinism contract the oracle relies on)."""
+    pairs = [(i, (i * 3 + 1) % 11) for i in range(11)] + [(i, (i * 7 + 2) % 11) for i in range(11)]
+    a = pagerank(_edges(spark, pairs), iters=5)
+    b = pagerank(_edges(spark, pairs).repartition(7), iters=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
