@@ -49,6 +49,17 @@ def arr_size(arr: str, dialect: str) -> str:
     return f"len({arr})"
 
 
+def bigint_div(a: str, b: str, dialect: str) -> str:
+    """EXACT integer division of non-negative BIGINTs — unlike
+    :func:`idiv_sql` this never routes through a double, so it stays exact
+    past 2^52 (needed when dividing order-independent fixed-point SUMS).
+    Spark ``div`` truncates, DuckDB ``//`` floors — identical for the
+    non-negative operands this macro is documented for."""
+    if dialect == SPARK:
+        return f"(({a}) div ({b}))"
+    return f"(({a}) // ({b}))"
+
+
 # --- shared formulas (verbatim in both dialects) -----------------------------
 
 def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:

@@ -311,3 +311,68 @@ def rasterize_zones(
         d.where(F.expr(odd))
         .select(F.col(id_col), F.expr(f"_gy * {n} + _gx").alias("cell"))
     )
+
+
+def focal_stats(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
+    """Focal (moving-window) map algebra over the GLOBAL pixel grid of one
+    zoom level — the gdal/gaia focal-mean/min/max neighborhood operation
+    (`[R] SURVEY.md §2.J RasterMathProcess` family, focal variant).
+
+    Each pixel's 3×3 neighborhood statistic is computed by SCATTER, not
+    lookup: every pixel contributes its value to the 9 target cells it
+    neighbors (in-plan explode of the literal offset array — no join, no
+    Python beyond the existing pixels_of bridge), then ONE combinable
+    groupBy(r, c) aggregate. Tile borders need no special casing — pixels
+    from adjacent tiles land in the same (r, c) group — and longitude wraps
+    around the antimeridian (pmod on the column index) while rows clamp at
+    the poles (edge pixels simply aggregate fewer neighbors; n_nb records
+    how many).
+
+    Engine-determinism: values quantize to fixed-point e4 BEFORE
+    aggregation (integer sums are order-independent); the mean derives by
+    exact bigint division with a +200.0 offset making the numerator
+    non-negative (Spark ``div`` truncates, DuckDB ``//`` floors — equal
+    only for non-negative operands). Returns
+    (r, c, n_nb, mean_e2, min_e4, max_e4)."""
+    n_px = TILE_PX * (1 << zoom)
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    decoded = px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(portable.floor_scaled_sql("v", 4)).alias("v_e4"),
+    )
+    scat = (
+        decoded.withColumn("_dr", F.explode(F.expr("array(-1, 0, 1)")))
+        .withColumn("_dc", F.explode(F.expr("array(-1, 0, 1)")))
+        .select(
+            (F.col("r") + F.col("_dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("_dc"), F.lit(n_px)).alias("tc"),
+            "v_e4",
+        )
+        .where((F.col("tr") >= 0) & (F.col("tr") < n_px))
+    )
+    return (
+        scat.groupBy(F.col("tr").alias("r"), F.col("tc").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("n_nb"),
+            F.sum("v_e4").cast("long").alias("_sum_e4"),
+            F.min("v_e4").cast("long").alias("min_e4"),
+            F.max("v_e4").cast("long").alias("max_e4"),
+        )
+        .select(
+            "r",
+            "c",
+            "n_nb",
+            F.expr("((_sum_e4 + n_nb * 2000000) div (n_nb * 100)) - 20000")
+            .cast("long")
+            .alias("mean_e2"),
+            "min_e4",
+            "max_e4",
+        )
+    )

@@ -446,3 +446,72 @@ def ripleys_k(
             F.expr(portable.floor_scaled_sql(f"sqrt({k_expr} / pi())", 3)).alias("l_m_e3"),
         )
     )
+
+
+def empirical_variogram(
+    points: DataFrame,
+    value_col: str,
+    bin_width_m: float,
+    n_bins: int,
+    key_col: str = "pid",
+    lat: str = "lat",
+    lon: str = "lon",
+    value_scale: int = 4,
+    gamma_scale: int = 2,
+) -> DataFrame:
+    """Empirical semivariogram (the kriging precursor; `[R] SURVEY.md §2.I
+    AutocorrelationProcess` family): gamma(h) = sum((v_i − v_j)²) /
+    (2 · N(h)) over ORDERED point pairs i≠j binned by great-circle lag
+    distance, bins [k·w, (k+1)·w) for k < n_bins.
+
+    Scale shape (100 TB): pairs come from the distributed cell-cover near
+    join at r_max = n_bins·w (:func:`gaia_spark.operators.knn.
+    near_join_cells` — cell equi-join, NEVER the all-pairs cross join);
+    the per-bin moments are ONE map-side-combinable aggregate; site values
+    arrive by one key equi-join. No Python, no driver state.
+
+    Engine-determinism: each pair's squared difference is quantized to
+    fixed-point 10^-value_scale BEFORE summation (integer sums are
+    order-independent — the dissolve/PageRank lesson), and gamma derives
+    by EXACT bigint division (`portable.bigint_div` semantics; the Spark
+    side uses `div`), so results are bit-identical in any engine or
+    partitioning. Returns (bin, r_lo_m, n_pairs, sum_sq_e{value_scale},
+    gamma_e{gamma_scale})."""
+    from gaia_spark.operators.knn import near_join_cells
+
+    w = float(bin_width_m)
+    rmax = w * n_bins
+    pts = points.select(
+        F.col(key_col).alias("pid"), F.col(value_col).alias("_va"), lat, lon
+    )
+    sites = points.select(
+        F.col(key_col).alias("site_id"), F.col(lat).alias("lat"), F.col(lon).alias("lon")
+    )
+    vals = points.select(
+        F.col(key_col).alias("site_id"), F.col(value_col).alias("_vb")
+    )
+    pairs = (
+        near_join_cells(pts, sites, rmax, point_key="pid", site_key="site_id")
+        .where(F.col("pid") != F.col("site_id"))
+        .join(vals, "site_id")
+    )
+    sq = "(cast(_va as double) - cast(_vb as double)) * (cast(_va as double) - cast(_vb as double))"
+    binned = (
+        pairs.withColumn("bin", F.floor(F.col("dist_m") / F.lit(w)).cast("long"))
+        .where(F.col("bin") < n_bins)
+        .withColumn("_sq_e", F.expr(portable.floor_scaled_sql(sq, value_scale)))
+    )
+    div = 2 * (10 ** (value_scale - gamma_scale))  # e{value} sum -> e{gamma} half-mean
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("_sq_e").cast("long").alias(f"sum_sq_e{value_scale}"),
+        )
+        .withColumn("r_lo_m", F.expr(portable.floor_scaled_sql(f"bin * {w}", 0)))
+        .withColumn(
+            f"gamma_e{gamma_scale}",
+            F.expr(f"(sum_sq_e{value_scale} div ({div} * n_pairs))").cast("long"),
+        )
+        .select("bin", "r_lo_m", "n_pairs", f"sum_sq_e{value_scale}", f"gamma_e{gamma_scale}")
+    )

@@ -789,3 +789,85 @@ def q_snap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_key="s_suppkey",
     )
     return out
+
+
+# --- line-line intersection overlay ------------------------------------------
+
+# dense 20°×20° frontier so the layers actually cross (the shared LINES_CTE
+# suppliers are scattered over ±75° and never meet at small SF)
+_OLAT = "((s_suppkey * 7919 % 2000) / cast(100 as double) + 10.0003)"
+_OLON = "((s_suppkey * 104729 % 2000) / cast(100 as double) + 20.0007)"
+_OLINES_CTE = (
+    "olines AS (SELECT s_suppkey, s_suppkey % 2 = 0 AS horiz, "
+    f"{_OLAT} AS la, {_OLON} AS lo, {_SLEN} AS len FROM supplier)"
+)
+
+
+def _overlay_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_OLAT).alias("_la"),
+        F.expr(_OLON).alias("_lo"),
+        F.expr(_SLEN).alias("_len"),
+    )
+    chain = (
+        "CASE WHEN s_suppkey % 2 = 0 "
+        "THEN array(struct(_la AS lat, _lo AS lon), struct(_la AS lat, _lo + _len AS lon)) "
+        "ELSE array(struct(_la AS lat, _lo AS lon), struct(_la + _len AS lat, _lo AS lon)) END"
+    )
+    return s.select("s_suppkey", F.expr(chain).alias("vertices"))
+
+
+def _overlay_oracle() -> str:
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.overlay import (
+        seg_d_sql,
+        seg_point_sql,
+        seg_tn_sql,
+        seg_un_sql,
+    )
+
+    a = ["a.y1", "a.x1", "a.y2", "a.x2"]
+    b = ["b.y1", "b.x1", "b.y2", "b.x2"]
+    d = seg_d_sql(*a, *b)
+    tn = seg_tn_sql(a[0], a[1], b[1], b[0], b[2], b[3])
+    un = seg_un_sql(a[0], a[1], a[2], a[3], b[0], b[1])
+    iy, ix = seg_point_sql("t", "y1", "x1", "y2", "x2")
+    return f"""
+    WITH {_OLINES_CTE},
+    seg AS (SELECT s_suppkey, horiz, 0 AS seg_idx, la AS y1, lo AS x1,
+                   CASE WHEN horiz THEN la ELSE la + len END AS y2,
+                   CASE WHEN horiz THEN lo + len ELSE lo END AS x2
+            FROM olines),
+    cand AS (SELECT a.s_suppkey AS line_a, a.seg_idx AS seg_a,
+                    b.s_suppkey AS line_b, b.seg_idx AS seg_b,
+                    a.y1, a.x1, a.y2, a.x2,
+                    {d} AS d, {tn} AS tn, {un} AS un
+             FROM seg a JOIN seg b ON a.horiz AND NOT b.horiz),
+    hit AS (SELECT line_a, seg_a, line_b, seg_b, tn / d AS t, un / d AS u,
+                   y1, x1, y2, x2
+            FROM cand WHERE d != 0
+              AND tn / d >= 0 AND tn / d <= 1 AND un / d >= 0 AND un / d <= 1)
+    SELECT line_a, seg_a, line_b, seg_b,
+           {P.floor_scaled_sql('t', 6)} AS t_e6,
+           {P.floor_scaled_sql('u', 6)} AS u_e6,
+           {P.floor_scaled_sql(iy, 6)} AS lat_e6,
+           {P.floor_scaled_sql(ix, 6)} AS lon_e6
+    FROM hit
+    """
+
+
+@register("q_line_intersections", _overlay_oracle())
+def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector overlay: every crossing POINT between the horizontal and
+    vertical supplier line layers — segment pair, parameters t/u, and the
+    intersection coordinates. Engine candidates come from the exact-bbox
+    cell covers with ownership dedup (only the cell containing the
+    crossing reports the pair); the oracle runs the brute cross join over
+    the same closed-form d/t/u arithmetic."""
+    from gaia_spark.operators.overlay import line_intersections
+
+    lines = _overlay_lines(spark, sf_dir)
+    horiz = lines.where("s_suppkey % 2 = 0").withColumnRenamed("s_suppkey", "line_a")
+    vert = lines.where("s_suppkey % 2 = 1").withColumnRenamed("s_suppkey", "line_b")
+    return line_intersections(horiz, vert, res=5, key_a="line_a", key_b="line_b")

@@ -1170,3 +1170,94 @@ def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ripleys_k(
         pts, _RIPLEY_RADII, key_col="c_custkey", region_area_sql=_RIPLEY_AREA
     )
+
+
+# --- empirical semivariogram (geostatistics) ---------------------------------
+
+_VGRAM_W = 250_000.0
+_VGRAM_BINS = 4
+
+
+def _variogram_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    h = P.haversine_m_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    sq = (
+        "(cast(a.c_acctbal as double) - cast(b.c_acctbal as double)) * "
+        "(cast(a.c_acctbal as double) - cast(b.c_acctbal as double))"
+    )
+    div = 2 * (10 ** (4 - 2))
+    return f"""
+    WITH {PTS_CTE},
+    pairs AS (SELECT cast(floor({h} / {_VGRAM_W}) as bigint) AS bin,
+                     {P.floor_scaled_sql(sq, 4)} AS sq_e
+              FROM pts a JOIN pts b ON a.c_custkey != b.c_custkey
+              WHERE {h} < {_VGRAM_W * _VGRAM_BINS})
+    SELECT bin, {P.floor_scaled_sql(f'bin * {_VGRAM_W}', 0)} AS r_lo_m,
+           cast(count(*) as bigint) AS n_pairs,
+           cast(sum(sq_e) as bigint) AS sum_sq_e4,
+           {P.bigint_div(f'cast(sum(sq_e) as bigint)', f'{div} * count(*)', P.DUCK)} AS gamma_e2
+    FROM pairs WHERE bin < {_VGRAM_BINS} GROUP BY bin
+    """
+
+
+@register("q_variogram", _variogram_oracle())
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of customer account balance over 4 × 250 km
+    lag bins — the kriging precursor. Engine pairs come from the
+    distributed cell-cover near join; the oracle runs the brute cross
+    join. Per-pair squared differences quantize to e4 BEFORE the sum and
+    gamma derives by exact bigint division, so the whole statistic is
+    bit-identical cross-engine."""
+    from gaia_spark.operators.stats import empirical_variogram
+
+    pts = customer_points(spark, sf_dir)
+    return empirical_variogram(
+        pts, "c_acctbal", _VGRAM_W, _VGRAM_BINS, key_col="c_custkey"
+    )
+
+
+# --- focal raster statistics (moving-window map algebra) ---------------------
+
+def _focal_oracle() -> str:
+    n_t, px = 8, 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    mean = P.bigint_div(
+        "cast(sum(v_e4) as bigint) + count(*) * 2000000", "count(*) * 100", P.DUCK
+    )
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    px AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                  {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM px),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+    scat AS (SELECT r + dr AS tr, (c + dc + {n_px}) % {n_px} AS tc, v_e4
+             FROM pv CROSS JOIN offs
+             WHERE r + dr >= 0 AND r + dr < {n_px})
+    SELECT cast(tr as bigint) AS r, cast(tc as bigint) AS c,
+           cast(count(*) as bigint) AS n_nb,
+           cast(({mean}) - 20000 as bigint) AS mean_e2,
+           cast(min(v_e4) as bigint) AS min_e4,
+           cast(max(v_e4) as bigint) AS max_e4
+    FROM scat GROUP BY tr, tc
+    """
+
+
+@register("q_focal_stats", _focal_oracle())
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3×3 mean/min/max over the zoom-3 global pixel grid (512×512)
+    of the analytic surface — moving-window map algebra with cross-TILE
+    neighborhoods (scatter + one combinable agg, antimeridian pmod wrap,
+    polar row clamp). Values quantize to e4 before aggregation and the
+    mean uses exact offset bigint division, so every statistic is
+    bit-identical cross-engine; the oracle rebuilds all 262k pixels and
+    replays the scatter as a 9-row VALUES cross join."""
+    from gaia_spark.operators.raster import focal_stats
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0,))
+    return focal_stats(raster, zoom=3, band=0)

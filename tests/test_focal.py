@@ -1,0 +1,63 @@
+"""focal_stats — independent numpy reference over the global pixel grid."""
+
+import numpy as np
+
+from gaia_spark.operators.raster import focal_stats
+from gaia_spark.synth import TILE_PX, surface_value, synth_raster
+from gaia_spark.functions.kernel import tile_bounds
+
+
+def _reference_grid(zoom: int, band: int) -> np.ndarray:
+    """Global pixel grid v[r, c] built tile-by-tile like synth_raster."""
+    n_t = 1 << zoom
+    g = np.empty((n_t * TILE_PX, n_t * TILE_PX), dtype=np.float64)
+    for ty in range(n_t):
+        for tx in range(n_t):
+            lat0, lat1, lon0, lon1 = tile_bounds(zoom, tx, ty)
+            lats = np.linspace(lat1, lat0, TILE_PX, endpoint=False) - (lat1 - lat0) / (2 * TILE_PX)
+            lons = np.linspace(lon0, lon1, TILE_PX, endpoint=False) + (lon1 - lon0) / (2 * TILE_PX)
+            glon, glat = np.meshgrid(lons, lats)
+            g[ty * TILE_PX:(ty + 1) * TILE_PX, tx * TILE_PX:(tx + 1) * TILE_PX] = (
+                surface_value(glat, glon, band).astype(np.float32).astype(np.float64)
+            )
+    return g
+
+
+def test_focal_vs_numpy_reference(spark):
+    """Every (r, c) matches an independent padded-roll numpy focal pass —
+    including cross-TILE rows/cols, the wrapped antimeridian columns, and
+    the clamped polar rows."""
+    zoom, band = 1, 0
+    raster = synth_raster(spark, zooms=(zoom,), bands=(band,))
+    out = {(r.r, r.c): r for r in focal_stats(raster, zoom, band).collect()}
+
+    g = _reference_grid(zoom, band)
+    n = g.shape[0]
+    ve = np.floor(g * 1e4 + 0.5).astype(np.int64)
+    assert len(out) == n * n
+    rng = np.random.default_rng(7)
+    checks = [(0, 0), (0, n - 1), (n - 1, 0), (TILE_PX - 1, TILE_PX)] + [
+        (int(a), int(b)) for a, b in rng.integers(0, n, size=(50, 2))
+    ]
+    for r, c in checks:
+        nbr = [
+            ve[r + dr, (c + dc) % n]
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+            if 0 <= r + dr < n
+        ]
+        row = out[(r, c)]
+        assert row.n_nb == len(nbr)
+        assert row.min_e4 == min(nbr) and row.max_e4 == max(nbr)
+        s = int(sum(nbr))
+        assert row.mean_e2 == (s + len(nbr) * 2_000_000) // (len(nbr) * 100) - 20_000
+
+
+def test_focal_constant_surface_mean_identity(spark):
+    """On interior pixels of a 3×3-complete neighborhood the mean of the
+    focal max/min bracket the pixel's own value."""
+    zoom = 1
+    raster = synth_raster(spark, zooms=(zoom,), bands=(0,))
+    rows = focal_stats(raster, zoom, 0).where("r > 0 AND r < 127").collect()
+    assert all(r.n_nb == 9 for r in rows)
+    assert all(r.min_e4 <= r.mean_e2 * 100 + 100 and r.mean_e2 * 100 <= r.max_e4 + 100 for r in rows)
