@@ -302,3 +302,43 @@ def pii_scrub_sql(text: str, dialect: str) -> str:
     s = scrub_sql(text, EMAIL_RE, "<EMAIL>", dialect)
     s = scrub_sql(s, PHONE_RE, "<PHONE>", dialect)
     return scrub_sql(s, IPV4_RE, "<IP>", dialect)
+
+
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style unigram language-model quality score: per-document mean
+    negative log-likelihood under the CORPUS's own unigram distribution
+    (Wenzek et al. 2020 use a KenLM 5-gram; the unigram variant is the
+    deterministic, SQL-expressible member of the family and ranks docs the
+    same way for boilerplate/outlier filtering).
+
+    Two passes, both combinable: (1) vocabulary counts (one token agg over
+    the corpus), (2) token→count shuffle join + per-doc agg. The corpus
+    total rides a one-row broadcast. Per-token log-probs quantize to e4
+    BEFORE the doc sum (order-independent integer arithmetic; ln at e4 is
+    the q_tfidf_top3 precedent) and the mean NLL derives by exact bigint
+    division. Returns (id, n_tokens, sum_logp_e4, nll_e2)."""
+    import pyspark.sql.functions as F
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("_tok")
+    ).where("_tok != ''")
+    vocab = toks.groupBy("_tok").agg(F.count("*").cast("long").alias("_cnt"))
+    tot = vocab.agg(F.sum("_cnt").cast("long").alias("_tot"))
+    logp = P.floor_scaled_sql(
+        "ln(cast(_cnt as double) / cast(_tot as double))", 4
+    )
+    scored = (
+        toks.join(vocab, "_tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lp_e4", F.expr(logp))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_lp_e4").cast("long").alias("sum_logp_e4"),
+        )
+        .withColumn(
+            "nll_e2", F.expr("((-sum_logp_e4) div (n_tokens * 100))").cast("long")
+        )
+    )

@@ -119,3 +119,39 @@ def extracted_expected_sql(text: str, doc_id: str) -> str:
         + doc_id
         + " as string) || ' ' || " + text + " || ' <cite> A & B ''26 \"q\" fin')"
     )
+
+
+# --- link extraction (the crawl-frontier / link-graph step) ------------------
+
+_HREF_RE = 'href="([^"]+)"'
+
+
+def linked_html_sql(text: str, doc_id: str) -> str:
+    """Deterministic page html WITH OUTLINKS: the rich_html_sql idea plus
+    three <a href="..."> anchors whose target hosts derive from the doc id
+    (h{(id·(3+k)+k) mod 97}.example.com), a nofollow same-host self link
+    the graph must keep (self loop), and NO anchors at all for docs whose
+    host ≡ 0 (mod 10) — the dangling-mass fixture threaded through real
+    extraction. Double-quoted attributes so the extraction pattern stays
+    backslash-free."""
+    h = f"(({doc_id}) % 97)"
+    link = (
+        "'<a href=\"http://h' || cast(({h} * {m} + {k}) % 97 as string) || "
+        "'.example.com/p/{k}\">x</a>'"
+    )
+    links = " || ".join(
+        link.format(h=h, m=3 + k, k=k) for k in range(3)
+    )
+    return (
+        "('<html><head><title>d' || cast(" + doc_id + " as string) || '</title></head>"
+        "<body><p>' || " + text + " || '</p>' || "
+        f"CASE WHEN {h} % 10 = 0 THEN '' ELSE {links} || "
+        f"'<a href=\"http://h' || cast({h} as string) || '.example.com/self\">me</a>' END || "
+        "'</body></html>')"
+    )
+
+
+def extract_links_sql(html: str) -> str:
+    """All href targets as an array — regexp_extract_all shares name and
+    (string, pattern, group) signature in Spark and DuckDB."""
+    return f"regexp_extract_all({html}, '{_HREF_RE}', 1)"

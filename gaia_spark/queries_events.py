@@ -360,3 +360,46 @@ def q_trip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.key_lon_sql("event_id")).alias("lon"),
     )
     return trip_stats(e)
+
+
+# --- time-series resample + forward fill -------------------------------------
+
+_RS_US = 3600 * 1_000_000
+
+
+@register(
+    "q_resample_ffill",
+    f"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) // {_RS_US} AS bucket, ts, event_id,
+                       {P.floor_scaled_sql('cast(value as double)', 2)} AS v
+                FROM events),
+    rk AS (SELECT user_id, bucket, v, row_number() OVER (
+             PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS r
+           FROM ev),
+    lastv AS (SELECT user_id, bucket, v FROM rk WHERE r = 1),
+    cnt AS (SELECT user_id, bucket, cast(count(*) as bigint) AS n_events
+            FROM ev GROUP BY 1, 2),
+    rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+            FROM ev GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM rng),
+    j AS (SELECT g.user_id, g.bucket, coalesce(c.n_events, 0) AS n_events, l.v
+          FROM grid g LEFT JOIN cnt c ON g.user_id = c.user_id AND g.bucket = c.bucket
+          LEFT JOIN lastv l ON g.user_id = l.user_id AND g.bucket = l.bucket)
+    SELECT user_id, cast(bucket as bigint) AS bucket, n_events,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_e2
+    FROM j
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of every user's event-value series with forward
+    fill across empty buckets — the gap-filling regularization step. The
+    grid generates in-plan per key, the last-observation pick is an
+    order-independent max(struct) (unique event id, floats never
+    compared), and the fill is one per-key window; the oracle replays the
+    pick as a row_number arg-max and the fill as IGNORE NULLS
+    last_value."""
+    from gaia_spark.operators.timeseries import resample_ffill
+
+    e = load(spark, sf_dir, "events")
+    return resample_ffill(e, bucket_s=3600)

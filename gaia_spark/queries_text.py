@@ -883,3 +883,133 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)
     return pr.select("node", F.expr(P.floor_scaled_sql("rank", 12)).alias("rank_e12"))
+
+
+# --- link graph: href extraction + host edges + PageRank over them ----------
+
+def _link_edges_ctes() -> str:
+    """Shared oracle CTE chain: rebuild linked html, extract hrefs, derive
+    (src_host, dst_host) — the whole crawl-frontier pipeline in SQL."""
+    html = W.linked_html_sql("text", "doc_id")
+    links = W.extract_links_sql("html")
+    dst = W.host_sql("link")
+    return f"""
+    h AS (SELECT doc_id, {html} AS html FROM documents),
+    l AS (SELECT doc_id, unnest({links}) AS link FROM h),
+    e AS (SELECT 'h' || cast(doc_id % 97 as string) || '.example.com' AS src_host,
+                 {dst} AS dst_host
+          FROM l)"""
+
+
+def _link_graph_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", F.expr(W.linked_html_sql("text", "doc_id")).alias("html")
+    )
+    return (
+        h.select(
+            F.expr("'h' || cast(doc_id % 97 as string) || '.example.com'").alias(
+                "src_host"
+            ),
+            F.explode(F.expr(W.extract_links_sql("html"))).alias("link"),
+        )
+        .select("src_host", F.expr(W.host_sql("link")).alias("dst_host"))
+    )
+
+
+@register(
+    "q_link_graph",
+    f"""
+    WITH {_link_edges_ctes()}
+    SELECT src_host, dst_host, cast(count(*) as bigint) AS n_links
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link graph: deterministic linked html rebuilt per doc, hrefs
+    extracted with one shared backslash-free regexp_extract_all, targets
+    reduced to hosts, edges rolled up — the whole chain is codegen'd JVM
+    SQL (explode + one combinable agg, no Python), hash-checked edge by
+    edge including the dangling hosts (no anchors) and self links."""
+    return (
+        _link_graph_spark(spark, sf_dir)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def _pagerank_links_oracle() -> str:
+    from gaia_spark.operators.graph import rank_update_sql
+
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        prev = f"it{k - 1}"
+        upd = rank_update_sql(
+            "coalesce(c._contrib, cast(0 as double))", "dm._dm", "nn.n", _PR_DAMP
+        )
+        its.append(
+            f"it{k} AS (SELECT b.node, {upd} AS rank "
+            f"FROM nodes b CROSS JOIN nn CROSS JOIN "
+            f"(SELECT coalesce(sum(r.rank), cast(0 as double)) AS _dm FROM {prev} r "
+            f" LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL) dm "
+            f"LEFT JOIN (SELECT e.dst, sum(r.rank / deg.out_deg) AS _contrib "
+            f"  FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"  JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON b.node = c.dst)"
+        )
+    chain = ", ".join(its)
+    return f"""
+    WITH {_link_edges_ctes()},
+    edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM e),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, cast(count(*) as double) AS out_deg FROM edges GROUP BY src),
+    nn AS (SELECT cast(count(*) as double) AS n FROM nodes),
+    it0 AS (SELECT node, cast(1 as double) / n AS rank FROM nodes CROSS JOIN nn),
+    {chain}
+    SELECT node, {P.floor_scaled_sql('rank', 12)} AS rank_e12 FROM it{_PR_ITERS}
+    """
+
+
+@register("q_pagerank_links", _pagerank_links_oracle())
+def q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the EXTRACTED link graph — html → href → host edges →
+    5 quantized power-iteration rounds, end to end; dangling hosts come
+    from the no-anchor pages, self loops from the self links. Bit-identical
+    cross-engine (e12 re-quantization between rounds)."""
+    from gaia_spark.operators.graph import pagerank
+
+    edges = _link_graph_spark(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).distinct()
+    pr = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)
+    return pr.select(
+        "node", F.expr(P.floor_scaled_sql("rank", 12)).alias("rank_e12")
+    )
+
+
+# --- unigram LM quality score ------------------------------------------------
+
+@register(
+    "q_unigram_lm",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({P.split_ws('text', P.DUCK)}) AS tok
+                  FROM documents),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+    vocab AS (SELECT tok, cast(count(*) as bigint) AS cnt FROM t GROUP BY tok),
+    tot AS (SELECT cast(sum(cnt) as bigint) AS total FROM vocab),
+    scored AS (SELECT doc_id,
+                 {P.floor_scaled_sql('ln(cast(cnt as double) / cast(total as double))', 4)} AS lp_e4
+               FROM t JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+           cast(sum(lp_e4) as bigint) AS sum_logp_e4,
+           {P.bigint_div('-cast(sum(lp_e4) as bigint)', 'count(*) * 100', P.DUCK)} AS nll_e2
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM scoring (the CCNet quality-filter shape):
+    vocabulary agg, token-count shuffle join, broadcast total, per-doc
+    mean NLL — log-probs quantized e4 before the integer doc sum, mean by
+    exact bigint division, hash-checked on every doc."""
+    from gaia_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))

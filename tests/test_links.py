@@ -1,0 +1,63 @@
+"""Link extraction + host link graph — closed-form anchors, dangling docs,
+and the composed PageRank-over-extracted-edges pipeline."""
+
+import pyspark.sql.functions as F
+
+from gaia_spark.functions import web as W
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_extract_links_closed_form(spark):
+    """doc_id=1 (host h1, not dangling): three anchors at hosts
+    (1·3+0)%97=3, (1·4+1)%97=5, (1·5+2)%97=7 plus the self link."""
+    d = _docs(spark, [(1, "hello world")])
+    links = (
+        d.select(F.explode(F.expr(W.extract_links_sql(W.linked_html_sql("text", "doc_id")))).alias("l"))
+        .select(F.expr(W.host_sql("l")).alias("h"))
+        .collect()
+    )
+    assert [r.h for r in links] == [
+        "h3.example.com",
+        "h5.example.com",
+        "h7.example.com",
+        "h1.example.com",
+    ]
+
+
+def test_dangling_docs_emit_no_links(spark):
+    """Hosts ≡ 0 (mod 10) have no anchors — doc ids 0, 10, 97 (host 0)."""
+    d = _docs(spark, [(0, "a"), (10, "b"), (97, "c"), (11, "d")])
+    n = (
+        d.select(
+            F.size(F.expr(W.extract_links_sql(W.linked_html_sql("text", "doc_id")))).alias("n"),
+            "doc_id",
+        )
+        .collect()
+    )
+    got = {r.doc_id: r.n for r in n}
+    assert got[0] == 0 and got[10] == 0 and got[97] == 0 and got[11] == 4
+
+
+def test_pagerank_over_extracted_edges_mass_conservation(spark):
+    """The composed pipeline conserves rank mass (Σ rank = 1 ± e12 float
+    dust) and every node gets at least the teleport floor."""
+    from gaia_spark.operators.graph import pagerank
+
+    d = _docs(spark, [(i, "x") for i in range(60)])
+    h = d.select("doc_id", F.expr(W.linked_html_sql("text", "doc_id")).alias("html"))
+    edges = (
+        h.select(
+            F.expr("'h' || cast(doc_id % 97 as string) || '.example.com'").alias("src"),
+            F.explode(F.expr(W.extract_links_sql("html"))).alias("l"),
+        )
+        .select("src", F.expr(W.host_sql("l")).alias("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=3).collect()
+    total = sum(r.rank for r in pr)
+    n = len(pr)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r.rank >= 0.15 / n - 1e-12 for r in pr)
