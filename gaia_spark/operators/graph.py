@@ -94,3 +94,60 @@ def pagerank(
         )
         ranks = iter_checkpoint(ranks, reliable_checkpoint)
     return ranks.select("node", "rank")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    source_col: str = "node",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Multi-source shortest paths by ``iters`` Bellman–Ford relaxation
+    rounds (distance to the NEAREST source; paths longer than ``iters``
+    hops stay undiscovered — the caller picks iters ≥ graph diameter for
+    the exact fixpoint).
+
+    Scale shape (100 TB): each round is ONE equi-join (frontier onto edges
+    by src) + ONE combinable groupBy(node) min — the PageRank plan with a
+    (min, +) semiring instead of (sum, ·); unreached nodes are simply
+    ABSENT (no infinity sentinels shuffling around), and lineage is cut
+    per round via iter_checkpoint.
+
+    Engine-determinism needs NO quantization trick here: ``min`` is
+    order-independent, and the kept value is the double computed along one
+    specific relaxation chain — identical in any engine that replays the
+    same round structure (the oracle chains the same k CTE rounds).
+    Negative weights are rejected (they'd make the truncated iteration
+    semantically murky)."""
+    from gaia_spark.session import iter_checkpoint
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).withColumn(
+        # JVM-side precondition (codegen'd, no Python): fails the job on
+        # the first negative weight instead of silently mis-relaxing
+        "w", F.when(F.col("w") >= 0, F.col("w")).otherwise(F.expr("raise_error('shortest_paths: negative edge weight')"))
+    )
+    dist = sources.select(
+        F.col(source_col).alias("node"), F.lit(0.0).alias("dist")
+    ).distinct()
+    dist = iter_checkpoint(dist, reliable_checkpoint)
+    for _ in range(iters):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select("dst", (F.col("dist") + F.col("w")).alias("dist"))
+            .withColumnRenamed("dst", "node")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = iter_checkpoint(dist, reliable_checkpoint)
+    return dist

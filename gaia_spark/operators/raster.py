@@ -376,3 +376,51 @@ def focal_stats(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
             "max_e4",
         )
     )
+
+
+def adaptive_tile_cover(
+    points: DataFrame, max_zoom: int, min_zoom: int, threshold: int
+) -> DataFrame:
+    """Adaptive quadtree aggregation: subdivide every tile holding more
+    than ``threshold`` points until it fits or ``max_zoom`` is reached —
+    the variable-resolution cover map servers and privacy-aware density
+    products use (dense cities at z_max, empty ocean at z_min).
+
+    The emission rule needs NO recursion: pyramid counts are monotone up
+    the tree (parent ≥ child), so "every ancestor is over threshold"
+    collapses to "the immediate parent is over threshold". One pyramid
+    rollup (:func:`point_tile_pyramid` — aggregates level by level, never
+    re-scans input) + ONE self equi-join on the shift-derived parent key.
+    Tiles with zero points are absent by construction (the cover tiles the
+    POINTS, not the world) — documented.
+
+    Returns (zoom, tx, ty, n) — the unique maximal-depth cover: each point
+    lies in exactly one emitted tile."""
+    pyr = point_tile_pyramid(points, max_zoom, min_zoom)
+    child = pyr.where(F.col("zoom") > min_zoom).select(
+        "zoom",
+        "tx",
+        "ty",
+        "n",
+        (F.col("zoom") - 1).alias("_pz"),
+        F.expr(portable.idiv_sql("tx", 2)).alias("_px"),
+        F.expr(portable.idiv_sql("ty", 2)).alias("_py"),
+    )
+    parent = pyr.select(
+        F.col("zoom").alias("_pz"),
+        F.col("tx").alias("_px"),
+        F.col("ty").alias("_py"),
+        F.col("n").alias("_pn"),
+    )
+    deep = (
+        child.join(parent, ["_pz", "_px", "_py"])
+        .where(
+            (F.col("_pn") > threshold)
+            & ((F.col("n") <= threshold) | (F.col("zoom") == max_zoom))
+        )
+        .select("zoom", "tx", "ty", "n")
+    )
+    top = pyr.where(
+        (F.col("zoom") == min_zoom) & (F.col("n") <= threshold)
+    ).select("zoom", "tx", "ty", "n")
+    return top.unionByName(deep)

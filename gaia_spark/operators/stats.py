@@ -515,3 +515,50 @@ def empirical_variogram(
         )
         .select("bin", "r_lo_m", "n_pairs", f"sum_sq_e{value_scale}", f"gamma_e{gamma_scale}")
     )
+
+
+def nearest_neighbor_index(
+    points: DataFrame,
+    region_area_sql: str,
+    key_col: str = "pid",
+    res: int = 5,
+) -> DataFrame:
+    """Clark–Evans average nearest-neighbor index: R = mean observed
+    nearest-neighbor distance / expected mean under CSR (0.5/sqrt(n/A)).
+    R < 1 = clustered, ≈ 1 = random, → 2.15 = dispersed. The classic
+    point-pattern dispersion screen (`[R] SURVEY.md §2.I` family, the
+    scalar companion of Ripley's K).
+
+    Scale shape: nearest non-self neighbors come from the DISTRIBUTED
+    cell-ring kNN (k=2 covers the self pair; never all-pairs); per-point
+    distances quantize to e3 BEFORE the corpus sum (order-independent),
+    and the final scalar row derives from the two integer sums by one
+    shared closed-form expression. Returns a single row
+    (n, sum_nn_e3, mean_nn_e3, r_e6)."""
+    from gaia_spark.operators.knn import knn_join_cells
+
+    pts = points.select(F.col(key_col).alias("pid"), "lat", "lon")
+    sites = points.select(
+        F.col(key_col).alias("site_id"), F.col("lat").alias("lat"), F.col("lon").alias("lon")
+    )
+    nn = (
+        knn_join_cells(pts, sites, k=2, res=res, point_key="pid", site_key="site_id")
+        .where(F.col("pid") != F.col("site_id"))
+        .withColumn("_d_e3", F.expr(portable.floor_scaled_sql("dist_m", 3)))
+        .groupBy("pid")
+        .agg(F.min("_d_e3").alias("_nn_e3"))
+    )
+    mean = "(cast(sum_nn_e3 as double) / (cast(n as double) * 1000.0))"
+    expected = f"(0.5 / sqrt(cast(n as double) / ({region_area_sql})))"
+    return (
+        nn.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_nn_e3").cast("long").alias("sum_nn_e3"),
+        )
+        .select(
+            "n",
+            "sum_nn_e3",
+            F.expr(f"(sum_nn_e3 div (n * 1))").cast("long").alias("mean_nn_e3"),
+            F.expr(portable.floor_scaled_sql(f"{mean} / {expected}", 6)).alias("r_e6"),
+        )
+    )

@@ -1261,3 +1261,81 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raster = synth_raster(spark, zooms=(3,), bands=(0,))
     return focal_stats(raster, zoom=3, band=0)
+
+
+# --- adaptive quadtree cover -------------------------------------------------
+
+_QT_MIN, _QT_MAX, _QT_T = 3, 6, 40
+
+
+def _quadtree_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    levels = ", ".join(
+        f"t{z} AS (SELECT {z} AS zoom, {P.tile_x_sql('lon', z)} AS tx, "
+        f"{P.tile_y_sql('lat', z)} AS ty, cast(count(*) as bigint) AS n "
+        "FROM pts GROUP BY 2, 3)"
+        for z in range(_QT_MIN, _QT_MAX + 1)
+    )
+    pyr = " UNION ALL ".join(f"SELECT * FROM t{z}" for z in range(_QT_MIN, _QT_MAX + 1))
+    return f"""
+    WITH {PTS_CTE},
+    {levels},
+    pyr AS ({pyr}),
+    deep AS (SELECT c.zoom, c.tx, c.ty, c.n
+             FROM pyr c JOIN pyr p
+               ON p.zoom = c.zoom - 1
+              AND p.tx = {P.idiv_sql('c.tx', 2)} AND p.ty = {P.idiv_sql('c.ty', 2)}
+             WHERE c.zoom > {_QT_MIN} AND p.n > {_QT_T}
+               AND (c.n <= {_QT_T} OR c.zoom = {_QT_MAX}))
+    SELECT zoom, tx, ty, n FROM t{_QT_MIN} WHERE n <= {_QT_T}
+    UNION ALL
+    SELECT zoom, tx, ty, n FROM deep
+    """
+
+
+@register("q_quadtree_cover", _quadtree_oracle())
+def q_quadtree_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree cover of the customer points (z3→z6, ≤40 points
+    per emitted tile unless at max depth): the engine rolls the pyramid
+    up with shift keys and applies the monotonicity-collapsed emission
+    rule in ONE self-join; the oracle recomputes every level directly
+    from the points — two derivations of the pyramid, one cover."""
+    from gaia_spark.operators.raster import adaptive_tile_cover
+
+    pts = customer_points(spark, sf_dir)
+    return adaptive_tile_cover(pts, max_zoom=_QT_MAX, min_zoom=_QT_MIN, threshold=_QT_T)
+
+
+# --- Clark-Evans nearest-neighbor index --------------------------------------
+
+def _nn_index_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    h = P.haversine_m_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    mean = "(cast(sum_nn_e3 as double) / (cast(n as double) * 1000.0))"
+    expected = f"(0.5 / sqrt(cast(n as double) / ({_RIPLEY_AREA})))"
+    return f"""
+    WITH {PTS_CTE},
+    d AS (SELECT a.c_custkey AS pid, min({P.floor_scaled_sql(h, 3)}) AS nn_e3
+          FROM pts a JOIN pts b ON a.c_custkey != b.c_custkey GROUP BY 1),
+    s AS (SELECT cast(count(*) as bigint) AS n,
+                 cast(sum(nn_e3) as bigint) AS sum_nn_e3 FROM d)
+    SELECT n, sum_nn_e3,
+           {P.bigint_div('sum_nn_e3', 'n', P.DUCK)} AS mean_nn_e3,
+           {P.floor_scaled_sql(f'{mean} / {expected}', 6)} AS r_e6
+    FROM s
+    """
+
+
+@register("q_nn_index", _nn_index_oracle())
+def q_nn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark-Evans nearest-neighbor dispersion index over the customer
+    points (rect study region): nearest non-self neighbors from the
+    distributed cell-ring kNN (k=2 absorbs the self pair), per-point
+    distances quantized e3 pre-sum, one closed-form scalar row; the
+    oracle brute-forces every nearest neighbor from the cross join."""
+    from gaia_spark.operators.stats import nearest_neighbor_index
+
+    pts = customer_points(spark, sf_dir)
+    return nearest_neighbor_index(pts, _RIPLEY_AREA, key_col="c_custkey")

@@ -1013,3 +1013,59 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.functions.text import unigram_logprob
 
     return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+# --- multi-source shortest paths over the host graph -------------------------
+
+_SP_ITERS = 5
+_SP_W = "(cast((src * 31 + dst) % 97 + 1 as double) / 10)"
+
+
+def _sssp_oracle() -> str:
+    its = []
+    for k in range(1, _SP_ITERS + 1):
+        prev = f"d{k - 1}"
+        its.append(
+            f"d{k} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM we e JOIN {prev} d ON e.src = d.node) GROUP BY node)"
+        )
+    chain = ", ".join(its)
+    return f"""
+    WITH {_PR_EDGES_CTE},
+    we AS (SELECT src, dst, {_SP_W} AS w FROM edges),
+    d0 AS (SELECT DISTINCT src AS node, cast(0 as double) AS dist
+           FROM edges WHERE src % 20 = 1),
+    {chain}
+    SELECT node, {P.floor_scaled_sql('dist', 6)} AS dist_e6 FROM d{_SP_ITERS}
+    """
+
+
+@register("q_sssp", _sssp_oracle())
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest paths (5 Bellman–Ford rounds) over the host
+    graph — the (min,+) sibling of PageRank's plan: one join + one
+    combinable min per round. min is order-independent and each kept
+    distance is the double of ONE relaxation chain, so the truncated
+    iteration is bit-identical cross-engine with no quantization trick;
+    unreached hosts are absent, not infinite."""
+    from gaia_spark.operators.graph import shortest_paths
+
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).alias("h"))
+        .distinct()
+        .where("h % 10 != 0")
+    )
+    edges = (
+        hosts.selectExpr("h AS src", "(h * 3 + 1) % 97 AS dst")
+        .unionByName(hosts.selectExpr("h AS src", "(h * 5 + 2) % 97 AS dst"))
+        .unionByName(hosts.selectExpr("h AS src", "(h * 7 + 3) % 97 AS dst"))
+        .distinct()
+        .withColumn("w", F.expr(_SP_W))
+    )
+    srcs = edges.select("src").where("src % 20 = 1").distinct().withColumnRenamed("src", "node")
+    d = shortest_paths(edges, srcs, iters=_SP_ITERS)
+    return d.select("node", F.expr(P.floor_scaled_sql("dist", 6)).alias("dist_e6"))
