@@ -435,3 +435,100 @@ def decontaminate(
             F.expr(frac).alias("contam_e4"),
         )
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    k: int = 8,
+    min_run: int = 12,
+    max_gram_docs: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-PASSAGE detection across documents — the
+    substring-level dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), word-granular: every maximal run of
+    ≥ ``min_run`` identical consecutive words shared by a document pair,
+    with its text and offsets. (The paper builds a corpus suffix array;
+    the distributed shape here reaches the same runs through rare-gram
+    anchors.)
+
+    Scale shape (100 TB): positional ``k``-grams explode in-plan; grams
+    seen in 2..``max_gram_docs`` distinct docs anchor candidates (the cap
+    bounds the gram self-join exactly like the MinHash band guard — a gram
+    in half the corpus is boilerplate the line/MinHash passes own;
+    documented recall trade). Anchors on the same (a, b, pos_a − pos_b)
+    DIAGONAL collapse to one candidate BEFORE texts are fetched (groupBy
+    min — a maximal run lives on one diagonal, so the per-position blowup
+    dies in-plan). Texts join in once per surviving pair-diagonal; the
+    run extension (genuinely iterative) is one Arrow applyInPandas stage,
+    linear in run length.
+
+    Returns (a, b, start_a, start_b, run_len, passage) — rows-only by
+    nature (the extension loop is not SQL-expressible); brute-force parity
+    is pytest-pinned."""
+    import pandas as pd
+
+    toks = f"{P.split_ws(text_col, P.SPARK)}"
+    grams = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)), "
+                f"i -> concat_ws(' ', slice({toks}, i, {k})))"
+            )
+        ).alias("_pos", "_g"),
+    )
+    counts = grams.groupBy("_g").agg(
+        F.countDistinct("_d").alias("_nd")
+    ).where((F.col("_nd") >= 2) & (F.col("_nd") <= max_gram_docs))
+    anchored = grams.join(counts.select("_g"), "_g")
+    a = anchored.select(F.col("_d").alias("a"), F.col("_pos").alias("pa"), "_g")
+    b = anchored.select(F.col("_d").alias("b"), F.col("_pos").alias("pb"), "_g")
+    cand = (
+        a.join(b, "_g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", (F.col("pa") - F.col("pb")).alias("_diag"))
+        .agg(F.min("pa").alias("start_a"), F.min("pb").alias("start_b"))
+    )
+    texts = df.select(F.col(id_col).alias("_tid"), F.expr(toks).alias("_toks"))
+    joined = (
+        cand.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_toks", "_ta"), "a")
+        .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_toks", "_tb"), "b")
+    )
+
+    def extend(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for a_, b_, sa, sb, ta, tb in zip(
+                pdf["a"], pdf["b"], pdf["start_a"], pdf["start_b"], pdf["_ta"], pdf["_tb"]
+            ):
+                ta, tb = list(ta), list(tb)
+                i, j = int(sa), int(sb)  # posexplode anchors are 0-based
+                lo = 0
+                while i - lo > 0 and j - lo > 0 and ta[i - lo - 1] == tb[j - lo - 1]:
+                    lo += 1
+                hi = 0
+                while (
+                    i + hi < len(ta) and j + hi < len(tb) and ta[i + hi] == tb[j + hi]
+                ):
+                    hi += 1
+                run = lo + hi
+                if run >= min_run:
+                    s_a, s_b = i - lo, j - lo
+                    rows.append(
+                        (a_, b_, s_a + 1, s_b + 1, run, " ".join(ta[s_a : s_a + run]))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["a", "b", "start_a", "start_b", "run_len", "passage"],
+                )
+
+    out = joined.mapInPandas(
+        extend,
+        "a long, b long, start_a int, start_b int, run_len int, passage string",
+    )
+    # distinct: two anchor diagonals can merge into one run only if the run
+    # text repeats INSIDE a doc; identical (pair, offsets) rows collapse
+    return out.distinct()

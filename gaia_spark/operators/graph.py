@@ -151,3 +151,120 @@ def shortest_paths(
         )
         dist = iter_checkpoint(dist, reliable_checkpoint)
     return dist
+
+
+def quant12_sql(expr: str) -> str:
+    """Fixed-point e12 re-quantization (the PageRank determinism trick as a
+    reusable expression): absorbs per-round float-summation order noise so
+    iterative float algorithms are bit-identical cross-engine."""
+    return (
+        f"(cast({P.floor_scaled_sql(expr, 12)} as bigint) / cast(1000000000000 as double))"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities over a directed edge list (Kleinberg 1999),
+    MAX-normalized: each half-round divides by the maximum score instead
+    of the L2 norm — max is order-independent (no float-sum in the
+    normalizer), which together with e12 re-quantization after every
+    half-round makes the whole iteration bit-identical cross-engine (the
+    documented semantic, same as :func:`pagerank`).
+
+    Scale shape: each half-round is ONE equi-join (scores onto edges) +
+    ONE combinable groupBy sum + a broadcast max scalar; lineage cut per
+    round. Precondition: at least one edge (an empty graph has no max to
+    normalize by). Returns (node, hub, auth)."""
+    from gaia_spark.session import iter_checkpoint
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    hub = iter_checkpoint(hub, reliable_checkpoint)
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_raw"))
+        )
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .select(
+                "node",
+                F.expr(quant12_sql("coalesce(_raw, cast(0 as double))")).alias("_q"),
+            )
+        )
+        amax = auth.agg(F.max("_q").alias("_m"))
+        auth = (
+            auth.crossJoin(F.broadcast(amax))
+            .select("node", F.expr(quant12_sql("_q / _m")).alias("auth"))
+        )
+        auth = iter_checkpoint(auth, reliable_checkpoint)
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_raw"))
+        )
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .select(
+                "node",
+                F.expr(quant12_sql("coalesce(_raw, cast(0 as double))")).alias("_q"),
+            )
+        )
+        hmax = hub.agg(F.max("_q").alias("_m"))
+        hub = (
+            hub.crossJoin(F.broadcast(hmax))
+            .select("node", F.expr(quant12_sql("_q / _m")).alias("hub"))
+        )
+        hub = iter_checkpoint(hub, reliable_checkpoint)
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_in_degree: int | None = None,
+) -> DataFrame:
+    """Co-citation strength: for every ordered-canonical pair (a < b) of
+    source nodes, how many targets both link to (A→C ∧ B→C). The classic
+    link-graph similarity signal (sibling-host detection, related-page
+    ranking).
+
+    Scale shape: ONE self equi-join on the target key — cost Σ_t
+    in_deg(t)², the same quadratic-in-hot-key shape as the MinHash band
+    self-join, guarded the same way: ``max_in_degree=`` drops targets
+    linked by more than that many sources (broadcast anti-join on the
+    tiny hot set; a target half the web links to says nothing about
+    pairwise similarity anyway — the drop is the documented semantic, not
+    a fudge). Returns (a, b, n_common)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    if max_in_degree is not None:
+        hot = (
+            e.groupBy("dst")
+            .agg(F.count("*").alias("_in"))
+            .where(F.col("_in") > max_in_degree)
+            .select("dst")
+        )
+        e = e.join(F.broadcast(hot), "dst", "left_anti")
+    a = e.select(F.col("src").alias("a"), "dst")
+    b = e.select(F.col("src").alias("b"), "dst")
+    return (
+        a.join(b, "dst")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )

@@ -1069,3 +1069,132 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = edges.select("src").where("src % 20 = 1").distinct().withColumnRenamed("src", "node")
     d = shortest_paths(edges, srcs, iters=_SP_ITERS)
     return d.select("node", F.expr(P.floor_scaled_sql("dist", 6)).alias("dist_e6"))
+
+
+# --- HITS hubs/authorities + co-citation over the extracted link graph -------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    from gaia_spark.operators.graph import quant12_sql
+
+    q = quant12_sql
+    parts = []
+    for k in range(1, _HITS_ITERS + 1):
+        prev = f"hub{k - 1}"
+        parts.append(
+            f"ar{k} AS (SELECT n.node, {q('coalesce(s._raw, cast(0 as double))')} AS qq "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst, sum(h.hub) AS _raw "
+            f"  FROM edges e JOIN {prev} h ON e.src = h.node GROUP BY e.dst) s "
+            f"ON n.node = s.dst)"
+        )
+        parts.append(f"am{k} AS (SELECT max(qq) AS m FROM ar{k})")
+        parts.append(
+            f"auth{k} AS (SELECT node, {q('qq / m')} AS auth FROM ar{k} CROSS JOIN am{k})"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT n.node, {q('coalesce(s._raw, cast(0 as double))')} AS qq "
+            f"FROM nodes n LEFT JOIN (SELECT e.src, sum(a.auth) AS _raw "
+            f"  FROM edges e JOIN auth{k} a ON e.dst = a.node GROUP BY e.src) s "
+            f"ON n.node = s.src)"
+        )
+        parts.append(f"hm{k} AS (SELECT max(qq) AS m FROM hr{k})")
+        parts.append(
+            f"hub{k} AS (SELECT node, {q('qq / m')} AS hub FROM hr{k} CROSS JOIN hm{k})"
+        )
+    chain = ", ".join(parts)
+    return f"""
+    WITH {_link_edges_ctes()},
+    edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM e),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    hub0 AS (SELECT node, cast(1 as double) AS hub FROM nodes),
+    {chain}
+    SELECT h.node, {P.floor_scaled_sql('h.hub', 12)} AS hub_e12,
+           {P.floor_scaled_sql('a.auth', 12)} AS auth_e12
+    FROM hub{_HITS_ITERS} h JOIN auth{_HITS_ITERS} a ON h.node = a.node
+    """
+
+
+@register("q_hits", _hits_oracle())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (3 max-normalized rounds) over the
+    EXTRACTED host link graph — max normalization keeps the normalizer
+    order-independent and e12 re-quantization after every half-round makes
+    the whole iteration bit-identical cross-engine (the oracle chains the
+    same 6 half-steps)."""
+    from gaia_spark.operators.graph import hits
+
+    edges = _link_graph_spark(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).distinct()
+    out = hits(edges, iters=_HITS_ITERS)
+    return out.select(
+        "node",
+        F.expr(P.floor_scaled_sql("hub", 12)).alias("hub_e12"),
+        F.expr(P.floor_scaled_sql("auth", 12)).alias("auth_e12"),
+    )
+
+
+@register(
+    "q_cocitation",
+    f"""
+    WITH {_link_edges_ctes()},
+    edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM e)
+    SELECT x.src AS a, y.src AS b, cast(count(*) as bigint) AS n_common
+    FROM edges x JOIN edges y ON x.dst = y.dst AND x.src < y.src
+    GROUP BY 1, 2
+    """,
+)
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation strength between hosts of the extracted link graph —
+    one self equi-join on the target key with the documented hot-target
+    guard available; every (a, b, n_common) pair hash-checked."""
+    from gaia_spark.operators.graph import cocitation_pairs
+
+    edges = _link_graph_spark(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return cocitation_pairs(edges)
+
+
+# --- exact duplicated-passage detection --------------------------------------
+
+_DP_PASSAGE = " ".join(f"dup{i}" for i in range(15))
+
+
+@register(
+    "q_dup_passages",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, {P.arr_size(P.split_ws('text', P.DUCK), P.DUCK)} AS nw
+      FROM documents WHERE doc_id % 50 = 0)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           cast(a.nw + 2 as int) AS start_a, cast(b.nw + 2 as int) AS start_b,
+           cast(15 as int) AS run_len, '{_DP_PASSAGE}' AS passage
+    FROM planted a JOIN planted b ON a.doc_id < b.doc_id
+    """,
+)
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (substring-level dedup, Lee et
+    al. 2022 shape): a 15-word passage is planted at the tail of every
+    50th doc behind a doc-unique separator token, so each maximal shared
+    run is EXACTLY the passage (no accidental extension) and the
+    rare-gram → diagonal-collapse → Arrow-extension pipeline is fully
+    hash-checkable: pair, both 1-based offsets, run length, and the
+    passage text itself."""
+    from gaia_spark.operators.dedup import duplicate_passages
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN doc_id % 50 = 0 THEN text || ' sep' || cast(doc_id as string)"
+            f" || ' {_DP_PASSAGE}' ELSE text END"
+        ).alias("text"),
+    )
+    out = duplicate_passages(d, k=8, min_run=12, max_gram_docs=50)
+    # the word-soup corpus contains GENUINE accidental >=12-word shared
+    # runs (small vocabulary); the driver row is scoped to the planted
+    # pairs, whose runs are closed-form — the accidental ones are the
+    # subject of the brute-force pytest, not the oracle
+    return out.where("a % 50 = 0 AND b % 50 = 0")

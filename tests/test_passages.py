@@ -1,0 +1,83 @@
+"""duplicate_passages — brute-force parity and boilerplate-gram guard."""
+
+import numpy as np
+
+from gaia_spark.operators.dedup import duplicate_passages
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_runs(rows, min_run):
+    """Independent reference: all maximal common word runs ≥ min_run
+    between every doc pair, by dynamic programming over suffix matches."""
+    toks = {d: t.split() for d, t in rows}
+    out = set()
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = toks[a], toks[b]
+            # match[i][j] = run length ending at ta[i-1], tb[j-1]
+            m = np.zeros((len(ta) + 1, len(tb) + 1), dtype=int)
+            for i in range(1, len(ta) + 1):
+                for j in range(1, len(tb) + 1):
+                    if ta[i - 1] == tb[j - 1]:
+                        m[i, j] = m[i - 1, j - 1] + 1
+            for i in range(1, len(ta) + 1):
+                for j in range(1, len(tb) + 1):
+                    run = m[i, j]
+                    if run >= min_run:
+                        # maximal: not extendable right
+                        if i == len(ta) or j == len(tb) or ta[i] != tb[j]:
+                            s_a, s_b = i - run, j - run
+                            out.add((a, b, s_a + 1, s_b + 1, int(run)))
+    return out
+
+
+def test_brute_force_parity(spark):
+    """A 15-word passage planted in three docs (at different offsets) plus
+    unique filler: every maximal ≥12-word shared run is found with exact
+    offsets and text."""
+    passage = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, "u1a u1b " + passage + " u1c"),
+        (2, passage + " v2a v2b v2c v2d"),
+        (3, "w3a " + passage),
+        (4, "none of these words repeat anywhere else at all ok"),
+    ]
+    got = {
+        (r.a, r.b, r.start_a, r.start_b, r.run_len)
+        for r in duplicate_passages(_docs(spark, rows), k=4, min_run=12).collect()
+    }
+    assert got == _brute_runs(rows, 12)
+
+
+def test_passage_text_is_exact(spark):
+    passage = " ".join(f"x{i}" for i in range(12))
+    rows = [(1, "aa " + passage), (2, passage + " bb")]
+    out = duplicate_passages(_docs(spark, rows), k=4, min_run=12).collect()
+    assert len(out) == 1 and out[0].passage == passage
+    assert out[0].start_a == 2 and out[0].start_b == 1 and out[0].run_len == 12
+
+
+def test_boilerplate_gram_cap_bounds_join(spark):
+    """A gram shared by every doc is dropped by max_gram_docs; a genuine
+    rare duplicate pair still surfaces."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    passage = " ".join(f"q{i}" for i in range(12))
+    rows = [(i, boiler + f" u{i}a u{i}b") for i in range(20)]
+    rows += [(100, "z1 " + passage), (101, passage + " z2")]
+    out = duplicate_passages(
+        _docs(spark, rows), k=8, min_run=12, max_gram_docs=5
+    ).collect()
+    pairs = {(r.a, r.b) for r in out}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)  # boilerplate pairs suppressed
+
+
+def test_below_min_run_ignored(spark):
+    short = " ".join(f"s{i}" for i in range(8))
+    rows = [(1, "aa " + short), (2, short + " bb")]
+    assert duplicate_passages(_docs(spark, rows), k=4, min_run=12).count() == 0

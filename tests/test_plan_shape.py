@@ -202,3 +202,91 @@ def test_interval_join_is_single_equi_join_no_nested_loop(spark):
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert n_joins == 1
+
+
+def test_variogram_no_cartesian_and_combinable_agg(spark):
+    """The variogram's pairs come from the cell equi-join — no cartesian /
+    nested-loop anywhere — and the bin moments partial-aggregate."""
+    from gaia_spark.operators.stats import empirical_variogram
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7), (i % 5) * 0.01, (i % 9) * 0.01) for i in range(50)],
+        "pid long, v double, lat double, lon double",
+    )
+    plan = plan_of(empirical_variogram(pts, "v", 10_000.0, 4, key_col="pid"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Python" not in plan
+
+
+def test_focal_stats_single_shuffle_after_pixels(spark):
+    """Focal scatter: the ONLY exchange is the groupBy(r, c); the 9-offset
+    scatter is an in-plan Generate, and the only Python stage is the
+    existing pixels_of bridge."""
+    from gaia_spark.operators.raster import focal_stats
+    from gaia_spark.synth import synth_raster
+
+    plan = plan_of(focal_stats(synth_raster(spark, zooms=(1,), bands=(0,)), 1, 0))
+    agg_part = plan.split("Generate explode")[0]
+    # one exchange pair for the final hash aggregate (partial feeds final)
+    assert "partial_count" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan, join
+
+
+def test_line_intersections_single_equi_join(spark):
+    """Overlay candidates come from ONE cell equi-join; ownership dedup is
+    a filter, not a distinct (no second exchange on the pair key)."""
+    from gaia_spark.operators.overlay import line_intersections
+
+    a = spark.createDataFrame(
+        [(1, [(0.0, 0.0), (0.0, 5.0)])],
+        "la long, vertices array<struct<lat double, lon double>>",
+    )
+    b = spark.createDataFrame(
+        [(2, [(-1.0, 1.0), (1.0, 1.0)])],
+        "lb long, vertices array<struct<lat double, lon double>>",
+    )
+    plan = plan_of(line_intersections(a, b, key_a="la", key_b="lb"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1
+    assert "HashAggregate" not in plan  # ownership dedup is a filter, no distinct
+    assert "Python" not in plan
+
+
+def test_resample_ffill_window_is_key_partitioned(spark):
+    """The fill window partitions by key — no 'No Partition Defined'
+    single-task global window in the plan."""
+    from datetime import datetime
+
+    from gaia_spark.operators.timeseries import resample_ffill
+
+    ev = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1, 0, 0), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    plan = plan_of(resample_ffill(ev, 3600))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_k" in line  # partition key present in every window spec
+    assert "Generate explode" in plan  # in-plan grid
+    assert "Python" not in plan
+
+
+def test_link_graph_is_pure_jvm(spark):
+    """html rebuild → href extraction → host edges: map-only JVM chain,
+    zero Python, zero joins before the rollup."""
+    from gaia_spark.functions import web as W
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    h = d.select("doc_id", F.expr(W.linked_html_sql("text", "doc_id")).alias("html"))
+    edges = h.select(
+        F.expr("'h' || cast(doc_id % 97 as string)").alias("src"),
+        F.explode(F.expr(W.extract_links_sql("html"))).alias("l"),
+    ).select("src", F.expr(W.host_sql("l")).alias("dst"))
+    plan = plan_of(edges)
+    assert "Python" not in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
