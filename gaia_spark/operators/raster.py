@@ -424,3 +424,71 @@ def adaptive_tile_cover(
         (F.col("zoom") == min_zoom) & (F.col("n") <= threshold)
     ).select("zoom", "tx", "ty", "n")
     return top.unionByName(deep)
+
+
+def slope_aspect(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
+    """Horn's-method slope + aspect over the GLOBAL pixel grid of one zoom
+    level — the terrain-analysis member of the focal family (gdaldem
+    slope/aspect role; `[R] SURVEY.md §2.J` RasterMathProcess variant).
+
+    Same scatter shape as :func:`focal_stats`: each pixel contributes
+    v_e4 · w to the 9 targets it neighbors, where the Horn kernel weights
+    decompose as w_x = dc·(2−|dr|) and w_y = dr·(2−|dc|) of the
+    source-minus-target offset — so the two gradients are ONE combinable
+    groupBy aggregate over exact bigint terms (e4-quantized values times
+    integer weights; order-independent under any partitioning). Only
+    interior targets (all 9 neighbors present; poles excluded, longitude
+    wraps) emit — Horn is undefined on the border. Gradients are in
+    value-units per PIXEL (×8 normalization folded into the closed form);
+    slope_deg = atan(|∇|/8), aspect_deg = atan2(gy, gx), both derived from
+    the two bigints by one shared expression.
+
+    Returns (r, c, gx_e4, gy_e4, slope_deg_e4, aspect_deg_e4)."""
+    n_px = TILE_PX * (1 << zoom)
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    decoded = px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(portable.floor_scaled_sql("v", 4)).alias("v_e4"),
+    )
+    scat = (
+        decoded.withColumn("_dr", F.explode(F.expr("array(-1, 0, 1)")))
+        .withColumn("_dc", F.explode(F.expr("array(-1, 0, 1)")))
+        .select(
+            (F.col("r") + F.col("_dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("_dc"), F.lit(n_px)).alias("tc"),
+            # source offset relative to TARGET is (-_dr, -_dc): fold the
+            # sign flip into the closed-form weights
+            (F.col("v_e4") * (-F.col("_dc")) * (2 - F.abs(F.col("_dr")))).alias("wx"),
+            (F.col("v_e4") * (-F.col("_dr")) * (2 - F.abs(F.col("_dc")))).alias("wy"),
+        )
+        .where((F.col("tr") >= 0) & (F.col("tr") < n_px))
+    )
+    grad = "sqrt(cast(gx_e4 * gx_e4 + gy_e4 * gy_e4 as double)) / cast(80000 as double)"
+    deg = "cast(180 as double) / pi()"
+    aspect = f"atan2(cast(gy_e4 as double), cast(gx_e4 as double)) * ({deg})"
+    return (
+        scat.groupBy(F.col("tr").alias("r"), F.col("tc").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("_n_nb"),
+            F.sum("wx").cast("long").alias("gx_e4"),
+            F.sum("wy").cast("long").alias("gy_e4"),
+        )
+        .where(F.col("_n_nb") == 9)
+        .select(
+            "r",
+            "c",
+            "gx_e4",
+            "gy_e4",
+            F.expr(
+                portable.floor_scaled_sql(f"atan({grad}) * ({deg})", 4)
+            ).alias("slope_deg_e4"),
+            F.expr(portable.floor_scaled_sql(aspect, 4)).alias("aspect_deg_e4"),
+        )
+    )

@@ -562,3 +562,156 @@ def nearest_neighbor_index(
             F.expr(portable.floor_scaled_sql(f"{mean} / {expected}", 6)).alias("r_e6"),
         )
     )
+
+
+def gearys_c(
+    values: DataFrame,
+    weights: DataFrame,
+    cell_col: str = "cell",
+    value_col: str = "v_int",
+) -> DataFrame:
+    """Global Geary's C: C = (n-1)·Σ w_ij·(x_i - x_j)² / (2·Σw·Σ(x_i - x̄)²)
+    — the pairwise-difference sibling of Moran's I (C < 1 positive
+    autocorrelation, C > 1 negative; `[R] gaia/geo/processes_vector.py ::
+    AutocorrelationProcess` family, esda.Geary analog).
+
+    ``value_col`` must be INTEGER-valued (e.g. per-cell counts). Unlike
+    :func:`morans_i`, no float mean ever enters a distributed sum: the
+    numerator Σ w·(x_i-x_j)² is an exact bigint, and the denominator uses
+    the moment identity n·Σ(x-x̄)² = n·Σx² - (Σx)², also exact bigint —
+    so the statistic is one IEEE division of two integers, bit-identical
+    under any partitioning. Plan: one adjacency self-join (weights are
+    the small rook list) + two combinable aggregations."""
+    x = values.select(F.col(cell_col), F.col(value_col).cast("long").alias("x"))
+    xj = x.select(F.col(cell_col).alias("neighbor"), F.col("x").alias("x_j"))
+    num = (
+        weights.join(x.withColumnRenamed("x", "x_i"), cell_col)
+        .join(xj, "neighbor")
+        .agg(
+            F.sum((F.col("x_i") - F.col("x_j")) * (F.col("x_i") - F.col("x_j")))
+            .cast("long")
+            .alias("_num"),
+            F.count("*").cast("long").alias("n_links"),
+        )
+    )
+    mom = x.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+    )
+    # C = n(n-1)·num / (2·S0·(n·Σx² - (Σx)²)); S0 = n_links (w ≡ 1)
+    return num.crossJoin(mom).select(
+        "n_cells",
+        "n_links",
+        F.expr(
+            portable.floor_scaled_sql(
+                "cast(n_cells * (n_cells - 1) * _num as double)"
+                " / cast(2 * n_links * (n_cells * _sxx - _sx * _sx) as double)",
+                6,
+            )
+        ).alias("geary_e6"),
+    )
+
+
+def join_counts(
+    values: DataFrame,
+    weights: DataFrame,
+    threshold: int,
+    cell_col: str = "cell",
+    value_col: str = "v_int",
+) -> DataFrame:
+    """Join-count statistics for a binary spatial variable (the classic
+    BB/WW/BW contiguity test; esda.Join_Counts analog of the
+    AutocorrelationProcess family). A cell is Black when
+    ``value_col >= threshold``, else White; each undirected rook link is
+    classified by its endpoint colors. Symmetric weights list every link
+    twice, so the halved sums are exact integers — the whole result is
+    integer arithmetic, hash-identical under any partitioning. Plan: one
+    adjacency self-join + one conditional aggregation."""
+    b = values.select(
+        F.col(cell_col),
+        (F.col(value_col) >= F.lit(threshold)).cast("long").alias("b"),
+    )
+    bj = b.select(F.col(cell_col).alias("neighbor"), F.col("b").alias("b_j"))
+    joined = (
+        weights.join(b.withColumnRenamed("b", "b_i"), cell_col)
+        .join(bj, "neighbor")
+    )
+    counts = joined.agg(
+        F.sum(F.col("b_i") * F.col("b_j")).cast("long").alias("_bb2"),
+        F.sum((1 - F.col("b_i")) * (1 - F.col("b_j"))).cast("long").alias("_ww2"),
+        F.sum(
+            F.col("b_i") * (1 - F.col("b_j")) + (1 - F.col("b_i")) * F.col("b_j")
+        ).cast("long").alias("_bw2"),
+    )
+    tot = b.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("b").cast("long").alias("n_black"),
+    )
+    return counts.crossJoin(tot).select(
+        "n_cells",
+        "n_black",
+        F.expr("_bb2 div 2").cast("long").alias("bb"),
+        F.expr("_ww2 div 2").cast("long").alias("ww"),
+        F.expr("_bw2 div 2").cast("long").alias("bw"),
+    )
+
+
+def std_ellipse(
+    points: DataFrame,
+    group_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Standard deviational ellipse (directional distribution) per group —
+    the classic centrographic summary (mean center, major/minor axis,
+    orientation) of a point layer (`[R] gaia/geo/processes_vector.py ::
+    CentroidProcess` family; esda/ArcGIS DirectionalDistribution analog).
+
+    Determinism contract: coordinates quantize to e3 integers FIRST, so the
+    five distributed sums (Σx, Σy, Σx², Σy², Σxy) are exact bigints under
+    any partitioning; the eigen decomposition of the covariance (via the
+    integer moment identities n·Σ(x-x̄)(y-ȳ) = n·Σxy - Σx·Σy) is then one
+    per-group scalar expression over those bigints — identical in both
+    engines. Degree-space planar math, documented (the reference computes
+    in layer CRS the same way). One combinable aggregation, no join.
+
+    Overflow bound: at e3 quantization n·Σx² stays under 2⁶³ for group
+    sizes up to ~2.8·10⁸ points; beyond that, center each group on a
+    coarse reference point first (two-pass) — documented scale path.
+
+    Returns (group, n, mx_e4, my_e4, sigma1_e4, sigma2_e4, theta_e4) with
+    theta the major-axis orientation in radians from east, in (-pi/2, pi/2]."""
+    q = points.select(
+        F.col(group_col).alias("grp"),
+        F.expr(portable.floor_scaled_sql(lon_col, 3)).alias("xq"),
+        F.expr(portable.floor_scaled_sql(lat_col, 3)).alias("yq"),
+    )
+    m = q.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+    )
+    # covariance*n^2 moments in e6 deg^2 fixed point (exact bigints)
+    vxx = "cast(n * sxx - sx * sx as double)"
+    vyy = "cast(n * syy - sy * sy as double)"
+    vxy = "cast(n * sxy - sx * sy as double)"
+    tr = f"(({vxx}) + ({vyy}))"
+    dif = f"(({vxx}) - ({vyy}))"
+    disc = f"sqrt(({dif}) * ({dif}) + cast(4 as double) * ({vxy}) * ({vxy}))"
+    scale = "(cast(n as double) * cast(n as double) * 1e6)"  # -> deg^2
+    lam1 = f"((({tr}) + ({disc})) / (cast(2 as double) * {scale}))"
+    lam2 = f"((({tr}) - ({disc})) / (cast(2 as double) * {scale}))"
+    theta = f"(cast(0.5 as double) * atan2(cast(2 as double) * ({vxy}), {dif}))"
+    return m.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.expr(portable.floor_scaled_sql("cast(sx as double) * 10.0 / cast(n as double)", 0)).alias("mx_e4"),
+        F.expr(portable.floor_scaled_sql("cast(sy as double) * 10.0 / cast(n as double)", 0)).alias("my_e4"),
+        F.expr(portable.floor_scaled_sql(f"sqrt({lam1})", 4)).alias("sigma1_e4"),
+        F.expr(portable.floor_scaled_sql(f"sqrt(greatest({lam2}, cast(0 as double)))", 4)).alias("sigma2_e4"),
+        F.expr(portable.floor_scaled_sql(theta, 4)).alias("theta_e4"),
+    )

@@ -1339,3 +1339,188 @@ def q_nn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = customer_points(spark, sf_dir)
     return nearest_neighbor_index(pts, _RIPLEY_AREA, key_col="c_custkey")
+
+
+# --- Geary's C + join-count statistics ---------------------------------------
+
+_ROOK_PAIRS_CTE = """
+    cells AS (SELECT {cell} AS cell, cast(count(*) as bigint) AS x
+              FROM pts GROUP BY 1),
+    d2 AS (SELECT cell, cell % 32 AS cx, {cy} AS cy, x FROM cells),
+    pairs AS (
+      SELECT a.x AS xi, b.x AS xj FROM d2 a JOIN d2 b
+      ON (b.cy = a.cy AND b.cx = (a.cx + 1) % 32)
+      OR (b.cy = a.cy AND b.cx = (a.cx + 31) % 32)
+      OR (b.cx = a.cx AND b.cy = a.cy + 1)
+      OR (b.cx = a.cx AND b.cy = a.cy - 1))
+"""
+
+
+def _rook_pairs_cte() -> str:
+    return _ROOK_PAIRS_CTE.format(
+        cell=P.cell_id_sql("lat", "lon", 5), cy=P.idiv_sql("cell", 32)
+    )
+
+
+def _geary_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    ratio = (
+        "cast(n_cells * (n_cells - 1) * _num as double)"
+        " / cast(2 * n_links * (n_cells * _sxx - _sx * _sx) as double)"
+    )
+    return f"""
+    WITH {PTS_CTE}, {_rook_pairs_cte()},
+    num AS (SELECT cast(sum((xi - xj) * (xi - xj)) as bigint) AS _num,
+                   cast(count(*) as bigint) AS n_links FROM pairs),
+    mom AS (SELECT cast(count(*) as bigint) AS n_cells,
+                   cast(sum(x) as bigint) AS _sx,
+                   cast(sum(x * x) as bigint) AS _sxx FROM cells)
+    SELECT n_cells, n_links, {P.floor_scaled_sql(ratio, 6)} AS geary_e6
+    FROM num, mom
+    """
+
+
+@register("q_gearys_c", _geary_oracle())
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C of per-cell point counts under rook weights — the
+    pairwise-difference autocorrelation statistic. Numerator and the
+    moment-identity denominator are exact bigints (no float mean in any
+    distributed sum), so the hash check is airtight at any partitioning."""
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, gearys_c
+
+    pts = with_cell(customer_points(spark, sf_dir), 5, out="cell")
+    cells = pts.groupBy("cell").agg(F.count("*").cast("long").alias("v_int"))
+    w = cell_rook_weights(cells, 5)
+    return gearys_c(cells, w)
+
+
+def _join_counts_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    return f"""
+    WITH {PTS_CTE}, {_rook_pairs_cte()},
+    cls AS (SELECT CASE WHEN xi >= 2 THEN 1 ELSE 0 END AS bi,
+                   CASE WHEN xj >= 2 THEN 1 ELSE 0 END AS bj FROM pairs),
+    cnt AS (SELECT cast(sum(bi * bj) as bigint) AS _bb2,
+                   cast(sum((1 - bi) * (1 - bj)) as bigint) AS _ww2,
+                   cast(sum(bi * (1 - bj) + (1 - bi) * bj) as bigint) AS _bw2
+            FROM cls),
+    tot AS (SELECT cast(count(*) as bigint) AS n_cells,
+                   cast(sum(CASE WHEN x >= 2 THEN 1 ELSE 0 END) as bigint) AS n_black
+            FROM cells)
+    SELECT n_cells, n_black, _bb2 // 2 AS bb, _ww2 // 2 AS ww, _bw2 // 2 AS bw
+    FROM cnt, tot
+    """
+
+
+@register("q_join_counts", _join_counts_oracle())
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (BB/WW/BW rook links) for the binary variable
+    'cell holds ≥2 customers' — pure integer arithmetic end to end."""
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, join_counts
+
+    pts = with_cell(customer_points(spark, sf_dir), 5, out="cell")
+    cells = pts.groupBy("cell").agg(F.count("*").cast("long").alias("v_int"))
+    w = cell_rook_weights(cells, 5)
+    return join_counts(cells, w, threshold=2)
+
+
+# --- standard deviational ellipse (directional distribution) ------------------
+
+def _sde_oracle() -> str:
+    lat, lon = P.key_lat_sql("c_custkey"), P.key_lon_sql("c_custkey")
+    vxx = "cast(n * sxx - sx * sx as double)"
+    vyy = "cast(n * syy - sy * sy as double)"
+    vxy = "cast(n * sxy - sx * sy as double)"
+    tr = f"(({vxx}) + ({vyy}))"
+    dif = f"(({vxx}) - ({vyy}))"
+    disc = f"sqrt(({dif}) * ({dif}) + cast(4 as double) * ({vxy}) * ({vxy}))"
+    scale = "(cast(n as double) * cast(n as double) * 1e6)"
+    lam1 = f"((({tr}) + ({disc})) / (cast(2 as double) * {scale}))"
+    lam2 = f"((({tr}) - ({disc})) / (cast(2 as double) * {scale}))"
+    theta = f"(cast(0.5 as double) * atan2(cast(2 as double) * ({vxy}), {dif}))"
+    return f"""
+    WITH q AS (SELECT c_nationkey,
+                      {P.floor_scaled_sql(lon, 3)} AS xq,
+                      {P.floor_scaled_sql(lat, 3)} AS yq FROM customer),
+    m AS (SELECT c_nationkey,
+                 cast(count(*) as bigint) AS n,
+                 cast(sum(xq) as bigint) AS sx,
+                 cast(sum(yq) as bigint) AS sy,
+                 cast(sum(xq * xq) as bigint) AS sxx,
+                 cast(sum(yq * yq) as bigint) AS syy,
+                 cast(sum(xq * yq) as bigint) AS sxy
+          FROM q GROUP BY 1)
+    SELECT c_nationkey, n,
+           {P.floor_scaled_sql('cast(sx as double) * 10.0 / cast(n as double)', 0)} AS mx_e4,
+           {P.floor_scaled_sql('cast(sy as double) * 10.0 / cast(n as double)', 0)} AS my_e4,
+           {P.floor_scaled_sql(f'sqrt({lam1})', 4)} AS sigma1_e4,
+           {P.floor_scaled_sql(f'sqrt(greatest({lam2}, cast(0 as double)))', 4)} AS sigma2_e4,
+           {P.floor_scaled_sql(theta, 4)} AS theta_e4
+    FROM m
+    """
+
+
+@register("q_std_ellipse", _sde_oracle())
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse per nation (directional distribution):
+    mean center, major/minor std axes and orientation from exact-bigint
+    e3 moments — the centrographic CentroidProcess companion. One
+    combinable aggregation; the oracle replays the identical moment
+    identities and eigen closed form."""
+    from gaia_spark.operators.stats import std_ellipse
+
+    pts = customer_points(spark, sf_dir)
+    return std_ellipse(pts, "c_nationkey")
+
+
+# --- Horn slope / aspect ------------------------------------------------------
+
+def _slope_oracle() -> str:
+    n_t, px = 8, 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    grad = "sqrt(cast(gx_e4 * gx_e4 + gy_e4 * gy_e4 as double)) / cast(80000 as double)"
+    deg = "cast(180 as double) / pi()"
+    aspect = f"atan2(cast(gy_e4 as double), cast(gx_e4 as double)) * ({deg})"
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    px AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                  {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM px),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+    scat AS (SELECT r + dr AS tr, (c + dc + {n_px}) % {n_px} AS tc,
+                    v_e4 * (-dc) * (2 - abs(dr)) AS wx,
+                    v_e4 * (-dr) * (2 - abs(dc)) AS wy
+             FROM pv CROSS JOIN offs
+             WHERE r + dr >= 0 AND r + dr < {n_px}),
+    agg AS (SELECT tr, tc, count(*) AS n_nb,
+                   cast(sum(wx) as bigint) AS gx_e4,
+                   cast(sum(wy) as bigint) AS gy_e4
+            FROM scat GROUP BY tr, tc)
+    SELECT cast(tr as bigint) AS r, cast(tc as bigint) AS c, gx_e4, gy_e4,
+           {P.floor_scaled_sql(f'atan({grad}) * ({deg})', 4)} AS slope_deg_e4,
+           {P.floor_scaled_sql(aspect, 4)} AS aspect_deg_e4
+    FROM agg WHERE n_nb = 9
+    """
+
+
+@register("q_slope_aspect", _slope_oracle())
+def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope + aspect over the zoom-3 global pixel grid of the
+    analytic surface: the two gradients are exact bigint scatter sums
+    (e4 values × integer Horn weights), slope/aspect derive by one shared
+    closed-form expression; interior pixels only (Horn is undefined on
+    the border). The oracle rebuilds every pixel and replays the weighted
+    scatter as a VALUES cross join."""
+    from gaia_spark.operators.raster import slope_aspect
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0,))
+    return slope_aspect(raster, zoom=3, band=0)

@@ -1194,7 +1194,48 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = duplicate_passages(d, k=8, min_run=12, max_gram_docs=50)
     # the word-soup corpus contains GENUINE accidental >=12-word shared
-    # runs (small vocabulary); the driver row is scoped to the planted
-    # pairs, whose runs are closed-form — the accidental ones are the
-    # subject of the brute-force pytest, not the oracle
-    return out.where("a % 50 = 0 AND b % 50 = 0")
+    # runs (small vocabulary) — including, at some SFs, between two planted
+    # docs themselves (sf0.001: docs 0 and 50 open with the same 22 words),
+    # so scoping by doc pair is not enough. The planted passage is built
+    # from doc-unique 'dupN' vocabulary that appears nowhere else, so exact
+    # passage-text equality selects precisely the closed-form planted runs;
+    # the accidental ones are the subject of the brute-force pytest.
+    return out.where(F.col("passage") == F.lit(_DP_PASSAGE))
+
+
+# --- triangle counting on the host link graph --------------------------------
+
+@register(
+    "q_triangles",
+    f"""
+    WITH {_link_edges_ctes()},
+    und AS (SELECT DISTINCT least(src_host, dst_host) AS u,
+                            greatest(src_host, dst_host) AS v
+            FROM e WHERE src_host != dst_host),
+    deg AS (SELECT node, cast(count(*) as bigint) AS deg FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN (a.deg, und.u) < (b.deg, und.v) THEN und.u ELSE und.v END AS a,
+                 CASE WHEN (a.deg, und.u) < (b.deg, und.v) THEN und.v ELSE und.u END AS b,
+                 CASE WHEN (a.deg, und.u) < (b.deg, und.v) THEN b.deg ELSE a.deg END AS db
+          FROM und JOIN deg a ON und.u = a.node JOIN deg b ON und.v = b.node),
+    w AS (SELECT o1.a, o1.b AS w1, o2.b AS w2
+          FROM o o1 JOIN o o2 ON o1.a = o2.a
+          WHERE (o1.db, o1.b) < (o2.db, o2.b)),
+    t AS (SELECT w.a, w.w1, w.w2 FROM w JOIN o ON o.a = w.w1 AND o.b = w.w2)
+    SELECT node, cast(count(*) as bigint) AS n_tri FROM (
+      SELECT a AS node FROM t UNION ALL SELECT w1 FROM t UNION ALL SELECT w2 FROM t)
+    GROUP BY 1
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts on the EXTRACTED link graph via
+    degree-ordered orientation (each triangle counted at its unique
+    two-out-edge node) — pure integer output, the oracle replays the same
+    orientation and wedge-close joins."""
+    from gaia_spark.operators.graph import triangle_count
+
+    edges = _link_graph_spark(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return triangle_count(edges)

@@ -61,3 +61,43 @@ def test_focal_constant_surface_mean_identity(spark):
     rows = focal_stats(raster, zoom, 0).where("r > 0 AND r < 127").collect()
     assert all(r.n_nb == 9 for r in rows)
     assert all(r.min_e4 <= r.mean_e2 * 100 + 100 and r.mean_e2 * 100 <= r.max_e4 + 100 for r in rows)
+
+
+def test_slope_aspect_vs_numpy_reference(spark):
+    """Horn gradients match an independent numpy convolution on interior
+    pixels (incl. cross-tile and wrapped-antimeridian neighborhoods);
+    border rows are absent."""
+    import math
+
+    from gaia_spark.operators.raster import slope_aspect
+
+    zoom, band = 1, 0
+    raster = synth_raster(spark, zooms=(zoom,), bands=(band,))
+    out = {(r.r, r.c): r for r in slope_aspect(raster, zoom, band).collect()}
+
+    g = _reference_grid(zoom, band)
+    n = g.shape[0]
+    ve = np.floor(g * 1e4 + 0.5).astype(np.int64)
+    assert len(out) == (n - 2) * n  # top/bottom rows excluded, lon wraps
+    assert all(0 < r < n - 1 for r, _ in out)
+
+    rng = np.random.default_rng(11)
+    checks = [(1, 0), (1, n - 1), (n - 2, TILE_PX), (TILE_PX - 1, TILE_PX)] + [
+        (int(a) % (n - 2) + 1, int(b)) for a, b in rng.integers(0, n, size=(40, 2))
+    ]
+    for r, c in checks:
+        gx = gy = 0
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                v = int(ve[r + dr, (c + dc) % n])
+                gx += v * dc * (2 - abs(dr))  # source offset = (dr, dc)
+                gy += v * dr * (2 - abs(dc))
+        row = out[(r, c)]
+        assert (row.gx_e4, row.gy_e4) == (gx, gy)
+        grad = math.sqrt(gx * gx + gy * gy) / 80000.0
+        assert row.slope_deg_e4 == int(
+            math.floor(math.degrees(math.atan(grad)) * 1e4 + 0.5)
+        )
+        assert row.aspect_deg_e4 == int(
+            math.floor(math.degrees(math.atan2(gy, gx)) * 1e4 + 0.5)
+        )

@@ -43,3 +43,38 @@ def test_quantization_is_stable_across_partitionings(spark):
     a = pagerank(_edges(spark, pairs), iters=5)
     b = pagerank(_edges(spark, pairs).repartition(7), iters=5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_triangle_count_k4(spark):
+    from gaia_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles, every node in exactly 3
+    edges = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.n_tri for r in triangle_count(df).collect()}
+    assert out == {"w": 3, "x": 3, "y": 3, "z": 3}
+
+
+def test_triangle_count_star_and_path_none(spark):
+    from gaia_spark.operators.graph import triangle_count
+
+    star = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(5)], "src string, dst string"
+    )
+    assert triangle_count(star).count() == 0
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    assert triangle_count(path).count() == 0
+
+
+def test_triangle_count_dedup_and_direction(spark):
+    from gaia_spark.operators.graph import triangle_count
+
+    # duplicated edges, reversed directions, self loops: still ONE triangle
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"), ("b", "c")],
+        "src string, dst string",
+    )
+    out = {r.node: r.n_tri for r in triangle_count(df).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
