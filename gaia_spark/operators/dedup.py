@@ -15,7 +15,7 @@ candidate verification joins back only LSH-matched pairs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from gaia_spark.functions import portable as P
 from gaia_spark.functions.text import shingles_sql
@@ -532,3 +532,115 @@ def duplicate_passages(
     # distinct: two anchor diagonals can merge into one run only if the run
     # text repeats INSIDE a doc; identical (pair, offsets) rows collapse
     return out.distinct()
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from corpus word frequencies — the tokenizer-
+    construction step of an LLM data pipeline.
+
+    Scale shape (100 TB): after ONE corpus pass builds the word-frequency
+    table, every round runs on the VOCABULARY (distinct words — orders of
+    magnitude smaller than the corpus) as pure DataFrame ops: adjacent-
+    pair counts weighted by word frequency (one combinable agg), the
+    argmax merge by a deterministic total order (count desc, then pair
+    lexicographic — orderBy+limit on the tiny pair table), then one
+    rebuild shuffle per round. No Python, no driver-side loops over data
+    (the Python ``for`` builds the PLAN; per-round localCheckpoint cuts
+    lineage).
+
+    Left-to-right non-overlapping merge semantics are realized
+    positionally: within each run of CONSECUTIVE matching positions only
+    even offsets merge (runs are length 1 unless pair_a == pair_b, where
+    e.g. 'aaaa' → ['aa','aa'] — the classic BPE edge case).
+
+    Returns the learned merge table (round, pair_a, pair_b, pair_count)
+    — bit-exact integers, cross-engine replayable."""
+    from gaia_spark.session import iter_checkpoint
+
+    words = (
+        df.select(F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .select(
+            F.col("w"),
+            "wc",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    vocab = iter_checkpoint(words.select("w", "wc", "syms"), False)
+    merges = None
+    for rnd in range(1, n_merges + 1):
+        # sequence(0, -1) is DESCENDING in Spark: single-symbol words
+        # must not enter the pair builder (they stay in vocab, inert)
+        pairs = vocab.where(F.size("syms") >= 2).select(
+            "w",
+            "wc",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] as pa, syms[i + 1] as pb))"
+                )
+            ).alias("pos", "pr"),
+        ).select("w", "wc", "pos", F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        top = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pa").asc(), F.col("pb").asc())
+            .limit(1)
+            .withColumn("round", F.lit(rnd).cast("int"))
+        )
+        merges = top if merges is None else merges.unionByName(top)
+        # positions matching the winning pair; run-parity keeps the
+        # left-to-right non-overlapping subset
+        m = (
+            pairs.join(F.broadcast(top.select("pa", "pb")), ["pa", "pb"])
+            .select("w", "pos")
+        )
+        win = Window.partitionBy("w").orderBy("pos")
+        keep = (
+            m.withColumn("_rk", F.row_number().over(win))
+            .withColumn("_grp", F.col("pos") - F.col("_rk"))
+            .withColumn(
+                "_off",
+                F.row_number().over(Window.partitionBy("w", "_grp").orderBy("pos")),
+            )
+            .where((F.col("_off") % 2) == 1)
+            .select("w", F.col("pos").alias("mpos"))
+        )
+        sym_rows = vocab.select(
+            "w", "wc", F.posexplode("syms").alias("pos", "sym")
+        )
+        started = keep.select("w", F.col("mpos").alias("pos"), F.lit(1).alias("_st"))
+        consumed = keep.select(
+            "w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("_cn")
+        )
+        # lead_sym: the symbol at pos+1 (the merge partner)
+        nxt = sym_rows.select(
+            "w", (F.col("pos") - 1).alias("pos"), F.col("sym").alias("lead_sym")
+        )
+        rebuilt = (
+            sym_rows.join(started, ["w", "pos"], "left")
+            .join(consumed, ["w", "pos"], "left")
+            .join(nxt, ["w", "pos"], "left")
+            .where(F.col("_cn").isNull())
+            .groupBy("w")
+            .agg(
+                F.first("wc").alias("wc"),
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, "
+                    "CASE WHEN _st = 1 THEN concat(sym, lead_sym) ELSE sym END as s))),"
+                    " x -> x.s)"
+                ).alias("syms"),
+            )
+        )
+        vocab = iter_checkpoint(rebuilt.select("w", "wc", "syms"), False)
+    return merges.select("round", "pa", "pb", "pair_count")

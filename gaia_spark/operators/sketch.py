@@ -1,0 +1,160 @@
+"""Streaming-scale sketches: Count-Min frequency estimation and
+HyperLogLog cardinality — the approximate-aggregation tier of a web-scale
+pipeline (heavy-hitter detection over token streams, distinct-visitor
+counts per host), built from scratch so they are ENGINE-DETERMINISTIC:
+md5-derived hash functions and exact-integer registers make even the
+"approximate" results bit-identical cross-engine and hash-checkable,
+unlike Spark's built-in approx_count_distinct (whose HLL++ internals no
+oracle can replay).
+
+Role: `[R] SURVEY.md §2.D` distinct/approx-distinct family, the
+scale-out members.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gaia_spark.functions import portable as P
+
+# --- Count-Min ----------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket_sql(item: str, row: int, dialect: str, width: int = CMS_WIDTH) -> str:
+    """Hash row ``row``'s bucket for ``item`` — shared with the oracle."""
+    salted = f"'{row}:' || {item}"
+    return f"({P.md5_int60(salted, dialect)} % {width})"
+
+
+def count_min_sketch(
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a Count-Min sketch of item frequencies: ``depth`` md5-derived
+    hash rows × ``width`` buckets. ONE explode + ONE combinable agg —
+    sketch size is depth·width rows regardless of input scale (the whole
+    point: a bounded-size summary mergeable across partitions/streams).
+    Returns (row, bucket, cnt)."""
+    rows = items.select(
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
+        F.col(item_col).alias("_it"),
+    )
+    bucket = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN row = {j} THEN {cms_bucket_sql('_it', j, P.SPARK, width)}"
+            for j in range(depth)
+        )
+        + " END"
+    )
+    return (
+        rows.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    query_col: str = "q",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: est(q) = min over rows of the q-bucket
+    count (the classic one-sided overestimate). The sketch is depth·width
+    rows — broadcast side of the join by construction."""
+    qb = queries.select(
+        F.col(query_col).alias("q"),
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("row"),
+    ).select(
+        "q",
+        "row",
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN row = {j} THEN {cms_bucket_sql('q', j, P.SPARK, width)}"
+                for j in range(depth)
+            )
+            + " END"
+        ).alias("bucket"),
+    )
+    return (
+        qb.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("q")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+# --- HyperLogLog ----------------------------------------------------------------
+
+HLL_B = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_B
+HLL_BITS = 60 - HLL_B          # rank bits after the register index
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_rho_sql(hdiv: str, bits: int = HLL_BITS) -> str:
+    """Position of the first 1-bit (from the LSB-side convention used
+    here: rho = bits − floor(log2(h)) for h > 0, bits+1 for h = 0) as an
+    UNROLLED integer-comparison CASE chain — no log2/float anywhere, so
+    no libm boundary risk. Shared verbatim with the oracle."""
+    arms = " ".join(
+        f"WHEN ({hdiv}) >= {1 << (bits - k)} THEN {k}" for k in range(1, bits + 1)
+    )
+    return f"(CASE WHEN ({hdiv}) = 0 THEN {bits + 1} {arms} END)"
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str,
+) -> DataFrame:
+    """HLL register table: md5 hash → low b bits pick the register, the
+    remaining bits' first-1 position is the rank; register value = max
+    rank (max is order-independent — deterministic under any
+    partitioning). Returns (reg, m_j), occupied registers only."""
+    h = P.md5_int60(item_col, P.SPARK)
+    return (
+        items.select(
+            F.expr(f"({h}) % {HLL_M}").alias("reg"),
+            F.expr(hll_rho_sql(f"({h}) div {HLL_M}")).alias("_rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("_rho").cast("long").alias("m_j"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Cardinality estimate from the register table. The harmonic sum is
+    EXACT: each term 2^(bits+1−m_j) is an integer (m_j ≤ bits+1), empty
+    registers contribute 2^(bits+1) — so Σ is one bigint and the raw
+    estimate is a single IEEE division. Small-range (linear counting)
+    correction applied per the original paper when E ≤ 2.5m and empty
+    registers exist. Returns (n_registers_used, est_e2)."""
+    top = HLL_BITS + 1
+    agg = registers.agg(
+        F.count("*").cast("long").alias("_used"),
+        F.sum(F.expr(f"cast(pow(cast(2 as double), {top} - m_j) as bigint)"))
+        .cast("long")
+        .alias("_occ_sum"),
+    )
+    raw = (
+        f"cast({HLL_ALPHA!r} as double) * {HLL_M} * {HLL_M} * pow(cast(2 as double), {top})"
+        f" / cast(_occ_sum + ({HLL_M} - _used) * {1 << top} as double)"
+    )
+    est = (
+        f"CASE WHEN ({raw}) <= cast({2.5 * HLL_M} as double) AND _used < {HLL_M}"
+        f" THEN cast({HLL_M} as double) * ln(cast({HLL_M} as double)"
+        f" / cast({HLL_M} - _used as double))"
+        f" ELSE ({raw}) END"
+    )
+    return agg.select(
+        F.col("_used").alias("n_registers_used"),
+        F.expr(P.floor_scaled_sql(est, 2)).alias("est_e2"),
+    )

@@ -715,3 +715,215 @@ def std_ellipse(
         F.expr(portable.floor_scaled_sql(f"sqrt(greatest({lam2}, cast(0 as double)))", 4)).alias("sigma2_e4"),
         F.expr(portable.floor_scaled_sql(theta, 4)).alias("theta_e4"),
     )
+
+
+def mann_kendall(
+    values: DataFrame,
+    n_buckets: int,
+    key_col: str = "cell",
+    bucket_col: str = "b",
+    value_col: str = "x",
+) -> DataFrame:
+    """Per-key Mann–Kendall trend test over a regular time-bucket series —
+    the statistic behind "emerging hot spot" analysis (ESRI space-time
+    cube role): S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected
+    variance, classifying each key as increasing / decreasing / no trend.
+
+    ``values`` holds (key, bucket, x) with MISSING buckets meaning x = 0;
+    the operator densifies each key onto buckets 0..n_buckets−1 with an
+    in-plan sequence explode (never a driver loop). The pairwise sweep is
+    a per-key self-join producing exactly C(n_buckets, 2) rows per key —
+    n_buckets is a small constant (weeks/months), so the blowup is a
+    bounded constant factor on the KEY table, not a quadratic anywhere.
+
+    Determinism: S and the ×18-scaled tie-corrected variance
+    var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are exact integers; z derives
+    from the two by one shared expression (z = 0 for S = 0 and for the
+    all-tied var18 = 0 series). Returns
+    (key, s_stat, var18, z_e4, trend)."""
+    n = n_buckets
+    grid = (
+        values.select(key_col).distinct()
+        .select(F.col(key_col), F.explode(F.expr(f"sequence(0, {n - 1})")).alias("_b"))
+    )
+    x = values.select(
+        F.col(key_col),
+        F.col(bucket_col).alias("_b"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    dense = grid.join(x, [key_col, "_b"], "left").select(
+        key_col, "_b", F.coalesce("_x", F.lit(0)).alias("_x")
+    )
+    rhs = dense.select(
+        F.col(key_col), F.col("_b").alias("_bj"), F.col("_x").alias("_xj")
+    )
+    s = (
+        dense.join(rhs, key_col)
+        .where(F.col("_b") < F.col("_bj"))
+        .groupBy(key_col)
+        .agg(F.sum(F.signum(F.col("_xj") - F.col("_x")).cast("long")).alias("s_stat"))
+    )
+    ties = (
+        dense.groupBy(key_col, "_x")
+        .agg(F.count("*").cast("long").alias("_t"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).cast("long").alias("_tie")
+        )
+    )
+    base = n * (n - 1) * (2 * n + 5)
+    z = (
+        "CASE WHEN s_stat = 0 OR var18 = 0 THEN cast(0 as double) "
+        "ELSE cast(s_stat - (CASE WHEN s_stat > 0 THEN 1 ELSE -1 END) as double) "
+        f"* sqrt(cast(18 as double)) / sqrt(cast(var18 as double)) END"
+    )
+    out = (
+        s.join(ties, key_col)
+        .select(
+            key_col,
+            "s_stat",
+            (F.lit(base) - F.col("_tie")).cast("long").alias("var18"),
+        )
+        .withColumn("z_e4", F.expr(portable.floor_scaled_sql(z, 4)))
+    )
+    return out.withColumn(
+        "trend",
+        F.expr(
+            "CASE WHEN z_e4 >= 19600 THEN 'increasing' "
+            "WHEN z_e4 <= -19600 THEN 'decreasing' ELSE 'no trend' END"
+        ),
+    )
+
+
+def median_center(
+    points: DataFrame,
+    group_col: str,
+    iters: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geometric median center per group (Weiszfeld iteration) — the
+    robust centrographic companion of :func:`std_ellipse` (ArcGIS
+    MedianCenter role): the point minimizing the sum of distances to the
+    group's members, degree-space planar like the ellipse.
+
+    Iterative-determinism contract (the PageRank lesson): each round's
+    update m ← Σ(pᵢ/dᵢ)/Σ(1/dᵢ) quantizes the per-point weights to e4
+    integers BEFORE the distributed sums (order-independent bigints), the
+    new center is one IEEE division of two bigints, and the center
+    re-quantizes to e6 between rounds — so every round is bit-identical
+    under any partitioning and replayable as chained oracle CTEs.
+    Zero-distance points (pᵢ exactly at the current estimate) are
+    excluded from the round per standard Weiszfeld practice; a group
+    whose points ALL sit on the estimate keeps it (coalesce).
+
+    Per round: one broadcast join (the center table is one row per
+    group) + one combinable agg. Returns (group, n, mx_e6, my_e6)."""
+    q = points.select(
+        F.col(group_col).alias("grp"),
+        F.expr(portable.floor_scaled_sql(lon_col, 6)).alias("xq"),
+        F.expr(portable.floor_scaled_sql(lat_col, 6)).alias("yq"),
+    )
+    # start: e6-quantized mean center (exact bigint sums)
+    centers = q.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            portable.floor_scaled_sql("cast(sum(xq) as double) / cast(count(*) as double)", 0)
+        ).alias("mxq"),
+        F.expr(
+            portable.floor_scaled_sql("cast(sum(yq) as double) / cast(count(*) as double)", 0)
+        ).alias("myq"),
+    )
+    for _ in range(iters):
+        j = q.join(F.broadcast(centers), "grp")
+        d = (
+            "sqrt(pow(cast(xq - mxq as double) / cast(1000000 as double), 2)"
+            " + pow(cast(yq - myq as double) / cast(1000000 as double), 2))"
+        )
+        px = "cast(xq as double) / cast(1000000 as double)"
+        py = "cast(yq as double) / cast(1000000 as double)"
+        terms = j.select(
+            "grp",
+            F.expr(
+                f"CASE WHEN ({d}) > 0 THEN {portable.floor_scaled_sql(f'cast(1 as double) / ({d})', 4)} END"
+            ).alias("w_q"),
+            F.expr(
+                f"CASE WHEN ({d}) > 0 THEN {portable.floor_scaled_sql(f'({px}) / ({d})', 4)} END"
+            ).alias("wx_q"),
+            F.expr(
+                f"CASE WHEN ({d}) > 0 THEN {portable.floor_scaled_sql(f'({py}) / ({d})', 4)} END"
+            ).alias("wy_q"),
+        )
+        upd = terms.groupBy("grp").agg(
+            F.sum("w_q").cast("long").alias("_sw"),
+            F.sum("wx_q").cast("long").alias("_swx"),
+            F.sum("wy_q").cast("long").alias("_swy"),
+        )
+        centers = (
+            centers.join(upd, "grp", "left")
+            .select(
+                "grp",
+                "n",
+                F.coalesce(
+                    F.expr(
+                        portable.floor_scaled_sql(
+                            "cast(_swx as double) / cast(_sw as double) * cast(1000000 as double)", 0
+                        )
+                    ),
+                    F.col("mxq"),
+                ).alias("mxq"),
+                F.coalesce(
+                    F.expr(
+                        portable.floor_scaled_sql(
+                            "cast(_swy as double) / cast(_sw as double) * cast(1000000 as double)", 0
+                        )
+                    ),
+                    F.col("myq"),
+                ).alias("myq"),
+            )
+        )
+    return centers.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.col("mxq").alias("mx_e6"),
+        F.col("myq").alias("my_e6"),
+    )
+
+
+def quadrat_test(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Quadrat-count test of complete spatial randomness: chi² dispersion
+    index over the full res-grid (all 4^res quadrats, EMPTY ones
+    included — omitting them is the classic quadrat-analysis mistake) and
+    the variance-mean ratio. Exact-integer identities make both one IEEE
+    division of bigints: with m quadrats and n points,
+    chi² = (m·ΣO² − n²)/n and VMR = chi²/(m−1).
+
+    One cell assignment + one combinable agg; the occupied-cell table is
+    4^res-bounded. Returns (m_quadrats, n_points, sum_sq, chi2_e6,
+    vmr_e6)."""
+    m = (1 << res) * (1 << res)
+    cells = points.select(
+        F.expr(portable.cell_id_sql(lat_col, lon_col, res)).alias("cell")
+    ).groupBy("cell").agg(F.count("*").cast("long").alias("o"))
+    agg = cells.agg(
+        F.count("*").cast("long").alias("_occ"),
+        F.sum("o").cast("long").alias("n_points"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("sum_sq"),
+    )
+    chi2 = f"cast({m} * sum_sq - n_points * n_points as double) / cast(n_points as double)"
+    return agg.select(
+        F.lit(m).cast("long").alias("m_quadrats"),
+        "n_points",
+        "sum_sq",
+        F.expr(portable.floor_scaled_sql(chi2, 6)).alias("chi2_e6"),
+        F.expr(
+            portable.floor_scaled_sql(f"({chi2}) / cast({m - 1} as double)", 6)
+        ).alias("vmr_e6"),
+    )

@@ -1486,7 +1486,15 @@ def _slope_oracle() -> str:
     v = _band_f32_sql(0)
     grad = "sqrt(cast(gx_e4 * gx_e4 + gy_e4 * gy_e4 as double)) / cast(80000 as double)"
     deg = "cast(180 as double) / pi()"
-    aspect = f"atan2(cast(gy_e4 as double), cast(gx_e4 as double)) * ({deg})"
+    aspect_rad = "atan2(cast(gy_e4 as double), cast(gx_e4 as double))"
+    aspect = f"({aspect_rad}) * ({deg})"
+    c45 = "(sqrt(cast(2 as double)) / cast(2 as double))"
+    az = "(cast(7 as double) * pi() / cast(4 as double))"
+    hs = (
+        f"cast(255 as double) * greatest(cast(0 as double), "
+        f"{c45} * cos(atan({grad})) + "
+        f"{c45} * sin(atan({grad})) * cos(({az}) - ({aspect_rad})))"
+    )
     return f"""
     WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
                             generate_series(0, {n_px - 1}) t2(c)),
@@ -1506,7 +1514,8 @@ def _slope_oracle() -> str:
             FROM scat GROUP BY tr, tc)
     SELECT cast(tr as bigint) AS r, cast(tc as bigint) AS c, gx_e4, gy_e4,
            {P.floor_scaled_sql(f'atan({grad}) * ({deg})', 4)} AS slope_deg_e4,
-           {P.floor_scaled_sql(aspect, 4)} AS aspect_deg_e4
+           {P.floor_scaled_sql(aspect, 4)} AS aspect_deg_e4,
+           {P.floor_scaled_sql(hs, 2)} AS hillshade_e2
     FROM agg WHERE n_nb = 9
     """
 
@@ -1524,3 +1533,231 @@ def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raster = synth_raster(spark, zooms=(3,), bands=(0,))
     return slope_aspect(raster, zoom=3, band=0)
+
+
+# --- Mann-Kendall emerging-hotspot trend -------------------------------------
+
+_MK_N = 10  # ten 3-day buckets over the 30-day events span
+
+
+def _mk_oracle() -> str:
+    lat, lon = P.key_lat_sql("user_id"), P.key_lon_sql("user_id")
+    base = _MK_N * (_MK_N - 1) * (2 * _MK_N + 5)
+    z = (
+        "CASE WHEN s_stat = 0 OR var18 = 0 THEN cast(0 as double) "
+        "ELSE cast(s_stat - (CASE WHEN s_stat > 0 THEN 1 ELSE -1 END) as double) "
+        "* sqrt(cast(18 as double)) / sqrt(cast(var18 as double)) END"
+    )
+    day = "date_diff('day', DATE '2024-01-01', cast(ts as date))"
+    return f"""
+    WITH up AS (SELECT {P.cell_id_sql(lat, lon, 4)} AS cell,
+                       {P.idiv_sql(day, 3)} AS b FROM events),
+    x AS (SELECT cell, b, cast(count(*) as bigint) AS x FROM up GROUP BY 1, 2),
+    grid AS (SELECT cell, gs.b FROM (SELECT DISTINCT cell FROM x)
+             CROSS JOIN generate_series(0, {_MK_N - 1}) gs(b)),
+    dense AS (SELECT g.cell, g.b, coalesce(x.x, 0) AS x
+              FROM grid g LEFT JOIN x ON g.cell = x.cell AND g.b = x.b),
+    s AS (SELECT a.cell, cast(sum(sign(j.x - a.x)) as bigint) AS s_stat
+          FROM dense a JOIN dense j ON a.cell = j.cell AND a.b < j.b GROUP BY 1),
+    ties AS (SELECT cell, cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) AS _tie
+             FROM (SELECT cell, x, count(*) AS t FROM dense GROUP BY 1, 2)
+             GROUP BY 1),
+    o AS (SELECT s.cell, s_stat, {base} - _tie AS var18
+          FROM s JOIN ties USING (cell)),
+    o2 AS (SELECT cell, s_stat, var18, {P.floor_scaled_sql(z, 4)} AS z_e4 FROM o)
+    SELECT cell, s_stat, var18, z_e4,
+           CASE WHEN z_e4 >= 19600 THEN 'increasing'
+                WHEN z_e4 <= -19600 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM o2
+    """
+
+
+@register("q_mann_kendall", _mk_oracle())
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot trend: Mann-Kendall S + tie-corrected variance per
+    res-4 cell over ten 3-day event buckets — S and var18 exact integers,
+    z by one shared closed form; the oracle replays grid densification,
+    the pairwise sweep and the tie groups."""
+    from gaia_spark.operators.stats import mann_kendall
+
+    e = load(spark, sf_dir, "events")
+    day = "datediff(cast(ts as date), date'2024-01-01')"
+    up = e.select(
+        F.expr(
+            P.cell_id_sql(P.key_lat_sql("user_id"), P.key_lon_sql("user_id"), 4)
+        ).alias("cell"),
+        F.expr(P.idiv_sql(day, 3)).alias("b"),
+    )
+    x = up.groupBy("cell", "b").agg(F.count("*").cast("long").alias("x"))
+    return mann_kendall(x, n_buckets=_MK_N)
+
+
+# --- marching-squares contours ------------------------------------------------
+
+_CONTOUR_LVL = 25.0
+
+
+def _contour_oracle() -> str:
+    import math
+
+    from gaia_spark.operators.raster import _MS_SEG1, _MS_SEG2, ms_endpoint_sql
+
+    n_t, px = 8, 64
+    n_px = n_t * px
+    lvl = int(math.floor(_CONTOUR_LVL * 1e4 + 0.5))
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    code = (
+        f"(CASE WHEN v00 >= {lvl} THEN 8 ELSE 0 END + "
+        f"CASE WHEN v01 >= {lvl} THEN 4 ELSE 0 END + "
+        f"CASE WHEN v11 >= {lvl} THEN 2 ELSE 0 END + "
+        f"CASE WHEN v10 >= {lvl} THEN 1 ELSE 0 END)"
+    )
+    ts = ", ".join(
+        f"CASE WHEN {b} != {a} THEN "
+        f"cast({lvl} - {a} as double) / cast({b} - {a} as double) END AS {n}"
+        for n, (a, b) in {
+            "t_top": ("v00", "v01"),
+            "t_bot": ("v10", "v11"),
+            "t_left": ("v00", "v10"),
+            "t_right": ("v01", "v11"),
+        }.items()
+    )
+
+    def cols(table):
+        return ", ".join(
+            P.floor_scaled_sql(
+                f"cast(w{'cr'[axis]} as double) + ({ms_endpoint_sql(table, which, axis)})",
+                6,
+            )
+            + f" AS {'xy'[axis]}{which + 1}_e6"
+            for which in (0, 1)
+            for axis in (0, 1)
+        )
+
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    px AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                  {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM px),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    offs(i, j) AS (VALUES (0,0),(0,1),(1,0),(1,1)),
+    scat AS (SELECT r - i AS wr, (c - j + {n_px}) % {n_px} AS wc, i, j, v_e4
+             FROM pv CROSS JOIN offs
+             WHERE r - i >= 0 AND r - i < {n_px - 1}),
+    win AS (SELECT wr, wc,
+                   max(CASE WHEN i = 0 AND j = 0 THEN v_e4 END) AS v00,
+                   max(CASE WHEN i = 0 AND j = 1 THEN v_e4 END) AS v01,
+                   max(CASE WHEN i = 1 AND j = 0 THEN v_e4 END) AS v10,
+                   max(CASE WHEN i = 1 AND j = 1 THEN v_e4 END) AS v11
+            FROM scat GROUP BY wr, wc HAVING count(*) = 4),
+    w2 AS (SELECT wr, wc, v00, v01, v10, v11, {code} AS code, {ts} FROM win)
+    SELECT cast(wr as bigint) AS wr, cast(wc as bigint) AS wc,
+           cast(1 as int) AS seg, {cols(_MS_SEG1)}
+    FROM w2 WHERE code NOT IN (0, 15)
+    UNION ALL
+    SELECT cast(wr as bigint) AS wr, cast(wc as bigint) AS wc,
+           cast(2 as int) AS seg, {cols(_MS_SEG2)}
+    FROM w2 WHERE code IN (5, 10)
+    """
+
+
+@register("q_contours", _contour_oracle())
+def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iso-contour segments (marching squares, level 25) over the zoom-3
+    global pixel grid — corner classification on exact e4 integers, edge
+    interpolation and the fixed saddle pairing by one shared 16-case SQL
+    table; every segment endpoint hash-checked at e6."""
+    from gaia_spark.operators.raster import contour_segments
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0,))
+    return contour_segments(raster, zoom=3, level=_CONTOUR_LVL, band=0)
+
+
+# --- Weiszfeld geometric median center ----------------------------------------
+
+_WF_ITERS = 3
+
+
+def _median_center_oracle() -> str:
+    lat, lon = P.key_lat_sql("c_custkey"), P.key_lon_sql("c_custkey")
+    d = (
+        "sqrt(pow(cast(q.xq - c.mxq as double) / cast(1000000 as double), 2)"
+        " + pow(cast(q.yq - c.myq as double) / cast(1000000 as double), 2))"
+    )
+    px = "cast(q.xq as double) / cast(1000000 as double)"
+    py = "cast(q.yq as double) / cast(1000000 as double)"
+    rounds = []
+    for k in range(1, _WF_ITERS + 1):
+        prev = f"c{k - 1}"
+        rounds.append(f"""
+    t{k} AS (SELECT q.grp,
+             CASE WHEN ({d}) > 0 THEN {P.floor_scaled_sql(f'cast(1 as double) / ({d})', 4)} END AS w_q,
+             CASE WHEN ({d}) > 0 THEN {P.floor_scaled_sql(f'({px}) / ({d})', 4)} END AS wx_q,
+             CASE WHEN ({d}) > 0 THEN {P.floor_scaled_sql(f'({py}) / ({d})', 4)} END AS wy_q
+             FROM q JOIN {prev} c USING (grp)),
+    u{k} AS (SELECT grp, cast(sum(w_q) as bigint) AS _sw,
+             cast(sum(wx_q) as bigint) AS _swx,
+             cast(sum(wy_q) as bigint) AS _swy FROM t{k} GROUP BY 1),
+    c{k} AS (SELECT c.grp, c.n,
+             coalesce({P.floor_scaled_sql('cast(u._swx as double) / cast(u._sw as double) * cast(1000000 as double)', 0)}, c.mxq) AS mxq,
+             coalesce({P.floor_scaled_sql('cast(u._swy as double) / cast(u._sw as double) * cast(1000000 as double)', 0)}, c.myq) AS myq
+             FROM {prev} c LEFT JOIN u{k} u USING (grp))""")
+    # NOTE: the CTEs above reference q/c via aliases; DuckDB scoping is fine.
+    chain = ",".join(rounds)
+    return f"""
+    WITH q AS (SELECT c_nationkey AS grp,
+                      {P.floor_scaled_sql(lon, 6)} AS xq,
+                      {P.floor_scaled_sql(lat, 6)} AS yq FROM customer),
+    c0 AS (SELECT grp, cast(count(*) as bigint) AS n,
+           {P.floor_scaled_sql('cast(sum(xq) as double) / cast(count(*) as double)', 0)} AS mxq,
+           {P.floor_scaled_sql('cast(sum(yq) as double) / cast(count(*) as double)', 0)} AS myq
+           FROM q GROUP BY 1),
+    {chain}
+    SELECT grp AS c_nationkey, n, mxq AS mx_e6, myq AS my_e6 FROM c{_WF_ITERS}
+    """
+
+
+@register("q_median_center", _median_center_oracle())
+def q_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median center per nation (3 Weiszfeld rounds): per-point
+    weights quantize to e4 bigints before every distributed sum and the
+    center re-quantizes to e6 between rounds, so the whole iteration is
+    bit-identical cross-engine — the oracle chains the same 3 CTE rounds."""
+    from gaia_spark.operators.stats import median_center
+
+    pts = customer_points(spark, sf_dir)
+    return median_center(pts, "c_nationkey", iters=_WF_ITERS)
+
+
+# --- quadrat CSR test ----------------------------------------------------------
+
+def _quadrat_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    m = 32 * 32
+    chi2 = f"cast({m} * sum_sq - n_points * n_points as double) / cast(n_points as double)"
+    return f"""
+    WITH {PTS_CTE},
+    cells AS (SELECT {P.cell_id_sql('lat', 'lon', 5)} AS cell,
+                     cast(count(*) as bigint) AS o FROM pts GROUP BY 1),
+    agg AS (SELECT cast(sum(o) as bigint) AS n_points,
+                   cast(sum(o * o) as bigint) AS sum_sq FROM cells)
+    SELECT cast({m} as bigint) AS m_quadrats, n_points, sum_sq,
+           {P.floor_scaled_sql(chi2, 6)} AS chi2_e6,
+           {P.floor_scaled_sql(f'({chi2}) / cast({m - 1} as double)', 6)} AS vmr_e6
+    FROM agg
+    """
+
+
+@register("q_quadrat_test", _quadrat_oracle())
+def q_quadrat_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count CSR test over the full res-5 grid (empty quadrats
+    included via the closed-form identity chi2 = (m·ΣO² − n²)/n — one
+    IEEE division of exact bigints)."""
+    from gaia_spark.operators.stats import quadrat_test
+
+    return quadrat_test(customer_points(spark, sf_dir), res=5)

@@ -1239,3 +1239,166 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
     )
     return triangle_count(edges)
+
+
+# --- distributed BPE merge training -------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle(n: int = _BPE_ROUNDS) -> str:
+    """Chain n BPE rounds in DuckDB: pair counts (overlapping, standard),
+    argmax by (count desc, pa, pb), run-parity non-overlapping merge —
+    the window-function derivation of the same semantics the engine
+    realizes with posexplode + row_number."""
+    parts = [f"""
+    w0 AS (SELECT u.w AS w FROM documents, unnest({P.split_ws('text', P.DUCK)}) u(w)),
+    v0 AS (SELECT w, cast(count(*) as bigint) AS wc,
+                  list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+           FROM w0 WHERE length(w) > 0 GROUP BY w)"""]
+    for r in range(1, n + 1):
+        pv = f"v{r - 1}"
+        parts.append(f"""
+    p{r} AS (SELECT v.w, v.wc, u.i - 1 AS pos, v.syms[u.i] AS pa, v.syms[u.i + 1] AS pb
+             FROM {pv} v, unnest(range(1, len(v.syms))) u(i)),
+    top{r} AS (SELECT pa, pb, cast(sum(wc) as bigint) AS pair_count
+               FROM p{r} GROUP BY 1, 2
+               ORDER BY pair_count DESC, pa ASC, pb ASC LIMIT 1),
+    m{r} AS (SELECT p.w, p.pos,
+                    row_number() OVER (PARTITION BY p.w ORDER BY p.pos) AS _rk
+             FROM p{r} p JOIN top{r} t USING (pa, pb)),
+    k{r} AS (SELECT w, pos FROM (
+               SELECT w, pos, row_number() OVER (PARTITION BY w, pos - _rk
+                                                 ORDER BY pos) AS _off
+               FROM m{r}) WHERE _off % 2 = 1),
+    s{r} AS (SELECT v.w, v.wc, u.i - 1 AS pos, v.syms[u.i] AS sym
+             FROM {pv} v, unnest(range(1, len(v.syms) + 1)) u(i)),
+    sl{r} AS (SELECT w, wc, pos, sym,
+                     lead(sym) OVER (PARTITION BY w ORDER BY pos) AS lead_sym
+              FROM s{r}),
+    v{r} AS (SELECT sl.w, any_value(sl.wc) AS wc,
+                    list(CASE WHEN ks.pos IS NOT NULL
+                              THEN sl.sym || sl.lead_sym ELSE sl.sym END
+                         ORDER BY sl.pos) AS syms
+             FROM sl{r} sl
+             LEFT JOIN k{r} ks ON sl.w = ks.w AND sl.pos = ks.pos
+             LEFT JOIN k{r} kc ON sl.w = kc.w AND sl.pos = kc.pos + 1
+             WHERE kc.pos IS NULL GROUP BY sl.w)""")
+    union = " UNION ALL ".join(
+        f"SELECT cast({r} as int) AS round, pa, pb, pair_count FROM top{r}"
+        for r in range(1, n + 1)
+    )
+    return "WITH " + ",".join(parts) + f" {union}"
+
+
+@register("q_bpe_merges", _bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus: the
+    learned merge table for 4 rounds — pair selection (count desc,
+    lexicographic tie-break) and the run-parity non-overlapping merge are
+    both deterministic, so the whole iterative training is hash-exact;
+    the oracle chains the same rounds with window functions instead of
+    posexplode (two derivations, one vocabulary)."""
+    from gaia_spark.operators.dedup import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=_BPE_ROUNDS)
+
+
+# --- sketches: Count-Min + HyperLogLog ----------------------------------------
+
+def _cms_oracle() -> str:
+    from gaia_spark.operators.sketch import CMS_DEPTH, cms_bucket_sql
+
+    bucket = "CASE " + " ".join(
+        f"WHEN r.row = {j} THEN {cms_bucket_sql('w0.w', j, P.DUCK)}"
+        for j in range(CMS_DEPTH)
+    ) + " END"
+    qbucket = "CASE " + " ".join(
+        f"WHEN r.row = {j} THEN {cms_bucket_sql('qs.q', j, P.DUCK)}"
+        for j in range(CMS_DEPTH)
+    ) + " END"
+    rows = ", ".join(f"({j})" for j in range(CMS_DEPTH))
+    return f"""
+    WITH w0 AS (SELECT u.w AS w FROM documents,
+                unnest({P.split_ws('text', P.DUCK)}) u(w) WHERE length(u.w) > 0),
+    r(row) AS (VALUES {rows}),
+    sk AS (SELECT r.row, {bucket} AS bucket, cast(count(*) as bigint) AS cnt
+           FROM w0 CROSS JOIN r GROUP BY 1, 2),
+    qs AS (SELECT DISTINCT w AS q FROM w0 ORDER BY q LIMIT 20),
+    qb AS (SELECT qs.q, r.row, {qbucket} AS bucket FROM qs CROSS JOIN r),
+    est AS (SELECT q, cast(min(coalesce(sk.cnt, 0)) as bigint) AS cms_est
+            FROM qb LEFT JOIN sk USING (row, bucket) GROUP BY 1),
+    tr AS (SELECT w AS q, cast(count(*) as bigint) AS true_cnt FROM w0 GROUP BY 1)
+    SELECT est.q, tr.true_cnt, est.cms_est FROM est JOIN tr USING (q)
+    """
+
+
+@register("q_cms_words", _cms_oracle())
+def q_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream (4 md5
+    hash rows × 256 buckets — a bounded-size mergeable summary), point-
+    queried for the 20 lexicographically-first words next to their true
+    counts. Deterministic hashing makes even the approximation
+    hash-exact cross-engine."""
+    from gaia_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(SPARK_WORDS)).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    sketch = count_min_sketch(words, "w")
+    qs = words.select("w").distinct().orderBy("w").limit(20).withColumnRenamed("w", "q")
+    est = cms_estimate(sketch, qs)
+    true = words.groupBy(F.col("w").alias("q")).agg(
+        F.count("*").cast("long").alias("true_cnt")
+    )
+    return est.join(true, "q").select("q", "true_cnt", "cms_est")
+
+
+def _hll_oracle() -> str:
+    from gaia_spark.operators.sketch import (
+        HLL_ALPHA, HLL_BITS, HLL_M, hll_rho_sql,
+    )
+
+    h = P.md5_int60("cast(user_id as varchar)", P.DUCK)
+    top = HLL_BITS + 1
+    raw = (
+        f"cast({HLL_ALPHA!r} as double) * {HLL_M} * {HLL_M} * pow(cast(2 as double), {top})"
+        f" / cast(_occ_sum + ({HLL_M} - _used) * {1 << top} as double)"
+    )
+    est = (
+        f"CASE WHEN ({raw}) <= cast({2.5 * HLL_M} as double) AND _used < {HLL_M}"
+        f" THEN cast({HLL_M} as double) * ln(cast({HLL_M} as double)"
+        f" / cast({HLL_M} - _used as double))"
+        f" ELSE ({raw}) END"
+    )
+    return f"""
+    WITH hv AS (SELECT ({h}) % {HLL_M} AS reg,
+                       {hll_rho_sql(f'({h}) // {HLL_M}')} AS rho FROM events),
+    regs AS (SELECT reg, cast(max(rho) as bigint) AS m_j FROM hv GROUP BY 1),
+    agg AS (SELECT cast(count(*) as bigint) AS _used,
+                   cast(sum(cast(pow(cast(2 as double), {top} - m_j) as bigint)) as bigint) AS _occ_sum
+            FROM regs),
+    ex AS (SELECT cast(count(DISTINCT user_id) as bigint) AS exact_n FROM events)
+    SELECT _used AS n_registers_used, {P.floor_scaled_sql(est, 2)} AS est_e2, exact_n
+    FROM agg, ex
+    """
+
+
+@register("q_hll_users", _hll_oracle())
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate over the event stream (256
+    md5-derived registers; the harmonic sum is an EXACT bigint of
+    power-of-two terms, so the 'approximate' estimate is bit-identical
+    cross-engine — unlike approx_count_distinct, whose HLL++ no oracle
+    can replay), next to the exact count."""
+    from gaia_spark.operators.sketch import hll_estimate, hll_registers
+
+    e = load(spark, sf_dir, "events").select(
+        F.expr("cast(user_id as string)").alias("uid"), "user_id"
+    )
+    regs = hll_registers(e, "uid")
+    est = hll_estimate(regs)
+    exact = e.agg(F.countDistinct("user_id").cast("long").alias("exact_n"))
+    return est.crossJoin(exact)

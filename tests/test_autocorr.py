@@ -88,3 +88,105 @@ def test_std_ellipse_partitioning_invariance(spark):
     a = sorted(std_ellipse(pts, "c_nationkey").collect())
     b = sorted(std_ellipse(pts.repartition(13), "c_nationkey").collect())
     assert a == b
+
+
+def test_mann_kendall_closed_forms(spark):
+    import math
+
+    from gaia_spark.operators.stats import mann_kendall
+
+    rows = []
+    rows += [("inc", b, b + 1) for b in range(10)]          # strictly rising
+    rows += [("dec", b, 20 - b) for b in range(10)]         # strictly falling
+    rows += [("flat", b, 7) for b in range(10)]             # constant: all ties
+    rows += [("spike", 5, 3)]                               # densified zeros
+    df = spark.createDataFrame(rows, "cell string, b int, x long")
+    out = {r.cell: r for r in mann_kendall(df, 10).collect()}
+
+    z45 = int(math.floor(44 * math.sqrt(18) / math.sqrt(2250) * 1e4 + 0.5))
+    assert (out["inc"].s_stat, out["inc"].var18) == (45, 2250)
+    assert out["inc"].z_e4 == z45 and out["inc"].trend == "increasing"
+    assert (out["dec"].s_stat, out["dec"].z_e4) == (-45, int(
+        math.floor(-44 * math.sqrt(18) / math.sqrt(2250) * 1e4 + 0.5)
+    ))
+    assert out["dec"].trend == "decreasing"
+    # constant: S = 0 and the tie correction zeroes the variance
+    assert (out["flat"].s_stat, out["flat"].var18, out["flat"].z_e4) == (0, 0, 0)
+    assert out["flat"].trend == "no trend"
+    # single spike at b=5 over densified zeros: 5 rises, 4 falls;
+    # tie group of nine zeros: var18 = 2250 - 9*8*(2*9+5) = 594
+    assert (out["spike"].s_stat, out["spike"].var18) == (1, 594)
+    assert out["spike"].z_e4 == 0 and out["spike"].trend == "no trend"
+
+
+def test_mann_kendall_partitioning_invariance(spark):
+    from gaia_spark.operators.stats import mann_kendall
+
+    rows = [(c, b, (c * 7 + b * b) % 5) for c in range(20) for b in range(10) if b % 3]
+    df = spark.createDataFrame(rows, "cell int, b int, x long")
+    a = sorted(map(tuple, mann_kendall(df, 10).collect()))
+    b = sorted(map(tuple, mann_kendall(df.repartition(9), 10).collect()))
+    assert a == b
+
+
+def test_median_center_symmetric_fixpoint(spark):
+    from gaia_spark.operators.stats import median_center
+
+    # symmetric square: the centroid is the exact Weiszfeld fixpoint
+    pts = spark.createDataFrame(
+        [(1, 1.0, 0.0), (1, -1.0, 0.0), (1, 0.0, 1.0), (1, 0.0, -1.0)],
+        "g int, lat double, lon double",
+    )
+    out = median_center(pts, "g", iters=3).collect()[0]
+    assert (out.mx_e6, out.my_e6, out.n) == (0, 0, 4)
+
+
+def test_median_center_robust_to_outlier(spark):
+    from gaia_spark.operators.stats import median_center
+
+    rows = [(1, 0.0, 0.0), (1, 0.001, 0.0), (1, -0.001, 0.0), (1, 50.0, 50.0)]
+    pts = spark.createDataFrame(rows, "g int, lat double, lon double")
+    out = median_center(pts, "g", iters=3).collect()[0]
+    # mean sits at ~(12.5, 12.5); the median walks toward the cluster
+    assert abs(out.mx_e6) < 3_000_000 and abs(out.my_e6) < 3_000_000
+
+
+def test_median_center_identical_points_keep_center(spark):
+    from gaia_spark.operators.stats import median_center
+
+    pts = spark.createDataFrame(
+        [(9, 4.25, -7.5)] * 5, "g int, lat double, lon double"
+    )
+    out = median_center(pts, "g", iters=3).collect()[0]
+    assert (out.mx_e6, out.my_e6) == (-7_500_000, 4_250_000)
+
+
+def test_median_center_partitioning_invariance(spark):
+    from gaia_spark.operators.stats import median_center
+    from gaia_spark.queries import customer_points
+
+    pts = customer_points(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, median_center(pts, "c_nationkey").collect()))
+    b = sorted(map(tuple, median_center(pts.repartition(11), "c_nationkey").collect()))
+    assert a == b
+
+
+def test_quadrat_closed_forms(spark):
+    from gaia_spark.operators.stats import quadrat_test
+
+    # 4 points in 4 distinct res-1 quadrats (m=4): ΣO²=4, chi² = (16-16)/4 = 0
+    pts = spark.createDataFrame(
+        [(-45.0, -90.0), (-45.0, 90.0), (45.0, -90.0), (45.0, 90.0)],
+        "lat double, lon double",
+    )
+    out = quadrat_test(pts, res=1).collect()[0]
+    assert (out.m_quadrats, out.n_points, out.sum_sq) == (4, 4, 4)
+    assert (out.chi2_e6, out.vmr_e6) == (0, 0)
+
+    # all 4 points in ONE quadrat: chi2 = (4*16 - 16)/4 = 12, vmr = 4
+    clustered = spark.createDataFrame(
+        [(10.0, 10.0), (11.0, 11.0), (12.0, 12.0), (13.0, 13.0)],
+        "lat double, lon double",
+    )
+    out = quadrat_test(clustered, res=1).collect()[0]
+    assert (out.chi2_e6, out.vmr_e6) == (12_000_000, 4_000_000)

@@ -101,3 +101,11 @@ def test_slope_aspect_vs_numpy_reference(spark):
         assert row.aspect_deg_e4 == int(
             math.floor(math.degrees(math.atan2(gy, gx)) * 1e4 + 0.5)
         )
+        c45 = math.sqrt(2) / 2
+        slope = math.atan(grad)
+        hs = 255.0 * max(
+            0.0,
+            c45 * math.cos(slope)
+            + c45 * math.sin(slope) * math.cos(7 * math.pi / 4 - math.atan2(gy, gx)),
+        )
+        assert row.hillshade_e2 == int(math.floor(hs * 1e2 + 0.5))

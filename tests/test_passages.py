@@ -81,3 +81,40 @@ def test_below_min_run_ignored(spark):
     short = " ".join(f"s{i}" for i in range(8))
     rows = [(1, "aa " + short), (2, short + " bb")]
     assert duplicate_passages(_docs(spark, rows), k=4, min_run=12).count() == 0
+
+
+def test_bpe_train_hand_computed(spark):
+    """Sennrich-style fixture: merges + counts hand-derivable, including
+    two lexicographic tie-breaks and the aaaa run-parity case."""
+    from gaia_spark.operators.dedup import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest widest"),
+         (2, "aaaa aaaa ab")],
+        "doc_id long, text string",
+    )
+    out = [(r.round, r.pa, r.pb, r.pair_count) for r in
+           bpe_train(df, n_merges=4).orderBy("round").collect()]
+    # r1: (a,a)=6 ties (w,e)=6, 'a' wins; r3: lo/ow/st all 5, 'l' wins
+    assert out == [(1, "a", "a", 6), (2, "w", "e", 6), (3, "l", "o", 5), (4, "s", "t", 5)]
+
+
+def test_bpe_train_run_parity_nonoverlap(spark):
+    """'aaaa' must merge to [aa, aa] (left-to-right non-overlapping), so
+    round 2's winning pair is (aa, aa) with count exactly 1."""
+    from gaia_spark.operators.dedup import bpe_train
+
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    out = [(r.round, r.pa, r.pb, r.pair_count) for r in
+           bpe_train(df, n_merges=2).orderBy("round").collect()]
+    assert out == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_bpe_train_partitioning_invariance(spark):
+    from gaia_spark.operators.dedup import bpe_train
+    from gaia_spark.queries import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(map(tuple, bpe_train(d, n_merges=2).collect()))
+    b = sorted(map(tuple, bpe_train(d.repartition(7), n_merges=2).collect()))
+    assert a == b
