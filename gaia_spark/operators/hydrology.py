@@ -1,0 +1,201 @@
+"""Raster hydrology: D8 flow direction, flow accumulation, watersheds.
+
+The terrain-flow family every raster GIS ships (GRASS r.watershed, ArcGIS
+Flow Direction / Flow Accumulation, `[R] SURVEY.md §2.J` RasterMathProcess
+terrain variants, beside :func:`gaia_spark.operators.raster.slope_aspect`).
+
+Scale + determinism design:
+
+- **Flow direction** reuses the focal scatter shape (each pixel contributes
+  its value to the 9 windows it neighbors — in-plan explode, ONE combinable
+  pivot aggregate, longitude wraps, no join, no Python). The D8 argmax is
+  EXACT-INTEGER: steepest descent compares drop/distance across orthogonal
+  (d=1) and diagonal (d=√2) neighbors, and for non-negative drops
+  Δo/1 > Δd/√2 ⟺ 2·Δo² > Δd² — so the winner is chosen by bigint
+  comparisons on e4-quantized values (< 2⁵² by construction), with the
+  fixed ESRI compass order (E,SE,S,SW,W,NW,N,NE → 1,2,4,8,16,32,64,128)
+  breaking exact ties. No float enters the decision ⇒ the graph is
+  bit-identical cross-engine and under any partitioning.
+- **Flow accumulation / watersheds** run on the resulting FUNCTIONAL graph
+  (strictly-downhill ⇒ acyclic). The transitive closure is built by path
+  doubling in the linear-output form: keep S_k(v) = f^(2^k)(v) (one row per
+  node, sinks self-absorbed) and the prefix set P_k = {(u, f^j(u)), j ≤ 2^k};
+  then P_{k+1} = P_k ∪ (S_k ⋈ P_k) — intermediate row count equals the
+  OUTPUT closure size (never the Σ|path|² blowup of naive R∘R), and the
+  loop converges in ⌈log₂ max-path⌉ rounds with `iter_checkpoint` lineage
+  cuts. acc(v) = in-count of the closure; basin(v) = the absorbed S(v).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gaia_spark.functions import portable
+from gaia_spark.synth import TILE_PX
+
+# (compass, dr, dc, esri_code, slope-square multiplier: 2 orthogonal / 1 diagonal)
+D8 = [
+    ("e", 0, 1, 1, 2),
+    ("se", 1, 1, 2, 1),
+    ("s", 1, 0, 4, 2),
+    ("sw", 1, -1, 8, 1),
+    ("w", 0, -1, 16, 2),
+    ("nw", -1, -1, 32, 1),
+    ("n", -1, 0, 64, 2),
+    ("ne", -1, 1, 128, 1),
+]
+
+
+def d8_key_sql(name: str) -> str:
+    """Squared-slope ranking key for one neighbor over columns ``v_c`` /
+    ``v_<name>`` (e4 bigints): 2Δ² (orthogonal) or Δ² (diagonal) when the
+    drop is strictly positive, −1 otherwise — exact bigint arithmetic."""
+    mult = next(m for nm, _, _, _, m in D8 if nm == name)
+    d = f"(v_c - v_{name})"
+    return f"(CASE WHEN v_c > v_{name} THEN {mult} * {d} * {d} ELSE cast(-1 as bigint) END)"
+
+
+def d8_dir_sql(dialect: str) -> str:
+    """ESRI D8 code over the key columns ``k_e .. k_ne``: 0 for pits/flats,
+    else the first compass (fixed priority order) attaining the maximum.
+    first-index-of-max does the priority tie-break in ONE compact
+    expression — the naive ``CASE WHEN k = greatest(8 keys)`` chain inlines
+    to ~72 nested CASEs and blows janino's 64 KB method limit (observed:
+    whole-stage codegen fallback on the zoom-2 grid). Dialect twins (array
+    vs list builtins) compare the SAME exact-integer key columns, so the
+    result is engine-identical."""
+    codes = ", ".join(str(code) for _, _, _, code, _ in D8)
+    ks = ", ".join(f"k_{nm}" for nm, *_ in D8)
+    if dialect == portable.SPARK:
+        return (
+            f"(CASE WHEN array_max(array({ks})) <= 0 THEN 0 "
+            f"ELSE element_at(array({codes}), "
+            f"cast(array_position(array({ks}), array_max(array({ks}))) as int)) END)"
+        )
+    return (
+        f"(CASE WHEN list_max([{ks}]) <= 0 THEN 0 "
+        f"ELSE ([{codes}])[list_position([{ks}], list_max([{ks}]))] END)"
+    )
+
+
+def d8_step_sql(axis: int) -> str:
+    """dr (axis=0) / dc (axis=1) decoded from the ESRI ``dir`` code."""
+    pairs = " ".join(
+        f"WHEN dir = {code} THEN {dr if axis == 0 else dc}"
+        for _, dr, dc, code, _ in D8
+    )
+    return f"(CASE {pairs} ELSE 0 END)"
+
+
+def flow_direction(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
+    """D8 steepest-descent direction per INTERIOR pixel of the global grid
+    (all 8 neighbors present; poles excluded, longitude wraps). Returns
+    (r, c, dir) with dir ∈ {0 (pit/flat), 1, 2, 4, …, 128}."""
+    from gaia_spark.operators.raster import pixels_of
+
+    n_px = TILE_PX * (1 << zoom)
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    decoded = px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(portable.floor_scaled_sql("v", 4)).alias("v_e4"),
+    )
+    scat = (
+        decoded.withColumn("_dr", F.explode(F.expr("array(-1, 0, 1)")))
+        .withColumn("_dc", F.explode(F.expr("array(-1, 0, 1)")))
+        .select(
+            (F.col("r") + F.col("_dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("_dc"), F.lit(n_px)).alias("tc"),
+            # source sits at offset (-_dr, -_dc) from the target window
+            (-F.col("_dr")).alias("_or"),
+            (-F.col("_dc")).alias("_oc"),
+            "v_e4",
+        )
+        .where((F.col("tr") >= 0) & (F.col("tr") < n_px))
+    )
+    win = scat.groupBy(F.col("tr").alias("r"), F.col("tc").alias("c")).agg(
+        F.count("*").alias("_n"),
+        F.max(F.when((F.col("_or") == 0) & (F.col("_oc") == 0), F.col("v_e4"))).alias("v_c"),
+        *[
+            F.max(
+                F.when((F.col("_or") == dr) & (F.col("_oc") == dc), F.col("v_e4"))
+            ).alias(f"v_{nm}")
+            for nm, dr, dc, _, _ in D8
+        ],
+    )
+    keys = win.where(F.col("_n") == 9).select(
+        "r", "c", *[F.expr(d8_key_sql(nm)).alias(f"k_{nm}") for nm, *_ in D8]
+    )
+    return keys.select("r", "c", F.expr(d8_dir_sql(portable.SPARK)).cast("int").alias("dir"))
+
+
+def flow_accumulation(
+    dirs: DataFrame, zoom: int, max_rounds: int = 17, reliable: bool = False
+) -> DataFrame:
+    """Upstream contributing-cell count + watershed basin per pixel of a
+    :func:`flow_direction` output: acc = |{u ≠ v : v on u's flow path}|,
+    basin = the path's terminal sink (a pit, or a pixel whose D8 target
+    left the interior grid). Path-doubling closure — see module docstring;
+    converges (early exit) when the closure stops growing, ≤ ``max_rounds``
+    rounds ≥ ⌈log₂ max-path-length⌉. Returns (r, c, acc, basin)."""
+    from gaia_spark.session import iter_checkpoint
+
+    n_px = TILE_PX * (1 << zoom)
+    # materialize the node table once: four downstream consumers (targets,
+    # edge semi-join, sink anti-join, final join) would otherwise each
+    # replay the full flow_direction plan (pixels_of + pivot + argmax)
+    nodes = iter_checkpoint(
+        dirs.select((F.col("r") * n_px + F.col("c")).alias("v"), "r", "c", "dir"),
+        reliable=reliable,
+    )
+    tgt = nodes.where(F.col("dir") > 0).select(
+        "v",
+        (
+            (F.col("r") + F.expr(d8_step_sql(0))) * n_px
+            + F.pmod(F.col("c") + F.expr(d8_step_sql(1)), F.lit(n_px))
+        ).alias("nxt"),
+    )
+    # flow leaving the interior grid terminates: keep edges inside the node set
+    edges = tgt.join(
+        nodes.select(F.col("v").alias("nxt")), "nxt", "left_semi"
+    ).select("v", "nxt")
+    sinks = nodes.select("v").join(edges.select("v"), "v", "left_anti")
+    s = edges.unionByName(sinks.withColumn("nxt", F.col("v")))
+    p = iter_checkpoint(edges, reliable=reliable)
+    n_p = p.count()
+    for _ in range(max_rounds):
+        # S is one row per NODE (bounded); P is the growing closure. Always
+        # broadcast S — without the hint AQE happily broadcasts a
+        # tens-of-MB P (it is under the threshold) and the per-round
+        # blockify of the closure OOMs a small driver.
+        hop = (
+            F.broadcast(s.alias("s"))
+            .join(p.alias("p"), F.col("s.nxt") == F.col("p.v"))
+            .select(F.col("s.v").alias("v"), F.col("p.nxt").alias("nxt"))
+        )
+        p2 = iter_checkpoint(p.unionByName(hop).distinct(), reliable=reliable)
+        s = iter_checkpoint(
+            s.alias("a")
+            .join(F.broadcast(s.alias("b")), F.col("a.nxt") == F.col("b.v"))
+            .select(F.col("a.v").alias("v"), F.col("b.nxt").alias("nxt")),
+            reliable=reliable,
+        )
+        n_p2 = p2.count()
+        p = p2
+        if n_p2 == n_p:
+            break
+        n_p = n_p2
+    acc = p.groupBy(F.col("nxt").alias("v")).agg(F.count("*").cast("long").alias("acc"))
+    return (
+        nodes.select("v", "r", "c")
+        .join(acc, "v", "left")
+        .join(s.withColumnRenamed("nxt", "basin"), "v")
+        .select("r", "c", F.coalesce("acc", F.lit(0)).cast("long").alias("acc"), "basin")
+    )

@@ -927,3 +927,106 @@ def quadrat_test(
             portable.floor_scaled_sql(f"({chi2}) / cast({m - 1} as double)", 6)
         ).alias("vmr_e6"),
     )
+
+
+def emerging_hotspots(
+    values: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    cell_col: str = "cell",
+    bucket_col: str = "b",
+    value_col: str = "x",
+) -> DataFrame:
+    """Emerging-hot-spot analysis (the ESRI space-time-cube composite):
+    Getis-Ord G*ᵢ per time bucket over the densified (cell × bucket)
+    grid, then a Mann-Kendall trend on each cell's G* z-SERIES, combined
+    into a category (intensifying/emerging × hot/cold).
+
+    Determinism: every distributed sum is integer-exact (counts, and the
+    binary-weight neighbor lags of counts), per-bucket scalars broadcast,
+    G* z quantizes to e6 BEFORE the trend test (undefined G* — constant
+    bucket — coalesces to the neutral 0, documented), and the MK stage
+    inherits :func:`mann_kendall`'s exact integers. The hot/cold side
+    comes from the exact bigint SUM of the quantized z-series (same sign
+    as the mean, no integer division — Spark ``div`` truncates while
+    DuckDB ``//`` floors on negatives). Plan: one densify join + one
+    adjacency join + one (bucket) scalar agg + the MK sweep — all
+    bounded by cells × buckets.
+
+    Returns (cell, s_stat, var18, z_e4, trend, sum_gz_e6, category)."""
+    n = n_buckets
+    grid = (
+        values.select(cell_col).distinct()
+        .select(F.col(cell_col), F.explode(F.expr(f"sequence(0, {n - 1})")).alias("_b"))
+    )
+    x = values.select(
+        F.col(cell_col), F.col(bucket_col).alias("_b"), F.col(value_col).cast("long").alias("_x")
+    )
+    dense = grid.join(x, [cell_col, "_b"], "left").select(
+        cell_col, "_b", F.coalesce("_x", F.lit(0)).alias("_x")
+    )
+    scal = dense.groupBy("_b").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sx2"),
+    )
+    xj = dense.select(
+        F.col(cell_col).alias("neighbor"), "_b", F.col("_x").alias("_xj")
+    )
+    nbr = (
+        weights.join(xj, "neighbor")
+        .groupBy(cell_col, "_b")
+        .agg(
+            F.sum("_xj").cast("long").alias("_nlag"),
+            F.count("*").cast("long").alias("_nw"),
+        )
+    )
+    z6 = (
+        dense.join(nbr, [cell_col, "_b"], "left")
+        .join(F.broadcast(scal), "_b")
+        .select(
+            cell_col,
+            "_b",
+            (F.col("_x") + F.coalesce(F.col("_nlag"), F.lit(0)).cast("double")).alias("lagv"),
+            (F.lit(1.0) + F.coalesce(F.col("_nw"), F.lit(0)).cast("double")).alias("wi"),
+            "_n", "_sx", "_sx2",
+        )
+        .select(
+            cell_col,
+            "_b",
+            F.expr(portable.floor_scaled_sql(ehs_gz_sql(), 6)).alias("gz_e6"),
+        )
+    )
+    mk = mann_kendall(z6, n, key_col=cell_col, bucket_col="_b", value_col="gz_e6")
+    mg = z6.groupBy(cell_col).agg(F.sum("gz_e6").cast("long").alias("sum_gz_e6"))
+    return mk.join(mg, cell_col).withColumn(
+        "category", F.expr(ehs_category_sql())
+    )
+
+
+def ehs_gz_sql() -> str:
+    """The shared (Spark == DuckDB) G*ᵢ z-score expression over columns
+    ``lagv`` (x_i + Σ neighbor x, double), ``wi`` (1 + neighbor count,
+    double) and the per-bucket scalars ``_n``/``_sx``/``_sx2`` (exact
+    bigints): identical IEEE operation tree on exact-integer inputs ⇒
+    bit-identical doubles cross-engine. Guarded NULL-free: undefined G*
+    (singleton bucket, saturated Wᵢ, constant values) is the neutral 0."""
+    mean = "(cast(_sx as double) / cast(_n as double))"
+    s = f"sqrt(cast(_sx2 as double) / cast(_n as double) - ({mean}) * ({mean}))"
+    den = f"(({s}) * sqrt((cast(_n as double) * wi - wi * wi) / (cast(_n as double) - 1)))"
+    return (
+        f"CASE WHEN _n > 1 AND wi < cast(_n as double) AND ({den}) > 0 "
+        f"THEN (lagv - ({mean}) * wi) / ({den}) ELSE cast(0 as double) END"
+    )
+
+
+def ehs_category_sql() -> str:
+    """ESRI-style composite label from the MK ``trend`` and the exact
+    z-series sum — shared verbatim by the operator and the oracle."""
+    return (
+        "CASE WHEN trend = 'increasing' AND sum_gz_e6 > 0 THEN 'intensifying hot' "
+        "WHEN trend = 'increasing' THEN 'emerging hot' "
+        "WHEN trend = 'decreasing' AND sum_gz_e6 < 0 THEN 'intensifying cold' "
+        "WHEN trend = 'decreasing' THEN 'emerging cold' "
+        "ELSE 'no pattern' END"
+    )

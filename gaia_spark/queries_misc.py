@@ -1761,3 +1761,280 @@ def q_quadrat_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.operators.stats import quadrat_test
 
     return quadrat_test(customer_points(spark, sf_dir), res=5)
+
+
+# --- emerging hot spots (space-time cube) --------------------------------------
+
+_EHS_N = 10  # ten 3-day buckets over the 30-day events span
+
+
+def _ehs_oracle() -> str:
+    from gaia_spark.operators.stats import ehs_category_sql, ehs_gz_sql
+
+    lat, lon = P.key_lat_sql("user_id"), P.key_lon_sql("user_id")
+    n = 16  # res-4 grid side
+    day = "date_diff('day', DATE '2024-01-01', cast(ts as date))"
+    base = _EHS_N * (_EHS_N - 1) * (2 * _EHS_N + 5)
+    mkz = (
+        "CASE WHEN s_stat = 0 OR var18 = 0 THEN cast(0 as double) "
+        "ELSE cast(s_stat - (CASE WHEN s_stat > 0 THEN 1 ELSE -1 END) as double) "
+        "* sqrt(cast(18 as double)) / sqrt(cast(var18 as double)) END"
+    )
+    x_, y_ = f"(cell % {n})", P.idiv_sql("cell", n)
+    return f"""
+    WITH up AS (SELECT {P.cell_id_sql(lat, lon, 4)} AS cell,
+                       {P.idiv_sql(day, 3)} AS b FROM events),
+    x AS (SELECT cell, b, cast(count(*) as bigint) AS x FROM up GROUP BY 1, 2),
+    cells AS (SELECT DISTINCT cell FROM x),
+    grid AS (SELECT cell, gs.b FROM cells
+             CROSS JOIN generate_series(0, {_EHS_N - 1}) gs(b)),
+    dense AS (SELECT g.cell, g.b, coalesce(x.x, 0) AS _x
+              FROM grid g LEFT JOIN x ON g.cell = x.cell AND g.b = x.b),
+    nbr4 AS (
+      SELECT cell, {y_} * {n} + (({x_}) + 1) % {n} AS neighbor FROM cells
+      UNION ALL SELECT cell, {y_} * {n} + (({x_}) + {n - 1}) % {n} FROM cells
+      UNION ALL SELECT cell, cell + {n} FROM cells WHERE {y_} + 1 < {n}
+      UNION ALL SELECT cell, cell - {n} FROM cells WHERE {y_} - 1 >= 0),
+    w AS (SELECT nbr4.cell, nbr4.neighbor FROM nbr4
+          JOIN cells c ON nbr4.neighbor = c.cell),
+    scal AS (SELECT b, cast(count(*) as bigint) AS _n,
+                    cast(sum(_x) as bigint) AS _sx,
+                    cast(sum(_x * _x) as bigint) AS _sx2
+             FROM dense GROUP BY b),
+    nbr AS (SELECT w.cell, d.b, cast(sum(d._x) as bigint) AS _nlag,
+                   cast(count(*) as bigint) AS _nw
+            FROM w JOIN dense d ON w.neighbor = d.cell GROUP BY 1, 2),
+    zin AS (SELECT d.cell, d.b,
+                   cast(d._x as double) + cast(coalesce(nbr._nlag, 0) as double) AS lagv,
+                   cast(1 as double) + cast(coalesce(nbr._nw, 0) as double) AS wi,
+                   s._n AS _n, s._sx AS _sx, s._sx2 AS _sx2
+            FROM dense d LEFT JOIN nbr ON d.cell = nbr.cell AND d.b = nbr.b
+            JOIN scal s ON d.b = s.b),
+    z AS (SELECT cell, b, {P.floor_scaled_sql(ehs_gz_sql(), 6)} AS gz FROM zin),
+    s AS (SELECT a.cell, cast(sum(sign(j.gz - a.gz)) as bigint) AS s_stat
+          FROM z a JOIN z j ON a.cell = j.cell AND a.b < j.b GROUP BY 1),
+    ties AS (SELECT cell, cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) AS _tie
+             FROM (SELECT cell, gz, count(*) AS t FROM z GROUP BY 1, 2) GROUP BY 1),
+    mk AS (SELECT s.cell, s_stat, {base} - _tie AS var18
+           FROM s JOIN ties USING (cell)),
+    mk2 AS (SELECT cell, s_stat, var18, {P.floor_scaled_sql(mkz, 4)} AS z_e4 FROM mk),
+    mk3 AS (SELECT cell, s_stat, var18, z_e4,
+                   CASE WHEN z_e4 >= 19600 THEN 'increasing'
+                        WHEN z_e4 <= -19600 THEN 'decreasing'
+                        ELSE 'no trend' END AS trend FROM mk2),
+    mg AS (SELECT cell, cast(sum(gz) as bigint) AS sum_gz_e6 FROM z GROUP BY 1)
+    SELECT mk3.cell, s_stat, var18, z_e4, trend, sum_gz_e6,
+           {ehs_category_sql()} AS category
+    FROM mk3 JOIN mg ON mk3.cell = mg.cell
+    """
+
+
+@register("q_emerging_hotspots", _ehs_oracle())
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hot-spot analysis (the ESRI space-time-cube composite):
+    per-bucket Getis-Ord G*i over rook-adjacent res-4 cells x ten 3-day
+    event buckets, Mann-Kendall trend on each cell's quantized z-series,
+    category from (trend x exact z-sum sign). The oracle replays the full
+    chain: densify, rook adjacency, per-bucket scalars, the shared G*
+    expression, the MK sweep and the category CASE."""
+    from gaia_spark.operators.stats import cell_rook_weights, emerging_hotspots
+
+    e = load(spark, sf_dir, "events")
+    day = "datediff(cast(ts as date), date'2024-01-01')"
+    up = e.select(
+        F.expr(
+            P.cell_id_sql(P.key_lat_sql("user_id"), P.key_lon_sql("user_id"), 4)
+        ).alias("cell"),
+        F.expr(P.idiv_sql(day, 3)).alias("b"),
+    )
+    x = up.groupBy("cell", "b").agg(F.count("*").cast("long").alias("x"))
+    w = cell_rook_weights(x, res=4)
+    return emerging_hotspots(x, w, n_buckets=_EHS_N)
+
+
+# --- D8 hydrology: flow direction / accumulation / watersheds ------------------
+
+def _d8_pivot_cte(n_t: int) -> str:
+    """Shared oracle CTE chain: rebuild the zoom's global pixel grid, scatter
+    each pixel onto its 9 windows, pivot to v_c/v_<compass>, rank with the
+    shared exact-integer D8 keys and decode the ESRI dir."""
+    from gaia_spark.operators.hydrology import D8, d8_dir_sql, d8_key_sql
+
+    px = 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    vcols = ", ".join(
+        f"max(CASE WHEN orr = {dr} AND occ = {dc} THEN v_e4 END) AS v_{nm}"
+        for nm, dr, dc, _, _ in D8
+    )
+    kcols = ", ".join(f"{d8_key_sql(nm)} AS k_{nm}" for nm, *_ in D8)
+    return f"""
+    g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                           generate_series(0, {n_px - 1}) t2(c)),
+    pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                   {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM pxg),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+    scat AS (SELECT r + dr AS tr, (c + dc + {n_px}) % {n_px} AS tc,
+                    -dr AS orr, -dc AS occ, v_e4
+             FROM pv CROSS JOIN offs
+             WHERE r + dr >= 0 AND r + dr < {n_px}),
+    win AS (SELECT tr, tc, count(*) AS _n,
+                   max(CASE WHEN orr = 0 AND occ = 0 THEN v_e4 END) AS v_c,
+                   {vcols}
+            FROM scat GROUP BY tr, tc),
+    kk AS (SELECT cast(tr as bigint) AS r, cast(tc as bigint) AS c, {kcols}
+           FROM win WHERE _n = 9),
+    dd AS (SELECT r, c, cast({d8_dir_sql(P.DUCK)} as int) AS dir FROM kk)
+    """
+
+
+@register(
+    "q_flow_dir",
+    f"WITH {_d8_pivot_cte(4)} SELECT r, c, dir FROM dd",
+)
+def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 steepest-descent flow direction over the zoom-2 global pixel grid
+    of the analytic surface: the argmax is pure bigint arithmetic
+    (2*d_orth^2 vs d_diag^2 slope comparison, fixed ESRI tie order), so
+    Spark's scatter-pivot plan and the oracle's VALUES replay agree
+    bit-for-bit."""
+    from gaia_spark.operators.hydrology import flow_direction
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(2,), bands=(0,))
+    return flow_direction(raster, zoom=2)
+
+
+def _flow_accum_oracle() -> str:
+    from gaia_spark.operators.hydrology import d8_step_sql
+
+    n_px = 4 * 64
+    return f"""
+    WITH RECURSIVE {_d8_pivot_cte(4)},
+    nodes AS (SELECT r * {n_px} + c AS v, r, c, dir FROM dd),
+    tgt AS (SELECT v, (r + {d8_step_sql(0)}) * {n_px}
+                      + ((c + {d8_step_sql(1)} + {n_px}) % {n_px}) AS nxt
+            FROM nodes WHERE dir > 0),
+    edges AS (SELECT t.v, t.nxt FROM tgt t JOIN nodes n ON t.nxt = n.v),
+    reach(u, x) AS (
+      SELECT v, nxt FROM edges
+      UNION
+      SELECT r.u, e.nxt FROM reach r JOIN edges e ON r.x = e.v
+    ),
+    acc AS (SELECT x AS v, cast(count(*) as bigint) AS acc FROM reach GROUP BY 1),
+    term AS (SELECT r.u, r.x FROM reach r LEFT JOIN edges e ON r.x = e.v
+             WHERE e.v IS NULL)
+    SELECT n.r, n.c, coalesce(a.acc, 0) AS acc, coalesce(t.x, n.v) AS basin
+    FROM nodes n LEFT JOIN acc a ON n.v = a.v LEFT JOIN term t ON n.v = t.u
+    """
+
+
+@register("q_flow_accum", _flow_accum_oracle())
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow accumulation + watershed basin over the zoom-2 D8 graph:
+    upstream contributing-cell count and terminal sink per pixel. The
+    engine builds the transitive closure by linear-output path doubling
+    (S_k successor table + prefix-set join, log2(max path) rounds); the
+    oracle replays it as ONE recursive CTE over the same shared-SQL edge
+    set."""
+    from gaia_spark.operators.hydrology import flow_accumulation, flow_direction
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(2,), bands=(0,))
+    return flow_accumulation(flow_direction(raster, zoom=2), zoom=2)
+
+
+# --- deterministic k-means document clustering ----------------------------------
+
+def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
+    from gaia_spark.operators.clustering import KM_OFF
+
+    h = P.md5_int60("cast(vec_id as string)", P.DUCK)
+    parts = [
+        f"""pts AS (SELECT vec_id, i,
+           cast(floor(cast(embedding[i] as double) * 1000000 + 0.5) as bigint) AS xv
+           FROM embeddings, generate_series(1, {dim}) g(i)),
+    seeds AS (SELECT vec_id, cast(row_number() OVER (ORDER BY _h, vec_id) - 1 as int) AS cid
+              FROM (SELECT vec_id, {h} AS _h FROM embeddings)
+              ORDER BY _h, vec_id LIMIT {k}),
+    c0 AS (SELECT s.cid, p.i, p.xv AS cv FROM seeds s JOIN pts p USING (vec_id))"""
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS (SELECT p.vec_id, c.cid,
+             cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
+             FROM pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2),
+    s{r} AS (SELECT vec_id, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+              FROM a{r}) WHERE rn = 1),
+    c{r} AS (SELECT s.cid, p.i,
+             cast(((sum(p.xv) + count(*) * {KM_OFF}) // count(*)) - {KM_OFF} as bigint) AS cv
+             FROM s{r} s JOIN pts p USING (vec_id) GROUP BY 1, 2)"""
+        )
+        prev = f"c{r}"
+    fr = rounds + 1
+    parts.append(
+        f"""a{fr} AS (SELECT p.vec_id, c.cid,
+              cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
+              FROM pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2)
+    SELECT vec_id, cid, d AS dist_e12 FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a{fr})
+    WHERE rn = 1"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@register("q_kmeans_docs", _kmeans_oracle())
+def q_kmeans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table (k=8, three
+    rounds from md5-ordered seeds): exact-integer argmin assignment +
+    offset-floor-div recentering make every iteration value-hash
+    checkable; the oracle chains the identical rounds as CTEs."""
+    from gaia_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(load(spark, sf_dir, "embeddings"), k=8, n_rounds=3)
+
+
+# --- Bloom-filter shard membership ----------------------------------------------
+
+def _bloom_oracle() -> str:
+    from gaia_spark.operators.sketch import BLOOM_K, BLOOM_WORDS, bloom_pos_sql
+
+    pos = bloom_pos_sql("it", "_j", P.DUCK, BLOOM_WORDS)
+    word = P.idiv_sql(pos, 32)
+    mask = f"(cast(1 as bigint) << cast(({pos}) % 32 as int))"
+    return f"""
+    WITH items AS (SELECT md5(text) AS it FROM documents WHERE doc_id % 3 = 0),
+    bb AS (SELECT {word} AS word, cast(bit_or({mask}) as bigint) AS bits
+           FROM items, generate_series(0, {BLOOM_K - 1}) g(_j) GROUP BY 1),
+    probe AS (SELECT doc_id, md5(text) AS it FROM documents),
+    pr AS (SELECT doc_id, it, {word} AS word, {mask} AS m
+           FROM probe, generate_series(0, {BLOOM_K - 1}) g(_j)),
+    h AS (SELECT pr.doc_id, pr.it,
+                 CASE WHEN b.bits IS NOT NULL AND (b.bits & pr.m) = pr.m
+                      THEN 1 ELSE 0 END AS hit
+          FROM pr LEFT JOIN bb b USING (word))
+    SELECT doc_id, it, cast(sum(hit) as bigint) AS n_hits,
+           cast(CASE WHEN sum(hit) = {BLOOM_K} THEN 1 ELSE 0 END as int) AS member
+    FROM h GROUP BY 1, 2
+    """
+
+
+@register("q_bloom_crawled", _bloom_oracle())
+def q_bloom_crawled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter shard-membership scan (the 'already crawled?' /
+    decontamination probe): build a 131,072-bit md5-hash Bloom sketch over
+    the fingerprints of the doc_id%3==0 shard, probe EVERY document
+    against the broadcast sketch. One-sided and deterministic — both
+    engines see the identical bit pattern, so even false positives
+    hash-match."""
+    from gaia_spark.operators.sketch import bloom_build, bloom_contains
+
+    docs = load(spark, sf_dir, "documents")
+    items = docs.where("doc_id % 3 = 0").select(F.expr("md5(text)").alias("it"))
+    probes = docs.select("doc_id", F.expr("md5(text)").alias("it"))
+    return bloom_contains(bloom_build(items, "it"), probes, "it")

@@ -190,3 +190,57 @@ def test_quadrat_closed_forms(spark):
     )
     out = quadrat_test(clustered, res=1).collect()[0]
     assert (out.chi2_e6, out.vmr_e6) == (12_000_000, 4_000_000)
+
+
+def test_emerging_hotspots_closed_form(spark):
+    import math
+
+    from gaia_spark.operators.stats import emerging_hotspots
+
+    # path graph 0 - 1 - 2; hotspot emerges at cell 0 from bucket 5 on.
+    # Per active bucket b >= 5: values (b, 0, 0), mean b/3, S = b*sqrt(2)/3:
+    #   cell 0 (wi=2): gz = (b/3) / (S*1)  = 1/sqrt(2)   (scale-free)
+    #   cell 1 (wi=3): gz = (b - b) / den  = 0
+    #   cell 2 (wi=2): gz = -(2b/3) / S    = -sqrt(2)
+    # so each gz series is five 0s then five equal values: S = +-25,
+    # var18 = 2250 - 2*5*4*15 = 1650, z = 24*sqrt(18)/sqrt(1650) = 2.5…
+    vals = spark.createDataFrame(
+        [(0, b, b) for b in range(5, 10)], "cell long, b int, x long"
+    )
+    w = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "cell long, neighbor long"
+    )
+    grid = spark.createDataFrame([(0,), (1,), (2,)], "cell long")
+    out = {
+        r.cell: r
+        for r in emerging_hotspots(
+            vals.unionByName(grid.selectExpr("cell", "0 as b", "0 as x")),
+            w,
+            n_buckets=10,
+        ).collect()
+    }
+    z = int(math.floor(24 * math.sqrt(18) / math.sqrt(1650) * 1e4 + 0.5))
+    assert (out[0].s_stat, out[0].var18, out[0].z_e4) == (25, 1650, z)
+    assert (out[0].trend, out[0].category) == ("increasing", "intensifying hot")
+    assert out[0].sum_gz_e6 == 5 * 707107
+    assert (out[1].s_stat, out[1].var18, out[1].z_e4) == (0, 0, 0)
+    assert (out[1].trend, out[1].category) == ("no trend", "no pattern")
+    assert (out[2].s_stat, out[2].var18, out[2].z_e4) == (-25, 1650, -z)
+    assert (out[2].trend, out[2].category) == ("decreasing", "intensifying cold")
+    assert out[2].sum_gz_e6 == 5 * -1414214
+
+
+def test_emerging_hotspots_partitioning_invariance(spark):
+    from gaia_spark.operators.stats import cell_rook_weights, emerging_hotspots
+
+    rows = [
+        ((c % 16) + 16 * (c % 13), b, (c * 7 + b * b) % 5)
+        for c in range(40)
+        for b in range(10)
+        if (c + b) % 3
+    ]
+    df = spark.createDataFrame(rows, "cell long, b int, x long").distinct()
+    w = cell_rook_weights(df, res=4)
+    a = sorted(map(tuple, emerging_hotspots(df, w, 10).collect()))
+    b = sorted(map(tuple, emerging_hotspots(df.repartition(9), w, 10).collect()))
+    assert a == b

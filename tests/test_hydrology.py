@@ -1,0 +1,107 @@
+"""D8 flow direction / accumulation / watersheds vs an independent numpy
+reference and hand-built closed-form graphs."""
+
+import numpy as np
+import pytest
+
+from gaia_spark.operators.hydrology import D8, flow_accumulation, flow_direction
+from gaia_spark.synth import TILE_PX
+
+
+def _numpy_d8(v_e4: np.ndarray) -> np.ndarray:
+    """Reference D8 on an (n, n) int64 grid, longitude-wrapped columns,
+    interior rows only; same exact-integer ranking and ESRI tie order."""
+    n = v_e4.shape[0]
+    dirs = np.zeros((n, n), dtype=np.int64)
+    for r in range(1, n - 1):
+        for c in range(n):
+            best, bdir = 0, 0
+            for _, dr, dc, code, mult in D8:
+                d = v_e4[r, c] - v_e4[r + dr, (c + dc) % n]
+                key = mult * d * d if d > 0 else -1
+                if key > best:
+                    best, bdir = key, code
+            dirs[r, c] = bdir
+    return dirs
+
+
+def _raster_from_grid(spark, grid: np.ndarray):
+    """Wrap one 64x64 value grid as a zoom-0 single-tile raster DF."""
+    assert grid.shape == (TILE_PX, TILE_PX)
+    px = grid.astype(np.float32).ravel().tolist()
+    return spark.createDataFrame(
+        [(0, 0, 0, 0, px)], "zoom int, x int, y int, band int, px array<float>"
+    )
+
+
+def test_flow_direction_matches_numpy_reference(spark):
+    rng = np.arange(TILE_PX, dtype=np.float64)
+    gy, gx = np.meshgrid(rng, rng, indexing="ij")
+    # bumpy deterministic surface with pits, ridges and exact plateaus
+    v = (
+        np.maximum(np.abs(gy - 31.0), np.abs(gx - 31.0))  # chebyshev cone (ties!)
+        + 3.0 * np.sin(gy / 5.0) * np.cos(gx / 7.0)
+    )
+    v_e4 = np.floor(v.astype(np.float32).astype(np.float64) * 1e4 + 0.5).astype(np.int64)
+    out = flow_direction(_raster_from_grid(spark, v), zoom=0).collect()
+    got = {(r.r, r.c): r.dir for r in out}
+    exp = _numpy_d8(v_e4)
+    assert set(got) == {(r, c) for r in range(1, TILE_PX - 1) for c in range(TILE_PX)}
+    mism = [(k, got[k], int(exp[k])) for k in got if got[k] != exp[k]]
+    assert mism == []
+
+
+def test_flow_accumulation_closed_form_chain(spark):
+    # (1,1) -E-> (1,2) -E-> (1,3) pit ;  (0,3) -S-> (1,3)
+    dirs = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 1), (1, 3, 0), (0, 3, 4)], "r int, c int, dir int"
+    )
+    out = {(r.r, r.c): r for r in flow_accumulation(dirs, zoom=0).collect()}
+    n = TILE_PX
+    pit = 1 * n + 3
+    assert out[(1, 1)].acc == 0 and out[(1, 1)].basin == pit
+    assert out[(1, 2)].acc == 1 and out[(1, 2)].basin == pit
+    assert out[(0, 3)].acc == 0 and out[(0, 3)].basin == pit
+    assert out[(1, 3)].acc == 3 and out[(1, 3)].basin == pit
+
+
+def test_flow_accumulation_edge_leaving_grid_is_sink(spark):
+    # dir points north out of the node set: the source is its own basin
+    dirs = spark.createDataFrame([(5, 5, 64)], "r int, c int, dir int")
+    out = flow_accumulation(dirs, zoom=0).collect()
+    assert len(out) == 1
+    assert out[0].acc == 0 and out[0].basin == 5 * TILE_PX + 5
+
+
+def test_flow_accumulation_mass_and_wrap(spark):
+    # two parallel W-flowing chains crossing the antimeridian: c=1 -> 0 -> 63(pit)
+    rows = [(10, 1, 16), (10, 0, 16), (10, 63, 0), (11, 1, 16), (11, 0, 16), (11, 63, 0)]
+    dirs = spark.createDataFrame(rows, "r int, c int, dir int")
+    out = {(r.r, r.c): r for r in flow_accumulation(dirs, zoom=0).collect()}
+    for r in (10, 11):
+        assert out[(r, 63)].acc == 2 and out[(r, 63)].basin == r * TILE_PX + 63
+    # closure mass: sum of acc == number of (ancestor, node) pairs == 2+2+1+1? no:
+    # each chain contributes paths 1->0 (len1? ) ; total pairs = per chain:
+    # (1->0), (1->63), (0->63) = 3 -> acc sums to 3 per chain
+    assert sum(v.acc for v in out.values()) == 6
+
+
+def test_flow_direction_partitioning_invariance(spark):
+    rng = np.arange(TILE_PX, dtype=np.float64)
+    gy, gx = np.meshgrid(rng, rng, indexing="ij")
+    v = np.sin(gy / 3.0) * 10.0 + np.cos(gx / 4.0) * 7.0
+    df = _raster_from_grid(spark, v)
+    a = sorted(map(tuple, flow_direction(df, zoom=0).collect()))
+    b = sorted(map(tuple, flow_direction(df.repartition(7), zoom=0).collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize("code,dr,dc", [(1, 0, 1), (8, 1, -1), (64, -1, 0)])
+def test_d8_step_decode(spark, code, dr, dc):
+    from gaia_spark.operators.hydrology import d8_step_sql
+
+    row = spark.sql(
+        f"SELECT {d8_step_sql(0)} AS dr, {d8_step_sql(1)} AS dc "
+        f"FROM (SELECT {code} AS dir)"
+    ).collect()[0]
+    assert (row.dr, row.dc) == (dr, dc)
