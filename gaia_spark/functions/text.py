@@ -342,3 +342,82 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
             "nll_e2", F.expr("((-sum_logp_e4) div (n_tokens * 100))").cast("long")
         )
     )
+
+
+def bigram_pairs_sql(text: str, dialect: str) -> str:
+    """Adjacent word-pair structs over the whitespace token stream —
+    the bigram twin of :func:`shingles_sql`, kept as (w1, w2) fields so LM
+    counts can join on each side separately."""
+    a = P.split_ws(text, dialect)
+    if dialect == P.SPARK:
+        return (
+            f"transform(sequence(0, size({a}) - 2), "
+            f"i -> struct(element_at({a}, i + 1) AS w1, element_at({a}, i + 2) AS w2))"
+        )
+    return (
+        f"list_transform(range(1, len({a})), "
+        f"i -> struct_pack(w1 := {a}[i], w2 := {a}[i + 1]))"
+    )
+
+
+def bigram_logprob(train, score, id_col: str = "doc_id", text_col: str = "text"):
+    """Bigram language-model perplexity scoring with Stupid Backoff
+    (Brants et al. 2007): the held-out quality signal one tier above
+    :func:`unigram_logprob` (CCNet trains KenLM on one shard and scores
+    the rest — same split here). Per scored transition w1→w2:
+
+    - seen bigram:   lp = ln(C₂(w1,w2) / C₁(w1))
+    - unseen bigram: lp = ln(0.4 · (C₁(w2)+1) / (N+V))   (smoothed backoff)
+
+    Scale shape: bigram/unigram count tables are vocabulary-sized (two
+    combinable aggs over the training shard); scoring is two vocab joins +
+    one broadcast scalar + ONE per-doc agg. Per-transition log-probs
+    floor-quantize to e4 BEFORE the doc sum (the q_tfidf_top3 ln
+    precedent) and the mean NLL derives by exact non-negative bigint
+    division. Docs with < 2 words have no transitions and drop out
+    (documented). Returns (id, n_big, sum_lp_e4, nll_e4)."""
+    import pyspark.sql.functions as F
+
+    pair = bigram_pairs_sql(text_col, P.SPARK)
+    a = P.split_ws(text_col, P.SPARK)
+
+    def bigrams(df):
+        return (
+            df.where(F.expr(f"size({a}) >= 2"))
+            .select(F.col(id_col), F.explode(F.expr(pair)).alias("_b"))
+            .select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        )
+
+    c2 = bigrams(train).groupBy("w1", "w2").agg(F.count("*").cast("long").alias("_c2"))
+    c1 = (
+        train.select(F.explode(F.expr(a)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("_c1"))
+    )
+    scal = c1.agg(
+        F.sum("_c1").cast("long").alias("_N"), F.count("*").cast("long").alias("_V")
+    )
+    lp = (
+        "CASE WHEN _c2 IS NOT NULL THEN ln(cast(_c2 as double) / cast(_c1w1 as double)) "
+        "ELSE ln((cast(4 as double) / cast(10 as double)) "
+        "* cast(coalesce(_c1w2, 0) + 1 as double) / cast(_N + _V as double)) END"
+    )
+    scored = (
+        bigrams(score)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1.select(F.col("w").alias("w1"), F.col("_c1").alias("_c1w1")), "w1", "left")
+        .join(c1.select(F.col("w").alias("w2"), F.col("_c1").alias("_c1w2")), "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("_lp_e4", F.expr(P.floor_scaled_sql(lp, 4)))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_big"),
+            F.sum("_lp_e4").cast("long").alias("sum_lp_e4"),
+        )
+        .withColumn(
+            "nll_e4",
+            F.expr(P.bigint_div("(0 - sum_lp_e4)", "n_big", P.SPARK)).cast("long"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Deterministic k-means document clustering over embedding columns.
+
+The training-data-curation clustering step (corpus domain discovery,
+cluster-balanced sampling, SemDeDup-style cluster-then-dedup): Lloyd's
+algorithm made ENGINE-DETERMINISTIC so the full iteration is value-hash
+oracle-checkable, unlike the `pyspark.ml` KMeans behind
+:func:`gaia_spark.operators.simsearch.ivf_index` (seeded sampling +
+float-sum centroids — rows-only checkable).
+
+Determinism contract (the pagerank/median_center pattern):
+
+- embeddings quantize to e6 BIGINTS once, up front;
+- assignment is an EXACT integer argmin — Σ(xᵢ−cᵢ)² of e6 ints in int64
+  (|v| ≤ 2e3 ⇒ per-term ≤ 1.6e19? no: (4e9)²·… bounded: e6 of unit-scale
+  embeddings ≤ ~1e7, diff² ≤ 4e14, ×64 dims ≤ 2.6e16 < 2⁶³) with
+  (dist, cid) lexicographic tie-break;
+- recentering floor-divides exact bigint sums with a +OFF shift (Spark
+  ``div`` truncates, DuckDB ``//`` floors — equal on non-negatives), and
+  centers RE-QUANTIZE to e6 every round, absorbing any cross-engine
+  summation-order difference before it can compound.
+
+Scale shape: points persist once; per round ONE broadcast (k·dim bigint
+literals) map-side cross join + ONE combinable (id) argmin agg + ONE
+combinable (cid, dim) recenter agg. No driver collect, no Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from gaia_spark.functions import portable
+from gaia_spark.session import iter_checkpoint
+
+KM_OFF = 10**8  # recenter shift: > max |e6 coordinate|, keeps div == floor
+
+
+def _quantize(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        id_col,
+        F.expr(
+            f"transform({vec_col}, t -> cast(floor(cast(t as double) * 1000000 + 0.5)"
+            " as bigint))"
+        ).alias("x"),
+    )
+
+
+def _assign(pts: DataFrame, centers: DataFrame, id_col: str) -> DataFrame:
+    """Exact-integer nearest-center assignment: (id, cid, dist_e12)."""
+    d = (
+        "aggregate(zip_with(x, c, (p, q) -> (p - q) * (p - q)), "
+        "cast(0 as bigint), (acc, t) -> acc + t)"
+    )
+    return (
+        pts.crossJoin(F.broadcast(centers))
+        .withColumn("_d", F.expr(d))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("_d", "cid")).alias("_m"))
+        .select(id_col, F.col("_m.cid").alias("cid"), F.col("_m._d").alias("dist_e12"))
+    )
+
+
+def _recenter(assign: DataFrame, pts: DataFrame, id_col: str) -> DataFrame:
+    """Per-cluster per-dimension exact mean, re-quantized to e6 bigints."""
+    e = assign.join(pts, id_col).select(
+        "cid", F.posexplode("x").alias("pos", "_xv")
+    )
+    m = e.groupBy("cid", "pos").agg(
+        F.sum("_xv").cast("long").alias("_s"), F.count("*").cast("long").alias("_n")
+    )
+    cv = m.select(
+        "cid", "pos",
+        F.expr(f"((_s + _n * {KM_OFF}) div _n) - {KM_OFF}").alias("_cv"),
+    )
+    return cv.groupBy("cid").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, _cv))), t -> t._cv)")
+        .alias("c")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reliable: bool = False,
+) -> DataFrame:
+    """``n_rounds`` Lloyd's iterations from md5-ordered seeds (the k rows
+    with the smallest md5(id) — deterministic, engine-independent), then a
+    final assignment. A cluster that empties mid-run simply drops out (its
+    cid disappears; documented, mirrored exactly by the oracle). Returns
+    (id, cid, dist_e12) — dist in (e6)² integer units."""
+    pts = iter_checkpoint(_quantize(emb, id_col, vec_col), reliable=reliable)
+    h = portable.md5_int60(f"cast({id_col} as string)", portable.SPARK)
+    w = Window.orderBy("_h", id_col)
+    centers = (
+        pts.select(F.expr(h).alias("_h"), id_col, "x")
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("x").alias("c"))
+    )
+    for _ in range(n_rounds):
+        a = _assign(pts, centers, id_col)
+        centers = iter_checkpoint(_recenter(a, pts, id_col), reliable=reliable)
+    return _assign(pts, centers, id_col)

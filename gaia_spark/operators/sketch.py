@@ -158,3 +158,74 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.col("_used").alias("n_registers_used"),
         F.expr(P.floor_scaled_sql(est, 2)).alias("est_e2"),
     )
+
+
+# --- Bloom filter ---------------------------------------------------------------
+
+BLOOM_WORDS = 4096  # 4096 words x 32 bits = 131,072 bits
+BLOOM_K = 4
+
+
+def bloom_pos_sql(item: str, j: str, dialect: str, n_words: int = BLOOM_WORDS) -> str:
+    """Bit position of hash ``j`` for ``item`` in an ``n_words``×32-bit
+    filter — md5-derived, shared with the oracle."""
+    salted = f"'b' || cast({j} as string) || ':' || {item}"
+    return f"({P.md5_int60(salted, dialect)} % {n_words * 32})"
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    n_words: int = BLOOM_WORDS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build a Bloom-filter membership sketch: ``k`` md5 hash positions per
+    item OR-ed into 32-bit words. ONE in-plan explode + ONE combinable
+    bit_or agg; the sketch is ≤ ``n_words`` rows — constant-size,
+    mergeable (bit_or again), broadcastable. Words stay < 2³² (sign-safe
+    bigints). Returns (word, bits)."""
+    pos = bloom_pos_sql(item_col, "_j", P.SPARK, n_words)
+    return (
+        items.select(item_col)
+        .withColumn("_j", F.explode(F.expr(f"sequence(0, {k - 1})")))
+        .select(
+            F.expr(P.idiv_sql(pos, 32)).alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(({pos}) % 32 as int))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(_m)").cast("long").alias("bits"))
+    )
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    n_words: int = BLOOM_WORDS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe the sketch: member ⟺ all ``k`` bits set (one-sided — false
+    positives possible at the documented m/n rate, never false negatives;
+    both engines see the identical deterministic bit pattern). The sketch
+    rides as a broadcast. Returns the query rows + (n_hits, member)."""
+    pos = bloom_pos_sql(item_col, "_j", P.SPARK, n_words)
+    cols = queries.columns
+    probe = (
+        queries.withColumn("_j", F.explode(F.expr(f"sequence(0, {k - 1})")))
+        .select(
+            *cols,
+            F.expr(P.idiv_sql(pos, 32)).alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(({pos}) % 32 as int))").alias("_m"),
+        )
+    )
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("_m")) == F.col("_m")),
+        1,
+    ).otherwise(0)
+    return (
+        probe.join(F.broadcast(sketch), "word", "left")
+        .groupBy(*cols)
+        .agg(F.sum(hit).cast("long").alias("n_hits"))
+        .withColumn("member", (F.col("n_hits") == k).cast("int"))
+    )

@@ -1402,3 +1402,55 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(regs)
     exact = e.agg(F.countDistinct("user_id").cast("long").alias("exact_n"))
     return est.crossJoin(exact)
+
+
+# --- bigram LM holdout scoring ---------------------------------------------------
+
+
+def _bigram_lm_oracle() -> str:
+    from gaia_spark.functions import text as T
+
+    pairs = T.bigram_pairs_sql("text", P.DUCK)
+    a = P.split_ws("text", P.DUCK)
+    lp = (
+        "CASE WHEN _c2 IS NOT NULL THEN ln(cast(_c2 as double) / cast(_c1w1 as double)) "
+        "ELSE ln((cast(4 as double) / cast(10 as double)) "
+        "* cast(coalesce(_c1w2, 0) + 1 as double) / cast(_N + _V as double)) END"
+    )
+    return f"""
+    WITH trb AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM
+                 (SELECT unnest({pairs}) AS b FROM documents
+                  WHERE doc_id % 2 = 0 AND len({a}) >= 2)),
+    c2 AS (SELECT w1, w2, cast(count(*) as bigint) AS _c2 FROM trb GROUP BY 1, 2),
+    c1 AS (SELECT w, cast(count(*) as bigint) AS _c1 FROM
+           (SELECT unnest({a}) AS w FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+    scal AS (SELECT cast(sum(_c1) as bigint) AS _N, cast(count(*) as bigint) AS _V FROM c1),
+    scb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM
+            (SELECT doc_id, unnest({pairs}) AS b FROM documents
+             WHERE doc_id % 2 = 1 AND len({a}) >= 2)),
+    j AS (SELECT s.doc_id, {P.floor_scaled_sql(lp, 4)} AS _lp_e4
+          FROM scb s LEFT JOIN c2 USING (w1, w2)
+          LEFT JOIN (SELECT w AS w1, _c1 AS _c1w1 FROM c1) USING (w1)
+          LEFT JOIN (SELECT w AS w2, _c1 AS _c1w2 FROM c1) USING (w2)
+          CROSS JOIN scal),
+    agg AS (SELECT doc_id, cast(count(*) as bigint) AS n_big,
+                   cast(sum(_lp_e4) as bigint) AS sum_lp_e4
+            FROM j GROUP BY 1)
+    SELECT doc_id, n_big, sum_lp_e4,
+           cast({P.bigint_div('(0 - sum_lp_e4)', 'n_big', P.DUCK)} as bigint) AS nll_e4
+    FROM agg
+    """
+
+
+@register("q_bigram_lm", _bigram_lm_oracle())
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff LM scoring, CCNet-style shard split: train
+    counts on the even-doc_id half, score every odd-doc_id document's
+    transitions (seen: ln(C2/C1); unseen: smoothed unigram backoff).
+    Per-transition log-probs e4-quantized before the exact doc sum."""
+    from gaia_spark.functions.text import bigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    )

@@ -29,3 +29,37 @@ def test_repetition_every_doc_represented(spark):
     texts = ["one"] * 3 + ["two words here"] * 2
     out = _run(spark, texts)
     assert len(out) == 5
+
+
+def test_bigram_lm_closed_form(spark):
+    import math
+
+    from gaia_spark.functions.text import bigram_logprob
+
+    train = spark.createDataFrame(
+        [(0, "a b a c"), (2, "b a")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b a x"), (3, "z")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logprob(train, score).collect()}
+    # train: C1 = {a:3, b:2, c:1}, N=6, V=3; C2 = {(a,b):1, (b,a):2, (a,c):1}
+    lp_ab = math.floor(math.log(1 / 3) * 1e4 + 0.5)       # seen: ln(1/3)
+    lp_ba = 0                                              # seen: ln(2/2)
+    lp_ax = math.floor(math.log(0.4 * 1 / 9) * 1e4 + 0.5)  # backoff, C1(x)=0
+    assert out[1].n_big == 3
+    assert out[1].sum_lp_e4 == lp_ab + lp_ba + lp_ax
+    assert out[1].nll_e4 == (-(lp_ab + lp_ba + lp_ax)) // 3
+    assert 3 not in out  # single-word doc has no transitions
+
+
+def test_bigram_lm_backoff_uses_target_unigram(spark):
+    import math
+
+    from gaia_spark.functions.text import bigram_logprob
+
+    train = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    score = spark.createDataFrame([(1, "b a")], "doc_id long, text string")
+    out = bigram_logprob(train, score).collect()[0]
+    # (b, a) unseen; C1(a)=3, N=4, V=2 -> lp = ln(0.4 * 4 / 6)
+    assert out.sum_lp_e4 == math.floor(math.log(0.4 * 4 / 6) * 1e4 + 0.5)
