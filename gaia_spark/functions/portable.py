@@ -411,3 +411,42 @@ def hex_center_lat_sql(az: str, size_deg: float) -> str:
 def hex_center_lon_sql(ax: str, az: str, size_deg: float) -> str:
     """Longitude of a hex center: x = s·√3·(q + r/2)."""
     return f"({float(size_deg)!r} * {SQRT3} * (({ax}) + ({az}) / 2.0))"
+
+
+def hilbert_step_exprs(x: str, y: str, d: str, s: int, n: int) -> tuple[str, str, str]:
+    """One xy2d Hilbert-curve level (bit ``s`` of an order-log2(n) curve):
+    returns (d', x', y') expression strings over the current (x, y, d)
+    columns. The classic bit-ops formulation is rewritten XOR-free —
+    (3·rx)^ry = CASE rx — and reflections use n-1-v (the full-grid variant),
+    which keeps x, y in [0, n-1] so idiv_sql/% stay in their documented
+    non-negative domain. Same string runs in Spark SQL and DuckDB
+    (+, *, %, floor, CASE only)."""
+    rx = f"({idiv_sql(x, s)} % 2)"
+    ry = f"({idiv_sql(y, s)} % 2)"
+    d2 = (
+        f"({d} + {s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END))"
+    )
+    x2 = (
+        f"(CASE WHEN {ry} = 1 THEN {x} "
+        f"WHEN {rx} = 1 THEN {n - 1} - ({y}) ELSE {y} END)"
+    )
+    y2 = (
+        f"(CASE WHEN {ry} = 1 THEN {y} "
+        f"WHEN {rx} = 1 THEN {n - 1} - ({x}) ELSE {x} END)"
+    )
+    return d2, x2, y2
+
+
+def hilbert_grid_x_sql(lon: str, order: int) -> str:
+    """Column of the order-p Hilbert grid (2^p × 2^p over the lon/lat
+    rectangle) — same quantization family as cell_x_sql, kept separate so
+    the Hilbert index is self-contained."""
+    n = 1 << order
+    raw = f"cast(floor((({lon}) + 180.0) / 360.0 * {n}) as bigint)"
+    return clamp_sql(raw, "0", str(n - 1))
+
+
+def hilbert_grid_y_sql(lat: str, order: int) -> str:
+    n = 1 << order
+    raw = f"cast(floor((({lat}) + 90.0) / 180.0 * {n}) as bigint)"
+    return clamp_sql(raw, "0", str(n - 1))

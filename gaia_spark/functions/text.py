@@ -421,3 +421,80 @@ def bigram_logprob(train, score, id_col: str = "doc_id", text_col: str = "text")
             F.expr(P.bigint_div("(0 - sum_lp_e4)", "n_big", P.SPARK)).cast("long"),
         )
     )
+
+
+# BM25 shared float expressions over exact-bigint columns (_tf, _df, _dl,
+# _N, _TL) — ONE string rendered into both engines so the IEEE op order is
+# identical; constants are integer ratios (a bare 1.2 literal is DECIMAL in
+# Spark SQL but DOUBLE in DuckDB).
+_BM25_K1 = "(cast(12 as double) / cast(10 as double))"
+_BM25_B = "(cast(3 as double) / cast(4 as double))"
+BM25_IDF = (
+    "ln(cast(1 as double) + (cast(_N as double) - cast(_df as double) "
+    "+ cast(5 as double) / cast(10 as double)) "
+    "/ (cast(_df as double) + cast(5 as double) / cast(10 as double)))"
+)
+BM25_TFNORM = (
+    f"(cast(_tf as double) * ({_BM25_K1} + cast(1 as double))) / "
+    f"(cast(_tf as double) + {_BM25_K1} * (cast(1 as double) - {_BM25_B} "
+    f"+ {_BM25_B} * cast(_dl as double) * cast(_N as double) / cast(_TL as double)))"
+)
+BM25_TERM_SCORE = f"({BM25_IDF}) * ({BM25_TFNORM})"
+
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 ranked retrieval (Robertson/Spärck Jones; the Okapi scoring
+    every retrieval-augmented data pipeline runs before an LLM sees a
+    document): score every document against a fixed bag-of-words query,
+
+        score(d) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5)),
+
+    with the standard k1 = 1.2, b = 0.75 (spelled as exact integer ratios —
+    a bare ``1.2`` literal is DECIMAL in Spark SQL but DOUBLE in DuckDB).
+
+    Scale shape (100 TB): ONE token explode filtered to the |Q| query terms
+    (so the shuffle carries only matching tokens, not the corpus), one
+    combinable (doc, term) tf agg; df is a |Q|-row broadcast, (N, total_len)
+    a one-row broadcast; |d| is a per-row JVM expression (no second pass).
+    avgdl never materializes — b·|d|/avgdl is computed as b·|d|·N/total_len
+    so every input to the float expression is an exact bigint.
+
+    Determinism: per-term scores are identical IEEE doubles cross-engine
+    (identical op order on exact integer inputs), e4-floored BEFORE the
+    per-doc sum. Returns (id, n_q_terms, score_e4) for docs matching ≥ 1
+    query term."""
+    import pyspark.sql.functions as F
+
+    terms = sorted(set(query_terms))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    toks = df.select(
+        F.col(id_col),
+        F.expr(token_count_sql(text_col, P.SPARK)).cast("long").alias("_dl"),
+        F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("_tok"),
+    ).where(f"_tok IN ({tlist})")
+    tf = toks.groupBy(id_col, "_tok", "_dl").agg(
+        F.count("*").cast("long").alias("_tf")
+    )
+    dfreq = tf.groupBy("_tok").agg(F.count("*").cast("long").alias("_df"))
+    scal = df.select(
+        F.expr(token_count_sql(text_col, P.SPARK)).cast("long").alias("_l")
+    ).agg(
+        F.count("*").cast("long").alias("_N"),
+        F.sum("_l").cast("long").alias("_TL"),
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "_tok")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("_s_e4", F.expr(P.floor_scaled_sql(BM25_TERM_SCORE, 4)))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_q_terms"),
+            F.sum("_s_e4").cast("long").alias("score_e4"),
+        )
+    )

@@ -155,3 +155,87 @@ def extract_links_sql(html: str) -> str:
     """All href targets as an array — regexp_extract_all shares name and
     (string, pattern, group) signature in Spark and DuckDB."""
     return f"regexp_extract_all({html}, '{_HREF_RE}', 1)"
+
+
+# --- anchor-text aggregation (link-context signal for crawl ranking) ----------
+
+# captures (href, anchor text); backslash-free and RE2-safe, shared verbatim
+_ANCHOR_RE = '<a href="([^"]+)"[^>]*>([^<]+)</a>'
+
+
+def anchored_html_sql(text: str, doc_id: str) -> str:
+    """Deterministic page html with VARIED anchor texts: three outlinks to
+    hosts h{(id·(3+k)+k) mod 97} whose anchor text is w{(id·(k+2)+k) mod 13}
+    (13 distinct labels → real majority contests per target host), a
+    same-host self link labeled 'me', and NO anchors for host ≡ 0 (mod 10)
+    docs (anchorless pages must not surface). Double-quoted attributes keep
+    the extraction pattern backslash-free."""
+    h = f"(({doc_id}) % 97)"
+    link = (
+        "'<a href=\"http://h' || cast(({h} * {m} + {k}) % 97 as string) || "
+        "'.example.com/p/{k}\">w' || cast((({doc_id}) * {t} + {k}) % 13 as string) || '</a>'"
+    )
+    links = " || ".join(
+        link.format(h=h, m=3 + k, k=k, t=k + 2, doc_id=doc_id) for k in range(3)
+    )
+    return (
+        "('<html><head><title>d' || cast(" + doc_id + " as string) || '</title></head>"
+        "<body><p>' || " + text + " || '</p>' || "
+        f"CASE WHEN {h} % 10 = 0 THEN '' ELSE {links} || "
+        f"'<a href=\"http://h' || cast({h} as string) || '.example.com/self\">me</a>' END || "
+        "'</body></html>')"
+    )
+
+
+def anchor_pairs_arrays_sql(html: str, dialect: str) -> tuple[str, str]:
+    """(hrefs, anchors) parallel arrays — regexp_extract_all with group 1
+    then group 2; identical call shape in both engines."""
+    return (
+        f"regexp_extract_all({html}, '{_ANCHOR_RE}', 1)",
+        f"regexp_extract_all({html}, '{_ANCHOR_RE}', 2)",
+    )
+
+
+def anchor_text_agg(pages, html_col: str = "html", min_count: int = 1):
+    """Per-target-host anchor-text aggregation (the link-context signal
+    search engines and crawl-frontier rankers attach to a page BEFORE
+    fetching it): for every host linked anywhere in the corpus, the number
+    of in-anchors, the number of distinct anchor texts, and the majority
+    anchor text (ties toward the smaller text — the zonal_majority
+    struct-min argmax, exact integer comparisons).
+
+    Scale shape (100 TB): extraction is one JVM regexp over each page
+    (map-only), pairs explode in-plan via ``arrays_zip`` (no Python), and
+    the result is TWO combinable hash aggregations keyed by (host, anchor)
+    then host — host-anchor cardinality, never page cardinality, crosses
+    the shuffle. Returns (host, n_anchors, variety, top_anchor,
+    top_anchor_n)."""
+    import pyspark.sql.functions as F
+
+    hrefs, anchors = anchor_pairs_arrays_sql(html_col, SPARK)
+    pairs = (
+        pages.select(F.expr(hrefs).alias("_hs"), F.expr(anchors).alias("_as"))
+        .select(F.explode(F.arrays_zip("_hs", "_as")).alias("_p"))
+        .select(F.col("_p._hs").alias("_href"), F.col("_p._as").alias("_anchor"))
+        .select(F.expr(host_sql("_href")).alias("host"), "_anchor")
+        .where("host IS NOT NULL")
+    )
+    ha = pairs.groupBy("host", "_anchor").agg(F.count("*").cast("long").alias("_n"))
+    return (
+        ha.groupBy("host")
+        .agg(
+            F.sum("_n").cast("long").alias("n_anchors"),
+            F.count("*").cast("long").alias("variety"),
+            F.min(
+                F.struct((-F.col("_n")).alias("_k"), F.col("_anchor").alias("_a"))
+            ).alias("_top"),
+        )
+        .where(F.col("n_anchors") >= min_count)
+        .select(
+            "host",
+            "n_anchors",
+            "variety",
+            F.col("_top._a").alias("top_anchor"),
+            (-F.col("_top._k")).cast("long").alias("top_anchor_n"),
+        )
+    )

@@ -10,10 +10,9 @@ float-sum centroids — rows-only checkable).
 Determinism contract (the pagerank/median_center pattern):
 
 - embeddings quantize to e6 BIGINTS once, up front;
-- assignment is an EXACT integer argmin — Σ(xᵢ−cᵢ)² of e6 ints in int64
-  (|v| ≤ 2e3 ⇒ per-term ≤ 1.6e19? no: (4e9)²·… bounded: e6 of unit-scale
-  embeddings ≤ ~1e7, diff² ≤ 4e14, ×64 dims ≤ 2.6e16 < 2⁶³) with
-  (dist, cid) lexicographic tie-break;
+- assignment is an EXACT integer argmin — Σ(xᵢ−cᵢ)² of e6 ints stays in
+  int64 (unit-scale coordinates ⇒ |e6| ≤ ~1e7, per-term diff² ≤ 4e14,
+  ×64 dims ≤ 2.6e16 ≪ 2⁶³) with (dist, cid) lexicographic tie-break;
 - recentering floor-divides exact bigint sums with a +OFF shift (Spark
   ``div`` truncates, DuckDB ``//`` floors — equal on non-negatives), and
   centers RE-QUANTIZE to e6 every round, absorbing any cross-engine
@@ -104,3 +103,64 @@ def kmeans_assign(
         a = _assign(pts, centers, id_col)
         centers = iter_checkpoint(_recenter(a, pts, id_col), reliable=reliable)
     return _assign(pts, centers, id_col)
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reliable: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-dedup — the k-means
+    clusters act as the candidate generator (the all-pairs cosine sweep is
+    restricted to WITHIN-cluster pairs, the same cost cap as the LSH
+    buckets in cosine_near_dup_pairs), near-duplicate pairs
+    (cos ≥ threshold) link into connected components (pointer-doubling
+    min-label), and each semantic group keeps its min-id representative.
+
+    Returns (id, cid, grp, keep) — grp = min id of the near-dup
+    component (its own id for singletons; "group" is a reserved word in
+    both SQL dialects), keep = 1 for the survivor.
+    All three stages reuse oracle-proven deterministic machinery, so the
+    full composition is value-hash checkable end to end."""
+    from gaia_spark.operators.simsearch import DOT, NORM2
+    from gaia_spark.operators.stats import min_label_components
+
+    assign = kmeans_assign(emb, k, n_rounds, id_col, vec_col, reliable).select(
+        id_col, "cid"
+    )
+    av = assign.join(emb.select(id_col, vec_col), id_col)
+    a = av.select("cid", F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"))
+    b = av.select("cid", F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"))
+    dot = DOT.format(a="_ea", b="_eb")
+    na = NORM2.format(a="_ea")
+    nb = NORM2.format(a="_eb")
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("_cos", F.expr(f"{dot} / sqrt({na}) / sqrt({nb})"))
+        .where(F.col("_cos") >= F.lit(float(threshold)))
+        .select("a", "b")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    comp = min_label_components(
+        assign.select(F.col(id_col).alias("_n")),
+        sym.select(F.col("a").alias("_n"), F.col("b").alias("_nbr")),
+        node_col="_n",
+        nbr_col="_nbr",
+        reliable_checkpoint=reliable,
+    )
+    return (
+        assign.join(comp.withColumnRenamed("_n", id_col), id_col)
+        .select(
+            id_col,
+            "cid",
+            F.col("label").alias("grp"),
+            (F.col("label") == F.col(id_col)).cast("int").alias("keep"),
+        )
+    )

@@ -642,3 +642,65 @@ def contour_segments(
     seg1 = seg_select(wexp.where(F.expr("code NOT IN (0, 15)")), _MS_SEG1, 1)
     seg2 = seg_select(wexp.where(F.expr("code IN (5, 10)")), _MS_SEG2, 2)
     return seg1.unionByName(seg2)
+
+
+def bilinear_upsample(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
+    """Bilinear 2× raster resampling (the gdalwarp -r bilinear core) over
+    the GLOBAL pixel grid: every target pixel of the doubled grid is the
+    center-aligned weighted mean of its 4 nearest source centers.
+
+    Same scatter shape as :func:`focal_stats`: target row R draws on
+    source rows r0 = ⌊(R−0.5)/2⌋ and r0+1 with weights {¼, ¾} by parity,
+    so each SOURCE pixel contributes to exactly 4×4 target cells with the
+    separable integer weights {1, 3} ⊗ {1, 3} (denominator 16) — one
+    in-plan 16-row offset explode + ONE combinable agg, exact bigint
+    terms (e4 values × weights), longitude wrapping, interior-only
+    targets (full weight 16; the two polar target rows drop). The mean
+    derives by exact offset floor-division. Returns (r, c, v_e4) on the
+    (zoom+1)-shaped grid."""
+    n_src = TILE_PX * (1 << zoom)
+    n_tgt = 2 * n_src
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    decoded = px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(portable.floor_scaled_sql("v", 4)).alias("v_e4"),
+    )
+    # target offset dR = R - 2r ∈ {-1, 0, 1, 2} with weights {1, 3, 3, 1}
+    offs = (
+        "array(struct(-1 AS d, 1 AS w), struct(0 AS d, 3 AS w), "
+        "struct(1 AS d, 3 AS w), struct(2 AS d, 1 AS w))"
+    )
+    scat = (
+        decoded.withColumn("_dr", F.explode(F.expr(offs)))
+        .withColumn("_dc", F.explode(F.expr(offs)))
+        .select(
+            (2 * F.col("r") + F.col("_dr.d")).alias("tr"),
+            F.pmod(2 * F.col("c") + F.col("_dc.d"), F.lit(n_tgt)).alias("tc"),
+            (F.col("v_e4") * F.col("_dr.w") * F.col("_dc.w")).alias("_wv"),
+            (F.col("_dr.w") * F.col("_dc.w")).alias("_w"),
+        )
+        .where((F.col("tr") >= 0) & (F.col("tr") < n_tgt))
+    )
+    off = 10**7  # > max |Σ w·v_e4| / 16: keeps the mean division non-negative
+    return (
+        scat.groupBy(F.col("tr").alias("r"), F.col("tc").alias("c"))
+        .agg(
+            F.sum("_wv").cast("long").alias("_s"),
+            F.sum("_w").cast("long").alias("_wsum"),
+        )
+        .where(F.col("_wsum") == 16)
+        .select(
+            "r",
+            "c",
+            F.expr(f"((_s + cast({16 * off} as bigint)) div 16) - {off}")
+            .cast("long")
+            .alias("v_e4"),
+        )
+    )

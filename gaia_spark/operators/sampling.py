@@ -75,3 +75,64 @@ def rate_case_sql(rates: dict[str, float], strata_col: str, default_rate: float)
         f"WHEN {strata_col} = '{k}' THEN {float(v)!r}" for k, v in sorted(rates.items())
     )
     return f"(CASE {whens} ELSE {float(default_rate)!r} END)"
+
+
+def dsir_logratio(
+    target: DataFrame,
+    pool: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every pool document
+    by how target-like its hashed-bigram feature distribution is,
+
+        w(doc) = Σ_grams [ ln p_target(bucket) − ln p_pool(bucket) ],
+
+    with add-1 smoothing over the ``n_buckets`` hashed features. The two
+    bucket-count tables are CONSTANT-size (n_buckets rows — broadcast, like
+    the Bloom/CMS sketches), so scoring is one explode + one broadcast
+    join + one combinable per-doc agg regardless of corpus size. Sampling
+    the top of this score (or hash-thresholding against it) is the
+    importance-resampling step; the weight itself is the operator.
+
+    Determinism: one ln per gram occurrence of an exact rational
+    ((ct+1)(Np+B)) / ((cp+1)(Nt+B)), e4-floored BEFORE the doc sum.
+    Returns (id, n_grams, sum_lr_e4)."""
+    from gaia_spark.functions.text import shingles_sql
+
+    grams_sql = shingles_sql(text_col, P.SPARK, 2)
+    b = f"({P.md5_int60('g', P.SPARK)} % {n_buckets})"
+
+    def buckets(df, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        return df.select(
+            *cols, F.explode(F.expr(grams_sql)).alias("g")
+        ).select(*cols, F.expr(b).alias("_b"))
+
+    ct = buckets(target, False).groupBy("_b").agg(
+        F.count("*").cast("long").alias("_ct")
+    )
+    cp = buckets(pool, False).groupBy("_b").agg(
+        F.count("*").cast("long").alias("_cp")
+    )
+    nt = ct.agg(F.sum("_ct").cast("long").alias("_nt"))
+    np_ = cp.agg(F.sum("_cp").cast("long").alias("_np"))
+    lr = (
+        f"ln(cast(coalesce(_ct, 0) + 1 as double) * cast(_np + {n_buckets} as double) "
+        f"/ (cast(coalesce(_cp, 0) + 1 as double) * cast(_nt + {n_buckets} as double)))"
+    )
+    return (
+        buckets(pool, True)
+        .join(F.broadcast(ct), "_b", "left")
+        .join(F.broadcast(cp), "_b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .withColumn("_lr_e4", F.expr(P.floor_scaled_sql(lr, 4)))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_lr_e4").cast("long").alias("sum_lr_e4"),
+        )
+    )

@@ -485,3 +485,54 @@ def equals_join(points_a: DataFrame, points_b: DataFrame, key_a: str = "url", ke
     return points_a.join(
         b, (F.col("lat") == F.col("b_lat")) & (F.col("lon") == F.col("b_lon")), "inner"
     ).drop("b_lat", "b_lon")
+
+
+def with_hilbert(
+    df: DataFrame,
+    order: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    out: str = "hilbert_d",
+    keep_xy: bool = False,
+) -> DataFrame:
+    """Attach the Hilbert-curve index at ``order`` bits per axis — the
+    fifth index family (cell / tile / geohash / hex / hilbert) and the one
+    to SORT or RANGE-PARTITION by: unlike the Z-order implicit in the
+    packed cell id, consecutive Hilbert values are always grid neighbors,
+    so writing a 100 TB table clustered by hilbert_d gives every
+    down-stream bbox scan a near-minimal file footprint (the classic
+    space-filling-curve layout trick).
+
+    Plan shape: quantize lon/lat to the 2^order grid, then ``order``
+    chained JVM projections (one xy2d level each — +, *, %, CASE; no
+    Python, no shuffle); Catalyst collapses the chain into one codegen
+    stage. The DuckDB oracle replays the identical per-level expression
+    strings (portable.hilbert_step_exprs) as a CTE chain."""
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists - pass out=")
+    n = 1 << order
+    gx, gy = f"__{out}_gx", f"__{out}_gy"
+    xc, yc = f"__{out}_x", f"__{out}_y"
+    r = (
+        df.withColumn(gx, F.expr(portable.hilbert_grid_x_sql(lon, order)))
+        .withColumn(gy, F.expr(portable.hilbert_grid_y_sql(lat, order)))
+        .withColumn(xc, F.col(gx))
+        .withColumn(yc, F.col(gy))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    s = n // 2
+    while s > 0:
+        d2, x2, y2 = portable.hilbert_step_exprs(xc, yc, out, s, n)
+        r = r.select(
+            *[c for c in r.columns if c not in (xc, yc, out)],
+            F.expr(x2).alias(xc),
+            F.expr(y2).alias(yc),
+            F.expr(d2).cast("long").alias(out),
+        )
+        s //= 2
+    r = r.drop(xc, yc)
+    if keep_xy:
+        # the ORIGINAL grid coordinates (the rotated per-level state is
+        # internal), so callers can hash-check the full (x, y) -> d map
+        return r.withColumnRenamed(gx, "hx").withColumnRenamed(gy, "hy")
+    return r.drop(gx, gy)

@@ -125,3 +125,41 @@ def areal_reaggregate(
         F.count("*").cast("long").alias("n_src"),
         F.sum(F.col(value_col) * F.expr(w)).alias("alloc"),
     )
+
+
+def zonal_majority(
+    assigned: DataFrame,
+    zone_col: str = "zone_id",
+    cat_col: str = "category",
+) -> DataFrame:
+    """Zonal MAJORITY/MINORITY/VARIETY — the categorical members of the
+    ArcGIS/gdal zonal-statistics family beside :func:`zonal_stats`'s
+    numerics: per zone, the most and least frequent category value and the
+    number of distinct categories. Two combinable hash aggregations
+    ((zone, cat) counts → per-zone argmax); ties break deterministically
+    toward the SMALLER category value (min_by/max_by on a (count, cat)
+    struct — exact integer comparisons). Returns
+    (zone, majority, majority_n, minority, minority_n, variety)."""
+    cc = assigned.groupBy(zone_col, cat_col).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    # lexicographic struct trick: argmax by (count asc/desc, cat) with the
+    # category NEGATED in the max branch is wrong for strings — instead use
+    # min(struct(-count, cat)) for majority and min(struct(count, cat)) for
+    # minority: both resolve count ties toward the smaller category.
+    return (
+        cc.groupBy(zone_col)
+        .agg(
+            F.min(F.struct((-F.col("_n")).alias("_k"), F.col(cat_col).alias("_c"))).alias("_maj"),
+            F.min(F.struct(F.col("_n").alias("_k"), F.col(cat_col).alias("_c"))).alias("_min"),
+            F.count("*").cast("long").alias("variety"),
+        )
+        .select(
+            zone_col,
+            F.col("_maj._c").alias("majority"),
+            (-F.col("_maj._k")).cast("long").alias("majority_n"),
+            F.col("_min._c").alias("minority"),
+            F.col("_min._k").cast("long").alias("minority_n"),
+            "variety",
+        )
+    )

@@ -1949,7 +1949,9 @@ def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- deterministic k-means document clustering ----------------------------------
 
-def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
+    """CTE chain ending in ``asg`` = (vec_id, cid, d) — the final k-means
+    assignment; shared by the q_kmeans_docs and q_semdedup oracles."""
     from gaia_spark.operators.clustering import KM_OFF
 
     h = P.md5_int60("cast(vec_id as string)", P.DUCK)
@@ -1980,12 +1982,16 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
     parts.append(
         f"""a{fr} AS (SELECT p.vec_id, c.cid,
               cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
-              FROM pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2)
-    SELECT vec_id, cid, d AS dist_e12 FROM
+              FROM pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2),
+    asg AS (SELECT vec_id, cid, d FROM
     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a{fr})
-    WHERE rn = 1"""
+    WHERE rn = 1)"""
     )
-    return "WITH " + ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return "WITH " + _kmeans_ctes() + " SELECT vec_id, cid, d AS dist_e12 FROM asg"
 
 
 @register("q_kmeans_docs", _kmeans_oracle())
@@ -2038,3 +2044,194 @@ def q_bloom_crawled(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = docs.where("doc_id % 3 = 0").select(F.expr("md5(text)").alias("it"))
     probes = docs.select("doc_id", F.expr("md5(text)").alias("it"))
     return bloom_contains(bloom_build(items, "it"), probes, "it")
+
+
+# --- SemDeDup: cluster-then-dedup ------------------------------------------------
+
+_SDD_THRESHOLD = 0.25
+
+
+def _semdedup_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(pa.embedding[i] as double) * cast(pb.embedding[i] as double)))"
+    )
+    na = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(pa.embedding[i] as double) * cast(pa.embedding[i] as double)))"
+    )
+    nb = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(pb.embedding[i] as double) * cast(pb.embedding[i] as double)))"
+    )
+    cos = f"({dot} / sqrt({na}) / sqrt({nb}))"
+    return f"""
+    WITH RECURSIVE {_kmeans_ctes()},
+    ae AS (SELECT a.vec_id, a.cid, e.embedding
+           FROM asg a JOIN embeddings e USING (vec_id)),
+    pe AS (SELECT pa.vec_id AS a, pb.vec_id AS b
+           FROM ae pa JOIN ae pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+           WHERE {cos} >= {_SDD_THRESHOLD}),
+    sym AS (SELECT a, b FROM pe UNION ALL SELECT b AS a, a AS b FROM pe),
+    reach(u, x) AS (
+      SELECT vec_id, vec_id FROM asg
+      UNION
+      SELECT r.u, s.b FROM reach r JOIN sym s ON r.x = s.a
+    ),
+    lab AS (SELECT u AS vec_id, min(x) AS grp FROM reach GROUP BY u)
+    SELECT g.vec_id, g.cid, l.grp,
+           cast(CASE WHEN l.grp = g.vec_id THEN 1 ELSE 0 END as int) AS keep
+    FROM asg g JOIN lab l USING (vec_id)
+    """
+
+
+@register("q_semdedup", _semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end: deterministic k-means clusters as the
+    candidate generator, within-cluster cosine >= 0.25 pairs, connected
+    components by pointer-doubling min-label, min-id survivor per semantic
+    group. The oracle chains the k-means rounds, the pair sweep and a
+    recursive reachability closure."""
+    from gaia_spark.operators.clustering import semdedup
+
+    return semdedup(
+        load(spark, sf_dir, "embeddings"), k=8, n_rounds=3, threshold=_SDD_THRESHOLD
+    )
+
+
+# --- zonal majority (categorical zonal stats) ------------------------------------
+
+def _zonal_majority_oracle() -> str:
+    from gaia_spark.queries import ZONES_CTE
+
+    pts = (
+        "mpts AS (SELECT c_custkey, c_mktsegment AS cat, "
+        f"{P.key_lat_sql('c_custkey')} AS lat, {P.key_lon_sql('c_custkey')} AS lon "
+        "FROM customer)"
+    )
+    return f"""
+    WITH {pts}, {ZONES_CTE},
+    cc AS (SELECT zone_id, cat, cast(count(*) as bigint) AS n
+           FROM mpts JOIN zones
+             ON lat BETWEEN min_lat AND max_lat AND lon BETWEEN min_lon AND max_lon
+           GROUP BY 1, 2),
+    maj AS (SELECT zone_id, cat, n FROM
+            (SELECT *, row_number() OVER (PARTITION BY zone_id ORDER BY n DESC, cat ASC) AS rn
+             FROM cc) WHERE rn = 1),
+    mino AS (SELECT zone_id, cat, n FROM
+             (SELECT *, row_number() OVER (PARTITION BY zone_id ORDER BY n ASC, cat ASC) AS rn
+              FROM cc) WHERE rn = 1),
+    var AS (SELECT zone_id, cast(count(*) as bigint) AS variety FROM cc GROUP BY 1)
+    SELECT m.zone_id, m.cat AS majority, m.n AS majority_n,
+           i.cat AS minority, i.n AS minority_n, v.variety
+    FROM maj m JOIN mino i USING (zone_id) JOIN var v USING (zone_id)
+    """
+
+
+@register("q_zonal_majority", _zonal_majority_oracle())
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal statistics (ArcGIS MAJORITY/MINORITY/VARIETY):
+    market-segment majority per zone over the spatial-join assignment,
+    ties broken toward the smaller category via exact struct-min."""
+    from gaia_spark.operators.spatial_join import spatial_join
+    from gaia_spark.operators.zonal import zonal_majority
+    from gaia_spark.queries import _zone_index
+
+    pts = customer_points(spark, sf_dir)
+    joined = spatial_join(pts, _zone_index(), predicate="intersects", point_key="c_custkey")
+    return zonal_majority(joined, zone_col="zone_id", cat_col="c_mktsegment")
+
+
+# --- bilinear 2x raster resample --------------------------------------------------
+
+def _bilinear_oracle() -> str:
+    n_t, px = 4, 64
+    n_src = n_t * px
+    n_tgt = 2 * n_src
+    off = 10**7
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_src - 1}) t1(r),
+                            generate_series(0, {n_src - 1}) t2(c)),
+    pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                   {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM pxg),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    offs(d, w) AS (VALUES (-1, 1), (0, 3), (1, 3), (2, 1)),
+    scat AS (SELECT 2 * r + o1.d AS tr, (2 * c + o2.d + {n_tgt}) % {n_tgt} AS tc,
+                    v_e4 * o1.w * o2.w AS wv, o1.w * o2.w AS w
+             FROM pv CROSS JOIN offs o1 CROSS JOIN offs o2
+             WHERE 2 * r + o1.d >= 0 AND 2 * r + o1.d < {n_tgt}),
+    agg AS (SELECT tr, tc, cast(sum(wv) as bigint) AS s,
+                   cast(sum(w) as bigint) AS wsum
+            FROM scat GROUP BY 1, 2)
+    SELECT cast(tr as bigint) AS r, cast(tc as bigint) AS c,
+           cast(((s + cast({16 * off} as bigint)) // 16) - {off} as bigint) AS v_e4
+    FROM agg WHERE wsum = 16
+    """
+
+
+@register("q_raster_resample", _bilinear_oracle())
+def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear 2x upsample of the zoom-2 global grid: center-aligned
+    4-tap separable {1,3}x{1,3}/16 kernel as exact bigint scatter sums,
+    mean by offset floor-division; interior targets only."""
+    from gaia_spark.operators.raster import bilinear_upsample
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(2,), bands=(0,))
+    return bilinear_upsample(raster, zoom=2)
+
+
+# --- Hilbert-curve index (the range-partition / sort key family) ------------------
+
+_HILBERT_ORDER = 8
+
+
+def _hilbert_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    order, n = _HILBERT_ORDER, 1 << _HILBERT_ORDER
+    parts = [
+        PTS_CTE,
+        f"g AS (SELECT {P.hilbert_grid_x_sql('lon', order)} AS gx, "
+        f"{P.hilbert_grid_y_sql('lat', order)} AS gy FROM pts)",
+        "l0 AS (SELECT gx, gy, gx AS x, gy AS y, 0 AS d FROM g)",
+    ]
+    s, i = n // 2, 0
+    while s > 0:
+        d2, x2, y2 = P.hilbert_step_exprs("x", "y", "d", s, n)
+        parts.append(
+            f"l{i + 1} AS (SELECT gx, gy, {x2} AS x, {y2} AS y, {d2} AS d FROM l{i})"
+        )
+        s //= 2
+        i += 1
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT gx AS hx, gy AS hy, cast(d as bigint) AS hilbert_d,
+           cast(count(*) as bigint) AS n_pts
+    FROM l{i} GROUP BY 1, 2, 3
+    """
+    )
+
+
+@register("q_hilbert_counts", _hilbert_oracle())
+def q_hilbert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve index at order 8 (256×256): the full (x, y) → d map
+    over the customer point layer, hash-checked cell by cell. The curve is
+    the layout key for 100 TB writes — consecutive hilbert_d values are
+    always grid neighbors, so clustering files by d minimizes the footprint
+    of any later bbox scan. Spark runs 8 chained codegen projections; the
+    oracle replays the identical per-level expressions as a CTE chain."""
+    from gaia_spark.operators.spatial_join import with_hilbert
+    from gaia_spark.queries import customer_points
+
+    pts = with_hilbert(
+        customer_points(spark, sf_dir), order=_HILBERT_ORDER, keep_xy=True
+    )
+    return pts.groupBy(
+        F.col("hx"), F.col("hy"), F.col("hilbert_d")
+    ).agg(F.count("*").cast("long").alias("n_pts"))

@@ -1454,3 +1454,118 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(
         docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
     )
+
+
+# --- DSIR importance weights ------------------------------------------------------
+
+
+def _dsir_oracle(n_buckets: int = 1024) -> str:
+    from gaia_spark.functions import text as T
+
+    grams = T.shingles_sql("text", P.DUCK, 2)
+    b = f"({P.md5_int60('g', P.DUCK)} % {n_buckets})"
+    lr = (
+        f"ln(cast(coalesce(_ct, 0) + 1 as double) * cast(_np + {n_buckets} as double) "
+        f"/ (cast(coalesce(_cp, 0) + 1 as double) * cast(_nt + {n_buckets} as double)))"
+    )
+    return f"""
+    WITH tg AS (SELECT {b} AS _b FROM
+                (SELECT unnest({grams}) AS g FROM documents WHERE lang = 'en')),
+    pg AS (SELECT doc_id, {b} AS _b FROM
+           (SELECT doc_id, unnest({grams}) AS g FROM documents)),
+    ct AS (SELECT _b, cast(count(*) as bigint) AS _ct FROM tg GROUP BY 1),
+    cp AS (SELECT _b, cast(count(*) as bigint) AS _cp FROM pg GROUP BY 1),
+    nt AS (SELECT cast(sum(_ct) as bigint) AS _nt FROM ct),
+    np AS (SELECT cast(sum(_cp) as bigint) AS _np FROM cp),
+    j AS (SELECT doc_id, {P.floor_scaled_sql(lr, 4)} AS _lr_e4
+          FROM pg LEFT JOIN ct USING (_b) LEFT JOIN cp USING (_b)
+          CROSS JOIN nt CROSS JOIN np)
+    SELECT doc_id, cast(count(*) as bigint) AS n_grams,
+           cast(sum(_lr_e4) as bigint) AS sum_lr_e4
+    FROM j GROUP BY 1
+    """
+
+
+@register("q_dsir_weights", _dsir_oracle())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: every document scored by the hashed-bigram
+    log-ratio of the English-target feature LM vs the whole-pool feature
+    LM (add-1 smoothing over 1024 md5 buckets, e4 quantization before the
+    exact doc sum). The two count tables are constant-size broadcasts."""
+    from gaia_spark.operators.sampling import dsir_logratio
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logratio(docs.where("lang = 'en'"), docs)
+
+
+# --- BM25 ranked retrieval ----------------------------------------------------
+
+_BM25_TERMS = ("merge", "query", "spark", "window")
+
+
+def _bm25_oracle() -> str:
+    tlist = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tc = T.token_count_sql("text", P.DUCK)
+    return f"""
+    WITH dl AS (SELECT doc_id, cast({tc} as bigint) AS _dl FROM documents),
+    toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS _tok FROM documents),
+    tf AS (SELECT doc_id, _tok, cast(count(*) as bigint) AS _tf
+           FROM toks WHERE _tok IN ({tlist}) GROUP BY 1, 2),
+    dfq AS (SELECT _tok, cast(count(*) as bigint) AS _df FROM tf GROUP BY 1),
+    scal AS (SELECT cast(count(*) as bigint) AS _N,
+                    cast(sum({tc}) as bigint) AS _TL FROM documents),
+    j AS (SELECT doc_id, {P.floor_scaled_sql(T.BM25_TERM_SCORE, 4)} AS _s_e4
+          FROM tf JOIN dfq USING (_tok) JOIN dl USING (doc_id)
+          CROSS JOIN scal)
+    SELECT doc_id, cast(count(*) as bigint) AS n_q_terms,
+           cast(sum(_s_e4) as bigint) AS score_e4
+    FROM j GROUP BY 1
+    """
+
+
+@register("q_bm25", _bm25_oracle())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi) retrieval scores for a fixed 4-term query over every
+    document: tf explode filtered to the query terms, |Q|-row df broadcast,
+    one-row (N, total_len) broadcast; k1/b as exact integer ratios, idf and
+    tf-norm rendered from ONE shared expression string so per-term doubles
+    are bit-identical cross-engine, e4-floored before the doc sum."""
+    return T.bm25_scores(load(spark, sf_dir, "documents"), list(_BM25_TERMS))
+
+
+# --- anchor-text aggregation ----------------------------------------------------
+
+
+def _anchor_text_oracle() -> str:
+    html = W.anchored_html_sql("text", "doc_id")
+    hs, asx = W.anchor_pairs_arrays_sql("html", P.DUCK)
+    return f"""
+    WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+    arrs AS (SELECT {hs} AS _hs, {asx} AS _as FROM h),
+    ix AS (SELECT _hs, _as, unnest(generate_series(1, len(_hs))) AS i FROM arrs),
+    pr AS (SELECT {W.host_sql('_hs[i]')} AS host, _as[i] AS _anchor FROM ix),
+    ha AS (SELECT host, _anchor, cast(count(*) as bigint) AS _n
+           FROM pr WHERE host IS NOT NULL GROUP BY 1, 2),
+    top AS (SELECT host, _anchor, _n FROM
+            (SELECT *, row_number() OVER (PARTITION BY host ORDER BY _n DESC, _anchor ASC) AS rn
+             FROM ha) WHERE rn = 1),
+    ag AS (SELECT host, cast(sum(_n) as bigint) AS n_anchors,
+                  cast(count(*) as bigint) AS variety FROM ha GROUP BY 1)
+    SELECT a.host, a.n_anchors, a.variety,
+           t._anchor AS top_anchor, t._n AS top_anchor_n
+    FROM ag a JOIN top t USING (host)
+    """
+
+
+@register("q_anchor_text", _anchor_text_oracle())
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target host (the link-context signal a
+    crawl frontier attaches to unfetched pages): pages rebuilt with varied
+    anchor labels (13 contested texts + 'me' self links + anchorless
+    dangling pages), pairs from ONE shared regex via arrays_zip, two
+    combinable aggs, majority anchor by exact struct-min argmax."""
+    d = load(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id", F.expr(W.anchored_html_sql("text", "doc_id")).alias("html")
+    )
+    return W.anchor_text_agg(pages)

@@ -64,3 +64,18 @@ def test_areal_touch_only_weighs_zero(spark):
     feats = _feats(spark, [(1, 0.0, 10.0, 5.0, 20.0, 50.0)])  # shares only the lon=10 edge
     out = areal_reaggregate(feats, idx, zr, "val").collect()
     assert len(out) == 1 and out[0].alloc == 0.0 and out[0].n_src == 1
+
+
+def test_zonal_majority_tie_breaks_to_smaller_category(spark):
+    from gaia_spark.operators.zonal import zonal_majority
+
+    rows = [
+        (1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"),   # tie a/b -> a
+        (2, "z"),                                            # singleton zone
+    ]
+    df = spark.createDataFrame(rows, "zone_id long, category string")
+    out = {r.zone_id: r for r in zonal_majority(df).collect()}
+    assert (out[1].majority, out[1].majority_n) == ("a", 2)
+    assert (out[1].minority, out[1].minority_n) == ("c", 1)
+    assert out[1].variety == 3
+    assert (out[2].majority, out[2].minority, out[2].variety) == ("z", "z", 1)

@@ -64,3 +64,41 @@ def test_kmeans_converged_rounds_agree(spark):
     a = sorted((r.vec_id, r.cid) for r in kmeans_assign(df, k=2, n_rounds=2).collect())
     b = sorted((r.vec_id, r.cid) for r in kmeans_assign(df, k=2, n_rounds=4).collect())
     assert a == b
+
+
+def test_semdedup_keeps_one_per_duplicate_group(spark):
+    from gaia_spark.operators.clustering import semdedup
+
+    # two tight duplicate pairs in opposite half-spaces + two singletons
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9999, 0.0001, 0.0, 0.0]),     # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),
+        (3, [-0.9999, -0.0001, 0.0, 0.0]),   # near-dup of 2
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(df, k=2, n_rounds=2, threshold=0.95).collect()}
+    assert out[1].grp == 0 and out[1].keep == 0 and out[0].keep == 1
+    assert out[3].grp == 2 and out[3].keep == 0 and out[2].keep == 1
+    assert out[4].keep == 1 and out[4].grp == 4
+    assert out[5].keep == 1 and out[5].grp == 5
+    # pairs can only link within a k-means cluster
+    assert out[0].cid == out[1].cid and out[2].cid == out[3].cid
+
+
+def test_semdedup_transitive_group(spark):
+    from gaia_spark.operators.clustering import semdedup
+
+    # chain a~b, b~c (a-c slightly below threshold): one group, min id kept
+    rows = [
+        (7, [1.0, 0.00, 0.0, 0.0]),
+        (8, [1.0, 0.08, 0.0, 0.0]),
+        (9, [1.0, 0.16, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # cos(7,8)=0.99681, cos(8,9)=0.99689 (linked); cos(7,9)=0.98744 (not)
+    out = {r.vec_id: r for r in semdedup(df, k=1, n_rounds=1, threshold=0.995).collect()}
+    assert [out[i].grp for i in (7, 8, 9)] == [7, 7, 7]
+    assert [out[i].keep for i in (7, 8, 9)] == [1, 0, 0]

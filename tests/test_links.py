@@ -61,3 +61,39 @@ def test_pagerank_over_extracted_edges_mass_conservation(spark):
     n = len(pr)
     assert abs(total - 1.0) < 1e-6
     assert all(r.rank >= 0.15 / n - 1e-12 for r in pr)
+
+
+# --- anchor-text aggregation ---------------------------------------------------
+
+
+def test_anchor_text_agg_closed_form(spark):
+    """Hand-built pages: host a gets anchors x, x, y → majority x(2),
+    variety 2, n 3; host b gets y, z (tie) → majority y (smaller text)."""
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="http://a/1">x</a><a href="http://b/1">y</a>'),
+            (2, '<a href="http://a/2">x</a><a href="http://a/3">y</a>'
+                '<a href="http://b/2">z</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r.host: r for r in W.anchor_text_agg(pages).collect()}
+    assert got["a"].n_anchors == 3 and got["a"].variety == 2
+    assert got["a"].top_anchor == "x" and got["a"].top_anchor_n == 2
+    assert got["b"].n_anchors == 2 and got["b"].variety == 2
+    assert got["b"].top_anchor == "y" and got["b"].top_anchor_n == 1
+
+
+def test_anchor_text_skips_malformed_and_dangling(spark):
+    """Unquoted hrefs, anchors with nested tags, and anchorless pages all
+    fall out of the pair extraction instead of corrupting it."""
+    pages = spark.createDataFrame(
+        [
+            (1, "<a href=http://u/1>u</a><p>no anchors here</p>"),
+            (2, '<a href="http://v/1"><b>bold</b></a><a href="http://v/2">ok</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r.host: r for r in W.anchor_text_agg(pages).collect()}
+    assert set(got) == {"v"} and got["v"].n_anchors == 1
+    assert got["v"].top_anchor == "ok"

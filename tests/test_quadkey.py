@@ -59,3 +59,48 @@ def test_zorder_layout_prunes(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in stats if r.n > 0)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev < lo_next  # disjoint, ordered ranges
+
+
+# --- Hilbert curve index ---------------------------------------------------------
+
+
+def _hilbert_map(spark, order):
+    from gaia_spark.operators.spatial_join import with_hilbert
+
+    n = 1 << order
+    # one point per grid cell, placed at the cell center
+    rows = [
+        (x * n + y, -180.0 + 360.0 * (x + 0.5) / n, -90.0 + 180.0 * (y + 0.5) / n)
+        for x in range(n)
+        for y in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k long, lon double, lat double")
+    got = with_hilbert(df, order=order, keep_xy=True).collect()
+    return {(r.hx, r.hy): r.hilbert_d for r in got}
+
+
+def test_hilbert_bijective_and_unit_step(spark):
+    """Order-3 (8×8): d values are a permutation of 0..63 and consecutive
+    d are always 4-neighbors — the defining Hilbert locality property."""
+    m = _hilbert_map(spark, 3)
+    inv = {d: xy for xy, d in m.items()}
+    assert sorted(inv) == list(range(64))
+    for d in range(63):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_order1_base_case(spark):
+    """Order-1 curve visits (0,0) → (0,1) → (1,1) → (1,0)."""
+    m = _hilbert_map(spark, 1)
+    assert m == {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
+
+
+def test_hilbert_reserved_column_guard(spark):
+    import pytest
+
+    from gaia_spark.operators.spatial_join import with_hilbert
+
+    df = spark.createDataFrame([(1.0, 2.0, 7)], "lat double, lon double, hilbert_d int")
+    with pytest.raises(ValueError):
+        with_hilbert(df)

@@ -86,3 +86,37 @@ def test_pixel_zonal_stats_against_closed_form(spark):
         np.testing.assert_allclose(got.mean, want.mean(), rtol=1e-9)
         np.testing.assert_allclose(got.sum, want.sum(), rtol=1e-9)
         np.testing.assert_allclose(got.median, np.median(want), rtol=1e-9)
+
+
+def test_bilinear_upsample_reproduces_linear_ramp(spark):
+    import numpy as np
+
+    from gaia_spark.operators.raster import bilinear_upsample
+    from gaia_spark.synth import TILE_PX
+
+    # v(r, c) = r: bilinear interpolation reproduces linear functions
+    # exactly -> target value (R - 0.5)/2 in source units = R*5000 - 2500 e4
+    grid = np.tile(np.arange(TILE_PX, dtype=np.float32)[:, None], (1, TILE_PX))
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0, grid.ravel().tolist())],
+        "zoom int, x int, y int, band int, px array<float>",
+    )
+    out = bilinear_upsample(df, zoom=0).collect()
+    n_tgt = 2 * TILE_PX
+    assert len(out) == (n_tgt - 2) * n_tgt  # two polar target rows drop
+    assert all(r.v_e4 == r.r * 5000 - 2500 for r in out)
+
+
+def test_bilinear_upsample_constant_field_identity(spark):
+    import numpy as np
+
+    from gaia_spark.operators.raster import bilinear_upsample
+    from gaia_spark.synth import TILE_PX
+
+    grid = np.full((TILE_PX, TILE_PX), 7.25, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0, grid.ravel().tolist())],
+        "zoom int, x int, y int, band int, px array<float>",
+    )
+    vals = {r.v_e4 for r in bilinear_upsample(df, zoom=0).collect()}
+    assert vals == {72500}

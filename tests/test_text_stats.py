@@ -63,3 +63,38 @@ def test_bigram_lm_backoff_uses_target_unigram(spark):
     out = bigram_logprob(train, score).collect()[0]
     # (b, a) unseen; C1(a)=3, N=4, V=2 -> lp = ln(0.4 * 4 / 6)
     assert out.sum_lp_e4 == math.floor(math.log(0.4 * 4 / 6) * 1e4 + 0.5)
+
+
+# --- BM25 ----------------------------------------------------------------------
+
+
+def test_bm25_closed_form(spark):
+    """Two docs, query {q}: doc 1 has tf=2 of 4 tokens, doc 2 tf=1 of 2;
+    N=2, df=2, TL=6. Scores computed from the formula by hand."""
+    import math
+
+    from gaia_spark.functions.text import bm25_scores
+
+    d = spark.createDataFrame(
+        [(1, "q w q w"), (2, "q w"), (3, "w w w")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bm25_scores(d, ["q"]).collect()}
+    assert set(got) == {1, 2}
+    N, TL, df = 3, 9, 2
+    idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    for doc, tf, dl in ((1, 2, 4), (2, 1, 2)):
+        tfn = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * N / TL))
+        assert got[doc].score_e4 == math.floor(idf * tfn * 1e4 + 0.5)
+        assert got[doc].n_q_terms == 1
+
+
+def test_bm25_length_normalization_ranks_shorter_doc_higher(spark):
+    """Same tf, shorter doc → larger score (the b·|d|/avgdl penalty)."""
+    from gaia_spark.functions.text import bm25_scores
+
+    d = spark.createDataFrame(
+        [(1, "q w"), (2, "q w w w w w w w")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.score_e4 for r in bm25_scores(d, ["q"]).collect()}
+    assert got[1] > got[2]
