@@ -199,3 +199,86 @@ def flow_accumulation(
         .join(s.withColumnRenamed("nxt", "basin"), "v")
         .select("r", "c", F.coalesce("acc", F.lit(0)).cast("long").alias("acc"), "basin")
     )
+
+
+def cost_distance(
+    raster: DataFrame,
+    zoom: int,
+    band: int = 0,
+    iters: int = 6,
+    source_mod: int = 1021,
+    cost_shift: float = 150.0,
+) -> DataFrame:
+    """ArcGIS-style Cost Distance: the accumulated least-cost travel
+    distance from the nearest source cell, where moving between adjacent
+    cells costs the mean of their two cost-surface values times the step
+    length (1 orthogonal, √2 diagonal).
+
+    Composition of two proven pieces: the focal 8-offset scatter builds the
+    bidirectional edge list ((src, dst, w) — scatter each pixel's e4 cost
+    to its neighbor targets, ONE equi-join attaches the target's own cost;
+    no pair enumeration beyond the 8 in-plan offsets), and
+    :func:`gaia_spark.operators.graph.shortest_paths` runs ``iters``
+    Bellman–Ford (min, +) rounds from the multi-source frontier. Cells
+    farther than ``iters`` steps stay absent (documented truncation — the
+    caller picks iters for the horizon it needs; each round is one
+    equi-join + one combinable min at any scale).
+
+    Cost surface = band value + ``cost_shift`` (must make every cell
+    positive; negative costs are rejected by shortest_paths). Sources are
+    the cells with (r·n+c) ≡ 0 mod ``source_mod``. Determinism: edge
+    weights are doubles built from exact e4 bigints by ONE shared
+    expression; min keeps the value of one specific relaxation chain, so
+    the truncated iteration is bit-identical cross-engine. Returns
+    (r, c, dist_e6)."""
+    from gaia_spark.operators.graph import shortest_paths
+    from gaia_spark.operators.raster import pixels_of
+    from gaia_spark.synth import TILE_PX
+
+    n_px = TILE_PX * (1 << zoom)
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    cost = portable.floor_scaled_sql(f"(v + cast({int(cost_shift)} as double))", 4)
+    decoded = px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(cost).alias("c_e4"),
+    ).withColumn("node", F.col("r") * n_px + F.col("c"))
+    offs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)]
+    arr = "array(" + ", ".join(
+        f"struct({dr} AS dr, {dc} AS dc, {2 if dr == 0 or dc == 0 else 1} AS m)"
+        for dr, dc in offs
+    ) + ")"
+    # step length: m=2 → 1.0, m=1 → √2 (the d8 orthogonal/diagonal flag)
+    w = (
+        "(cast(_cs + c_e4 as double) / cast(20000 as double)) * "
+        "(CASE WHEN _m = 2 THEN cast(1 as double) ELSE sqrt(cast(2 as double)) END)"
+    )
+    edges = (
+        decoded.withColumn("_o", F.explode(F.expr(arr)))
+        .select(
+            F.col("node").alias("src"),
+            (F.col("r") + F.col("_o.dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("_o.dc"), F.lit(n_px)).alias("tc"),
+            F.col("c_e4").alias("_cs"),
+            F.col("_o.m").alias("_m"),
+        )
+        .where((F.col("tr") >= 0) & (F.col("tr") < n_px))
+        .join(
+            decoded.select(F.col("r").alias("tr"), F.col("c").alias("tc"), "c_e4", "node"),
+            ["tr", "tc"],
+        )
+        .select("src", F.col("node").alias("dst"), F.expr(w).alias("w"))
+    )
+    srcs = decoded.where(F.col("node") % source_mod == 0).select("node")
+    d = shortest_paths(edges, srcs, iters=iters)
+    return d.select(
+        F.expr(f"node div {n_px}").cast("long").alias("r"),
+        (F.col("node") % n_px).cast("long").alias("c"),
+        F.expr(portable.floor_scaled_sql("dist", 6)).alias("dist_e6"),
+    )

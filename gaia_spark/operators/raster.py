@@ -704,3 +704,68 @@ def bilinear_upsample(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
             .alias("v_e4"),
         )
     )
+
+
+def terrain_indices(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
+    """TPI / TRI / roughness — the gdaldem terrain-index triple beside
+    :func:`slope_aspect`:
+
+    - **TPI** (topographic position index): v − mean(8 neighbors);
+    - **TRI** (terrain ruggedness, Riley et al. 1999):
+      sqrt(Σ_nb (v − v_nb)²);
+    - **roughness**: max − min of the full 3×3 window.
+
+    Scale shape: the focal scatter (8-offset in-plan explode, antimeridian
+    pmod wrap, polar row clamp) into ONE combinable moments aggregate
+    (n, Σv, Σv², min, max), then ONE equi-join back to the center pixel on
+    the grid key — Σ(v−v_nb)² expands to n·v² − 2·v·Σv + Σv², so no
+    per-neighbor pair ever materializes. All moments are exact bigints of
+    e4-quantized values (|v| ≤ 100 ⇒ Σv² ≤ 8e12 ≪ 2⁶³); TPI derives by
+    exact offset bigint division, TRI by ONE IEEE sqrt of an exact bigint
+    (correctly rounded per IEEE-754, hence engine-identical), e4-floored.
+    Returns (r, c, n_nb, tpi_e4, tri_e4, rough_e4)."""
+    n_px = TILE_PX * (1 << zoom)
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    decoded = px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(portable.floor_scaled_sql("v", 4)).alias("v_e4"),
+    )
+    offs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)]
+    arr = "array(" + ", ".join(f"struct({dr} AS dr, {dc} AS dc)" for dr, dc in offs) + ")"
+    scat = (
+        decoded.withColumn("_o", F.explode(F.expr(arr)))
+        .select(
+            (F.col("r") + F.col("_o.dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("_o.dc"), F.lit(n_px)).alias("tc"),
+            "v_e4",
+        )
+        .where((F.col("tr") >= 0) & (F.col("tr") < n_px))
+    )
+    nb = scat.groupBy(F.col("tr").alias("r"), F.col("tc").alias("c")).agg(
+        F.count("*").cast("long").alias("n_nb"),
+        F.sum("v_e4").cast("long").alias("_s"),
+        F.sum(F.col("v_e4") * F.col("v_e4")).cast("long").alias("_ss"),
+        F.min("v_e4").cast("long").alias("_mn"),
+        F.max("v_e4").cast("long").alias("_mx"),
+    )
+    off = 2_000_000  # > max |v_e4|: keeps the TPI numerator non-negative
+    tpi = f"((n_nb * v_e4 - _s + n_nb * {off}) div n_nb) - {off}"
+    ssd = "(n_nb * v_e4 * v_e4 - 2 * v_e4 * _s + _ss)"
+    tri = portable.floor_scaled_sql(
+        f"sqrt(cast({ssd} as double)) / cast(10000 as double)", 4
+    )
+    return decoded.join(nb, ["r", "c"]).select(
+        "r",
+        "c",
+        "n_nb",
+        F.expr(tpi).cast("long").alias("tpi_e4"),
+        F.expr(tri).cast("long").alias("tri_e4"),
+        F.expr("greatest(_mx, v_e4) - least(_mn, v_e4)").cast("long").alias("rough_e4"),
+    )

@@ -2235,3 +2235,120 @@ def q_hilbert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy(
         F.col("hx"), F.col("hy"), F.col("hilbert_d")
     ).agg(F.count("*").cast("long").alias("n_pts"))
+
+
+# --- terrain indices: TPI / TRI / roughness ---------------------------------------
+
+
+def _terrain_oracle() -> str:
+    n_t, px = 8, 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    off = 2_000_000
+    tpi = P.bigint_div(f"n_nb * v_e4 - _s + n_nb * {off}", "n_nb", P.DUCK)
+    ssd = "(n_nb * v_e4 * v_e4 - 2 * v_e4 * _s + _ss)"
+    tri = P.floor_scaled_sql(
+        f"sqrt(cast({ssd} as double)) / cast(10000 as double)", 4
+    )
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                   {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM pxg),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+    scat AS (SELECT r + dr AS tr, (c + dc + {n_px}) % {n_px} AS tc, v_e4
+             FROM pv CROSS JOIN offs
+             WHERE r + dr >= 0 AND r + dr < {n_px}),
+    nb AS (SELECT tr AS r, tc AS c, cast(count(*) as bigint) AS n_nb,
+                  cast(sum(v_e4) as bigint) AS _s,
+                  cast(sum(v_e4 * v_e4) as bigint) AS _ss,
+                  cast(min(v_e4) as bigint) AS _mn,
+                  cast(max(v_e4) as bigint) AS _mx
+           FROM scat GROUP BY 1, 2)
+    SELECT cast(p.r as bigint) AS r, cast(p.c as bigint) AS c, n_nb,
+           cast(({tpi}) - {off} as bigint) AS tpi_e4,
+           cast({tri} as bigint) AS tri_e4,
+           cast(greatest(_mx, v_e4) - least(_mn, v_e4) as bigint) AS rough_e4
+    FROM pv p JOIN nb USING (r, c)
+    """
+
+
+@register("q_terrain_indices", _terrain_oracle())
+def q_terrain_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem-style TPI / TRI (Riley) / roughness over the zoom-3 global
+    grid: focal moments by 8-offset scatter + ONE agg, center joined back
+    once; Σ(v−v_nb)² expanded to exact-bigint moments so no neighbor pair
+    materializes; TRI via one IEEE sqrt, TPI via exact offset division."""
+    from gaia_spark.operators.raster import terrain_indices
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0,))
+    return terrain_indices(raster, zoom=3, band=0)
+
+
+# --- cost distance (accumulated least-cost surface) --------------------------------
+
+_CD_ITERS = 6
+_CD_MOD = 1021
+
+
+def _cost_distance_oracle() -> str:
+    n_t, px = 2, 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    cost = P.floor_scaled_sql(f"(({v}) + cast(150 as double))", 4)
+    w = (
+        "(cast(_cs + c_e4 as double) / cast(20000 as double)) * "
+        "(CASE WHEN _m = 2 THEN cast(1 as double) ELSE sqrt(cast(2 as double)) END)"
+    )
+    rounds = []
+    for k in range(1, _CD_ITERS + 1):
+        prev = f"d{k - 1}"
+        rounds.append(
+            f"d{k} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM ed e JOIN {prev} d ON e.src = d.node) GROUP BY node)"
+        )
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                   {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM pxg),
+    nd AS (SELECT r, c, {cost} AS c_e4, r * {n_px} + c AS node FROM pc),
+    offs(dr, dc, m) AS (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),
+                               (0,1,2),(1,-1,1),(1,0,2),(1,1,1)),
+    scat AS (SELECT node AS src, r + dr AS tr, (c + dc + {n_px}) % {n_px} AS tc,
+                    c_e4 AS _cs, m AS _m
+             FROM nd CROSS JOIN offs
+             WHERE r + dr >= 0 AND r + dr < {n_px}),
+    ed AS (SELECT s.src, t.node AS dst, {w} AS w
+           FROM scat s JOIN nd t ON s.tr = t.r AND s.tc = t.c),
+    d0 AS (SELECT node, cast(0 as double) AS dist FROM nd WHERE node % {_CD_MOD} = 0),
+    {chain}
+    SELECT {P.bigint_div('node', str(n_px), P.DUCK)} AS r,
+           cast(node % {n_px} as bigint) AS c,
+           {P.floor_scaled_sql('dist', 6)} AS dist_e6
+    FROM d{_CD_ITERS}
+    """
+
+
+@register("q_cost_distance", _cost_distance_oracle())
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated cost distance over the zoom-1 cost surface (band value
+    + 150) from the node ≡ 0 (mod 1021) source cells — 8-neighbor edges
+    built by the focal scatter + one equi-join (mean-cost × step-length
+    weights, √2 diagonals), then 6 multi-source Bellman–Ford rounds;
+    unreached cells absent by design."""
+    from gaia_spark.operators.hydrology import cost_distance
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(1,), bands=(0,))
+    return cost_distance(raster, zoom=1, band=0, iters=_CD_ITERS, source_mod=_CD_MOD)

@@ -109,3 +109,40 @@ def test_slope_aspect_vs_numpy_reference(spark):
             + c45 * math.sin(slope) * math.cos(7 * math.pi / 4 - math.atan2(gy, gx)),
         )
         assert row.hillshade_e2 == int(math.floor(hs * 1e2 + 0.5))
+
+
+def test_terrain_indices_vs_numpy_reference(spark):
+    """TPI/TRI/roughness match an independent per-pixel numpy computation,
+    including wrapped-antimeridian columns and clamped polar rows."""
+    import math
+
+    from gaia_spark.operators.raster import terrain_indices
+
+    zoom, band = 1, 0
+    raster = synth_raster(spark, zooms=(zoom,), bands=(band,))
+    out = {(r.r, r.c): r for r in terrain_indices(raster, zoom, band).collect()}
+
+    g = _reference_grid(zoom, band)
+    n = g.shape[0]
+    ve = np.floor(g * 1e4 + 0.5).astype(np.int64)
+    assert len(out) == n * n
+    rng = np.random.default_rng(13)
+    checks = [(0, 0), (0, n - 1), (n - 1, 0), (TILE_PX - 1, TILE_PX)] + [
+        (int(a), int(b)) for a, b in rng.integers(0, n, size=(50, 2))
+    ]
+    OFF = 2_000_000
+    for r, c in checks:
+        v = int(ve[r, c])
+        nbr = [
+            int(ve[r + dr, (c + dc) % n])
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+            if (dr, dc) != (0, 0) and 0 <= r + dr < n
+        ]
+        row = out[(r, c)]
+        assert row.n_nb == len(nbr)
+        m = len(nbr)
+        assert row.tpi_e4 == (m * v - sum(nbr) + m * OFF) // m - OFF
+        ssd = sum((v - x) ** 2 for x in nbr)
+        assert row.tri_e4 == math.floor(math.sqrt(ssd) / 1e4 * 1e4 + 0.5)
+        assert row.rough_e4 == max(nbr + [v]) - min(nbr + [v])

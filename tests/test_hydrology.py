@@ -105,3 +105,37 @@ def test_d8_step_decode(spark, code, dr, dc):
         f"FROM (SELECT {code} AS dir)"
     ).collect()[0]
     assert (row.dr, row.dc) == (dr, dc)
+
+
+def test_cost_distance_constant_surface_closed_form(spark):
+    """Constant cost surface c: dist(orthogonal nb of a source) = c,
+    diagonal = c·√2, two orthogonal steps = 2c; sources themselves 0."""
+    import math
+
+    from gaia_spark.operators.hydrology import cost_distance
+
+    grid = np.full((TILE_PX, TILE_PX), 2.0)
+    out = cost_distance(
+        _raster_from_grid(spark, grid), zoom=0, iters=3, source_mod=1021
+    )
+    got = {(r.r, r.c): r.dist_e6 for r in out.collect()}
+    c = 152.0  # 2.0 + 150 shift
+    # sources: node ∈ {0, 1021, 2042, 3063} on the 64-wide grid
+    assert got[(0, 0)] == 0 and got[(1021 // 64, 1021 % 64)] == 0
+    assert got[(0, 1)] == math.floor(c * 1e6 + 0.5)
+    assert got[(1, 1)] == math.floor(c * math.sqrt(2) * 1e6 + 0.5)
+    assert got[(0, 2)] == math.floor(2 * c * 1e6 + 0.5)
+
+
+def test_cost_distance_truncation_horizon(spark):
+    """iters=1 discovers exactly the sources and their 8-neighborhoods —
+    nothing two steps out."""
+    from gaia_spark.operators.hydrology import cost_distance
+
+    grid = np.full((TILE_PX, TILE_PX), 1.0)
+    out = cost_distance(
+        _raster_from_grid(spark, grid), zoom=0, iters=1, source_mod=4099
+    ).collect()
+    # only source node 0 exists (4099 > 4095), at (0,0): it + 3 in-grid nbrs
+    cells = {(r.r, r.c) for r in out}
+    assert cells == {(0, 0), (0, 1), (1, 0), (1, 1), (0, 63), (1, 63)}
