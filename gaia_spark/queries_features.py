@@ -871,3 +871,66 @@ def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     horiz = lines.where("s_suppkey % 2 = 0").withColumnRenamed("s_suppkey", "line_a")
     vert = lines.where("s_suppkey % 2 = 1").withColumnRenamed("s_suppkey", "line_b")
     return line_intersections(horiz, vert, res=5, key_a="line_a", key_b="line_b")
+
+
+# --- WKT write -> parse round trip -------------------------------------------------
+
+
+def _wkt_oracle() -> str:
+    from gaia_spark.functions import portable as P
+    from gaia_spark.functions import wkt as WK
+
+    pairs = ", ".join(["%.6f %.6f"] * 5)
+    args = (
+        "pmin_lon, pmin_lat, pmax_lon, pmin_lat, pmax_lon, pmax_lat, "
+        "pmin_lon, pmax_lat, pmin_lon, pmin_lat"
+    )
+    parse = WK.parse_wkt_vertices_sql("wkt", P.DUCK)
+    return f"""
+    WITH {PARCELS_CTE},
+    w AS (SELECT p_partkey,
+                 'POLYGON ((' || printf('{pairs}', {args}) || '))' AS wkt
+          FROM parcels),
+    pp AS (SELECT p_partkey, wkt, {WK.wkt_type_sql('wkt')} AS gtype,
+                  {parse} AS pv FROM w)
+    SELECT p_partkey, wkt, gtype, cast(len(pv) as bigint) AS n_vertices,
+           {P.floor_scaled_sql("list_min(list_transform(pv, v -> v.lat))", 6)} AS min_lat_e6,
+           {P.floor_scaled_sql("list_max(list_transform(pv, v -> v.lat))", 6)} AS max_lat_e6,
+           {P.floor_scaled_sql("list_min(list_transform(pv, v -> v.lon))", 6)} AS min_lon_e6,
+           {P.floor_scaled_sql("list_max(list_transform(pv, v -> v.lon))", 6)} AS max_lon_e6
+    FROM pp
+    """
+
+
+@register("q_wkt_roundtrip", _wkt_oracle())
+def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT geometry IO round trip over the generic parcel ring layer:
+    write each feature as OGC 'POLYGON ((x y, ...))' text (%.6f, the
+    geoparse formatting precedent), parse the text back through the
+    regex coordinate reader, and hash-check the WKT string byte for byte
+    plus the parsed ring's extent at e6. The oracle builds the expected
+    text in closed printf form (rect corners are oracle-private) and
+    re-parses it with the DuckDB-dialect reader."""
+    from gaia_spark.functions import portable as P
+    from gaia_spark.functions import wkt as WK
+
+    feats = parcel_features(spark, sf_dir)
+    w = feats.select(
+        "p_partkey", F.expr(WK.wkt_polygon_sql("vertices", P.SPARK)).alias("wkt")
+    )
+    parsed = w.select(
+        "p_partkey",
+        "wkt",
+        F.expr(WK.wkt_type_sql("wkt")).alias("gtype"),
+        F.expr(WK.parse_wkt_vertices_sql("wkt", P.SPARK)).alias("_pv"),
+    )
+    return parsed.select(
+        "p_partkey",
+        "wkt",
+        "gtype",
+        F.size("_pv").cast("long").alias("n_vertices"),
+        F.expr(P.floor_scaled_sql("array_min(transform(_pv, v -> v.lat))", 6)).alias("min_lat_e6"),
+        F.expr(P.floor_scaled_sql("array_max(transform(_pv, v -> v.lat))", 6)).alias("max_lat_e6"),
+        F.expr(P.floor_scaled_sql("array_min(transform(_pv, v -> v.lon))", 6)).alias("min_lon_e6"),
+        F.expr(P.floor_scaled_sql("array_max(transform(_pv, v -> v.lon))", 6)).alias("max_lon_e6"),
+    )
