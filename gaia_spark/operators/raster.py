@@ -769,3 +769,93 @@ def terrain_indices(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
         F.expr(tri).cast("long").alias("tri_e4"),
         F.expr("greatest(_mx, v_e4) - least(_mn, v_e4)").cast("long").alias("rough_e4"),
     )
+
+
+def reclassify(
+    raster: DataFrame, zoom: int, breaks: list[float], band: int = 0
+) -> DataFrame:
+    """Raster reclassification (gdal_calc / ArcGIS Reclassify): map each
+    pixel value to the class index ``#{breaks ≤ v}`` (0 .. len(breaks)).
+    Comparison happens on e4-quantized EXACT integers (breaks quantize
+    through the same floor), so class boundaries can never flip between
+    engines. Map-only, one JVM CASE per pixel, zero shuffle. Returns
+    (r, c, v_e4, cls)."""
+    n_px = TILE_PX * (1 << zoom)
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    import math
+
+    # same floor(x*1e4 + 0.5) as floor_scaled_sql, so a break that equals a
+    # pixel value lands on the identical integer
+    bq = [math.floor(b * 10_000 + 0.5) for b in sorted(breaks)]
+    cls = "(" + " + ".join(f"CASE WHEN v_e4 >= {b} THEN 1 ELSE 0 END" for b in bq) + ")"
+    return px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(portable.floor_scaled_sql("v", 4)).alias("v_e4"),
+    ).withColumn("cls", F.expr(cls).cast("long"))
+
+
+def polygonize(
+    raster: DataFrame,
+    zoom: int,
+    breaks: list[float],
+    band: int = 0,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Raster → vector regionization (gdal_polygonize): group 4-connected
+    runs of equal class into regions. Classes come from :func:`reclassify`;
+    adjacency is built by the E/S offset scatter + ONE equi-join filtered
+    to equal class (longitude wraps, symmetrized by union); regions are
+    connected components via pointer-doubling min-label propagation
+    (O(log diameter) rounds — the grid_dbscan machinery on a pixel graph).
+    Returns one row per region: (region_id = min pixel node, cls,
+    n_pixels, min_r, max_r, min_c, max_c)."""
+    from gaia_spark.operators.stats import min_label_components
+
+    n_px = TILE_PX * (1 << zoom)
+    cls = reclassify(raster, zoom, breaks, band).withColumn(
+        "node", F.col("r") * n_px + F.col("c")
+    )
+    half = (
+        cls.withColumn("_o", F.explode(F.expr("array(struct(0 AS dr, 1 AS dc), struct(1 AS dr, 0 AS dc))")))
+        .select(
+            F.col("node").alias("a"),
+            (F.col("r") + F.col("_o.dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("_o.dc"), F.lit(n_px)).alias("tc"),
+            F.col("cls").alias("_ca"),
+        )
+        .where(F.col("tr") < n_px)
+        .join(
+            cls.select(F.col("r").alias("tr"), F.col("c").alias("tc"),
+                       F.col("node").alias("b"), F.col("cls").alias("_cb")),
+            ["tr", "tc"],
+        )
+        .where(F.col("_ca") == F.col("_cb"))
+        .select("a", "b")
+    )
+    sym = half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    comp = min_label_components(
+        cls.select("node"),
+        sym.select(F.col("a").alias("node"), F.col("b").alias("nbr")),
+        node_col="node",
+        nbr_col="nbr",
+        reliable_checkpoint=reliable_checkpoint,
+    )
+    return (
+        cls.join(comp, "node")
+        .groupBy(F.col("label").alias("region_id"))
+        .agg(
+            F.min("cls").cast("long").alias("cls"),
+            F.count("*").cast("long").alias("n_pixels"),
+            F.min("r").cast("long").alias("min_r"),
+            F.max("r").cast("long").alias("max_r"),
+            F.min("c").cast("long").alias("min_c"),
+            F.max("c").cast("long").alias("max_c"),
+        )
+    )

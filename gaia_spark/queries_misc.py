@@ -2352,3 +2352,101 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raster = synth_raster(spark, zooms=(1,), bands=(0,))
     return cost_distance(raster, zoom=1, band=0, iters=_CD_ITERS, source_mod=_CD_MOD)
+
+
+# --- raster reclassify + polygonize ------------------------------------------------
+
+_RC_BREAKS = (-50.0, 0.0, 50.0)
+
+
+def _reclass_cls_sql() -> str:
+    import math
+
+    bq = [math.floor(b * 10_000 + 0.5) for b in sorted(_RC_BREAKS)]
+    return "(" + " + ".join(f"CASE WHEN v_e4 >= {b} THEN 1 ELSE 0 END" for b in bq) + ")"
+
+
+def _reclass_oracle() -> str:
+    n_t, px = 4, 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                   {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM pxg),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    cl AS (SELECT r, c, v_e4, {_reclass_cls_sql()} AS cls FROM pv)
+    SELECT cast(cls as bigint) AS cls, cast(count(*) as bigint) AS n_pixels,
+           cast(min(v_e4) as bigint) AS min_e4, cast(max(v_e4) as bigint) AS max_e4
+    FROM cl GROUP BY 1
+    """
+
+
+@register("q_raster_reclass", _reclass_oracle())
+def q_raster_reclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster reclassification histogram over the zoom-2 global grid:
+    per class, pixel count and the exact e4 value range — class cuts on
+    exact quantized integers so boundaries never flip cross-engine."""
+    from gaia_spark.operators.raster import reclassify
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(2,), bands=(0,))
+    return (
+        reclassify(raster, zoom=2, breaks=list(_RC_BREAKS))
+        .groupBy("cls")
+        .agg(
+            F.count("*").cast("long").alias("n_pixels"),
+            F.min("v_e4").cast("long").alias("min_e4"),
+            F.max("v_e4").cast("long").alias("max_e4"),
+        )
+    )
+
+
+def _polygonize_oracle() -> str:
+    n_t, px = 1, 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    return f"""
+    WITH RECURSIVE g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                   {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM pxg),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    cl AS (SELECT r, c, r * {n_px} + c AS node, {_reclass_cls_sql()} AS cls FROM pv),
+    adj AS (
+      SELECT a.node AS cell, b.node AS nb FROM cl a JOIN cl b
+        ON a.cls = b.cls
+       AND ((b.r = a.r AND b.c = (a.c + 1) % {n_px})
+         OR (b.r = a.r AND b.c = (a.c + {n_px - 1}) % {n_px})
+         OR (b.c = a.c AND b.r = a.r + 1)
+         OR (b.c = a.c AND b.r = a.r - 1))),
+    reach(a, b) AS (
+      SELECT node, node FROM cl
+      UNION
+      SELECT r.a, j.nb FROM reach r JOIN adj j ON r.b = j.cell
+    ),
+    lab AS (SELECT a AS node, min(b) AS region_id FROM reach GROUP BY a)
+    SELECT l.region_id, cast(min(cls) as bigint) AS cls,
+           cast(count(*) as bigint) AS n_pixels,
+           cast(min(r) as bigint) AS min_r, cast(max(r) as bigint) AS max_r,
+           cast(min(c) as bigint) AS min_c, cast(max(c) as bigint) AS max_c
+    FROM cl JOIN lab l USING (node) GROUP BY 1
+    """
+
+
+@register("q_polygonize", _polygonize_oracle())
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_polygonize analog: 4-connected equal-class pixel runs of the
+    zoom-0 reclassified surface become regions (pointer-doubling min-label
+    components over the scatter-built adjacency, longitude wrap included);
+    the oracle replays adjacency + a recursive reachability closure."""
+    from gaia_spark.operators.raster import polygonize
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(0,), bands=(0,))
+    return polygonize(raster, zoom=0, breaks=list(_RC_BREAKS))

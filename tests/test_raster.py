@@ -120,3 +120,55 @@ def test_bilinear_upsample_constant_field_identity(spark):
     )
     vals = {r.v_e4 for r in bilinear_upsample(df, zoom=0).collect()}
     assert vals == {72500}
+
+
+def _tile0(spark, grid):
+    from gaia_spark.synth import TILE_PX
+
+    assert grid.shape == (TILE_PX, TILE_PX)
+    return spark.createDataFrame(
+        [(0, 0, 0, 0, grid.astype(np.float32).ravel().tolist())],
+        "zoom int, x int, y int, band int, px array<float>",
+    )
+
+
+def test_reclassify_boundary_exactness(spark):
+    """A pixel exactly ON a break belongs to the upper class (>=), and the
+    class index counts breaks below-or-equal."""
+    from gaia_spark.operators.raster import reclassify
+    from gaia_spark.synth import TILE_PX
+
+    grid = np.zeros((TILE_PX, TILE_PX))
+    grid[0, 0] = -60.0
+    grid[0, 1] = -50.0  # exactly on the first break
+    grid[0, 2] = 10.0
+    grid[0, 3] = 99.0
+    out = {(r.r, r.c): r.cls for r in reclassify(_tile0(spark, grid), 0, [-50.0, 0.0, 50.0]).collect()}
+    assert out[(0, 0)] == 0 and out[(0, 1)] == 1
+    assert out[(0, 2)] == 2 and out[(0, 3)] == 3
+    assert out[(1, 0)] == 2  # 0.0 >= 0.0 break
+
+
+def test_polygonize_regions_and_wrap(spark):
+    """Two same-class blobs joined only diagonally stay SEPARATE regions
+    (4-connectivity), and a run crossing the antimeridian columns is ONE
+    region."""
+    from gaia_spark.operators.raster import polygonize
+    from gaia_spark.synth import TILE_PX
+
+    grid = np.zeros((TILE_PX, TILE_PX))
+    # class-1 pixels: diagonal pair (5,5) and (6,6); wrap run (10, 62..1)
+    grid[5, 5] = 10.0
+    grid[6, 6] = 10.0
+    for c in (62, 63, 0, 1):
+        grid[10, c] = 10.0
+    out = polygonize(_tile0(spark, grid), 0, [5.0]).collect()
+    ones = [r for r in out if r.cls == 1]
+    sizes = sorted(r.n_pixels for r in ones)
+    assert sizes == [1, 1, 4]
+    wrap = next(r for r in ones if r.n_pixels == 4)
+    assert wrap.min_r == 10 and wrap.max_r == 10
+    assert wrap.min_c == 0 and wrap.max_c == 63  # wraps, plain min/max
+    # the zero background is a single giant region
+    zero = [r for r in out if r.cls == 0]
+    assert len(zero) == 1 and zero[0].n_pixels == TILE_PX * TILE_PX - 6
