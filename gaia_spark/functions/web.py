@@ -239,3 +239,49 @@ def anchor_text_agg(pages, html_col: str = "html", min_count: int = 1):
             (-F.col("_top._k")).cast("long").alias("top_anchor_n"),
         )
     )
+
+
+# --- blocklist filtering (the RefinedWeb/CCNet URL-filter stage) ----------------
+
+
+def host_suffixes_sql(host: str, dialect: str) -> str:
+    """All dot-suffixes of a host ('a.b.c' → ['a.b.c', 'b.c', 'c']) — the
+    key trick that turns domain-suffix blocklist matching into an
+    EQUI-join: explode each host's ≤ ~6 suffixes in-plan and hash-join the
+    rule table, instead of a rules × hosts LIKE scan."""
+    if dialect == SPARK:
+        parts = f"split({host}, '[.]')"
+        return (
+            f"transform(sequence(1, size({parts})), i -> "
+            f"array_join(slice({parts}, i, size({parts})), '.'))"
+        )
+    parts = f"string_split({host}, '.')"
+    return (
+        f"list_transform(generate_series(1, len({parts})), i -> "
+        f"array_to_string({parts}[i:], '.'))"
+    )
+
+
+def blocklist_filter(pages, rules: list[str], url_col: str = "url"):
+    """Domain blocklist filtering: mark every page whose host equals a rule
+    OR sits under a rule domain (suffix semantics — 'bad.example' blocks
+    'www.bad.example'). Scale shape: hosts explode to their dot-suffixes
+    in-plan (bounded fan-out), ONE broadcast equi-join against the rule
+    table, one combinable min per url; the kept/blocked verdict rides back
+    on a left join keyed by url. blocked_by = the lexicographically first
+    matching rule, NULL when kept. Returns the input + (host, blocked_by)."""
+    import pyspark.sql.functions as F
+
+    h = pages.withColumn("host", F.expr(host_sql(url_col)))
+    rules_df = h.sparkSession.createDataFrame(
+        [(r,) for r in sorted(set(rules))], "rule string"
+    )
+    sfx = h.select(
+        url_col, F.explode(F.expr(host_suffixes_sql("host", SPARK))).alias("_sfx")
+    )
+    hits = (
+        sfx.join(F.broadcast(rules_df), sfx["_sfx"] == rules_df["rule"])
+        .groupBy(url_col)
+        .agg(F.min("rule").alias("blocked_by"))
+    )
+    return h.join(hits, url_col, "left")

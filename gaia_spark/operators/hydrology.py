@@ -282,3 +282,32 @@ def cost_distance(
         (F.col("node") % n_px).cast("long").alias("c"),
         F.expr(portable.floor_scaled_sql("dist", 6)).alias("dist_e6"),
     )
+
+
+def isochrones(
+    raster: DataFrame,
+    zoom: int,
+    breaks_m: list[float],
+    band: int = 0,
+    iters: int = 6,
+    source_mod: int = 1021,
+) -> DataFrame:
+    """Isochrone bands over a :func:`cost_distance` surface: every reached
+    cell falls in band ``#{breaks ≤ dist}`` (0 .. len(breaks)), compared on
+    the exact e6-quantized distances so band edges never flip cross-engine;
+    one combinable count per band. Returns (band, n_cells, min_e6,
+    max_e6) — the service-area summary ArcGIS draws as rings."""
+    import math
+
+    d = cost_distance(raster, zoom, band, iters, source_mod)
+    bq = [math.floor(b * 1_000_000 + 0.5) for b in sorted(breaks_m)]
+    cls = "(" + " + ".join(f"CASE WHEN dist_e6 >= {b} THEN 1 ELSE 0 END" for b in bq) + ")"
+    return (
+        d.withColumn("band", F.expr(cls).cast("long"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.min("dist_e6").cast("long").alias("min_e6"),
+            F.max("dist_e6").cast("long").alias("max_e6"),
+        )
+    )

@@ -2295,7 +2295,9 @@ _CD_ITERS = 6
 _CD_MOD = 1021
 
 
-def _cost_distance_oracle() -> str:
+def _cd_ctes() -> str:
+    """CTE chain ending in d{_CD_ITERS} = (node, dist) — shared by the
+    q_cost_distance and q_isochrones oracles."""
     n_t, px = 2, 64
     n_px = n_t * px
     c_lat, c_lon = _tile_px_center_sql(n_t, px)
@@ -2316,8 +2318,7 @@ def _cost_distance_oracle() -> str:
             f"FROM ed e JOIN {prev} d ON e.src = d.node) GROUP BY node)"
         )
     chain = ",\n    ".join(rounds)
-    return f"""
-    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+    return f"""g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
                             generate_series(0, {n_px - 1}) t2(c)),
     pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
                    {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
@@ -2332,7 +2333,13 @@ def _cost_distance_oracle() -> str:
     ed AS (SELECT s.src, t.node AS dst, {w} AS w
            FROM scat s JOIN nd t ON s.tr = t.r AND s.tc = t.c),
     d0 AS (SELECT node, cast(0 as double) AS dist FROM nd WHERE node % {_CD_MOD} = 0),
-    {chain}
+    {chain}"""
+
+
+def _cost_distance_oracle() -> str:
+    n_px = 128
+    return f"""
+    WITH {_cd_ctes()}
     SELECT {P.bigint_div('node', str(n_px), P.DUCK)} AS r,
            cast(node % {n_px} as bigint) AS c,
            {P.floor_scaled_sql('dist', 6)} AS dist_e6
@@ -2450,3 +2457,37 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raster = synth_raster(spark, zooms=(0,), bands=(0,))
     return polygonize(raster, zoom=0, breaks=list(_RC_BREAKS))
+
+
+_ISO_BREAKS = (200.0, 400.0, 600.0)
+
+
+def _isochrones_oracle() -> str:
+    import math
+
+    bq = [math.floor(b * 1_000_000 + 0.5) for b in sorted(_ISO_BREAKS)]
+    cls = "(" + " + ".join(f"CASE WHEN dist_e6 >= {b} THEN 1 ELSE 0 END" for b in bq) + ")"
+    return f"""
+    WITH {_cd_ctes()},
+    de AS (SELECT {P.floor_scaled_sql('dist', 6)} AS dist_e6 FROM d{_CD_ITERS}),
+    bd AS (SELECT {cls} AS band, dist_e6 FROM de)
+    SELECT cast(band as bigint) AS band, cast(count(*) as bigint) AS n_cells,
+           cast(min(dist_e6) as bigint) AS min_e6,
+           cast(max(dist_e6) as bigint) AS max_e6
+    FROM bd GROUP BY 1
+    """
+
+
+@register("q_isochrones", _isochrones_oracle())
+def q_isochrones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone (service-area) bands over the cost-distance surface:
+    reached cells banded at 200/400/600 cost-units on exact e6 integers,
+    one combinable count per band — cost_distance ∘ classify, both stages
+    independently oracle-proven."""
+    from gaia_spark.operators.hydrology import isochrones
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(1,), bands=(0,))
+    return isochrones(
+        raster, zoom=1, breaks_m=list(_ISO_BREAKS), iters=_CD_ITERS, source_mod=_CD_MOD
+    )

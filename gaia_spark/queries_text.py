@@ -1569,3 +1569,43 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(W.anchored_html_sql("text", "doc_id")).alias("html")
     )
     return W.anchor_text_agg(pages)
+
+
+# --- URL blocklist filtering ----------------------------------------------------
+
+_BLOCK_RULES = ("site13.example", "site7.example", "example.net", "badtld")
+
+
+def _blocklist_oracle() -> str:
+    from gaia_spark.queries import _PAGES_CTE
+
+    rules = ", ".join(f"('{r}')" for r in sorted(_BLOCK_RULES))
+    sfx = W.host_suffixes_sql("host", P.DUCK)
+    return f"""
+    WITH {_PAGES_CTE},
+    h AS (SELECT url, {W.host_sql('url')} AS host FROM pages),
+    sx AS (SELECT url, unnest({sfx}) AS _sfx FROM h),
+    rules(rule) AS (VALUES {rules}),
+    hits AS (SELECT url, min(rule) AS blocked_by
+             FROM sx JOIN rules ON _sfx = rule GROUP BY 1),
+    j AS (SELECT h.host, hits.blocked_by FROM h LEFT JOIN hits USING (url))
+    SELECT host, blocked_by, cast(count(*) as bigint) AS n_pages
+    FROM j GROUP BY 1, 2
+    """
+
+
+@register("q_url_blocklist", _blocklist_oracle())
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist filtering (the URL-filter stage every crawl
+    pipeline runs before fetch/extract): hosts explode to their
+    dot-suffixes in-plan, ONE broadcast equi-join to the rule table (never
+    a LIKE scan), verdicts ride back on a left join; per (host, verdict)
+    rollup hash-checked — blocked hosts carry their first matching rule,
+    kept hosts NULL."""
+    from gaia_spark.queries import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = W.blocklist_filter(pages, list(_BLOCK_RULES))
+    return out.groupBy("host", "blocked_by").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )

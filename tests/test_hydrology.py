@@ -139,3 +139,28 @@ def test_cost_distance_truncation_horizon(spark):
     # only source node 0 exists (4099 > 4095), at (0,0): it + 3 in-grid nbrs
     cells = {(r.r, r.c) for r in out}
     assert cells == {(0, 0), (0, 1), (1, 0), (1, 1), (0, 63), (1, 63)}
+
+
+def test_isochrones_constant_surface_bands(spark):
+    """Constant cost c=151: ring distances are known multiples of c, so the
+    band histogram is computable by hand from the reachable set."""
+    from gaia_spark.operators.hydrology import isochrones
+
+    grid = np.full((TILE_PX, TILE_PX), 1.0)
+    # single source at node 0, 2 rounds, breaks at 1.5c and 2.5c
+    out = {
+        r.band: r
+        for r in isochrones(
+            _raster_from_grid(spark, grid),
+            zoom=0,
+            breaks_m=[151.0 * 1.5, 151.0 * 2.5],
+            iters=2,
+            source_mod=4099,
+        ).collect()
+    }
+    # band 0: dist < 1.5c — the corner source (0,0), its in-grid orthogonals
+    # (0,1), (1,0), the wrapped (0,63), and diagonals (1,1), (1,63): 6 cells
+    assert out[0].n_cells == 6 and out[0].min_e6 == 0
+    # band 1: [1.5c, 2.5c): 2c orthogonals, c+c chains, c√2+c knights, 2√2c diag
+    assert out[1].n_cells > 0 and out[1].min_e6 >= 151_500_000
+    assert all(b <= 2 for b in out)

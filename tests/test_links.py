@@ -97,3 +97,43 @@ def test_anchor_text_skips_malformed_and_dangling(spark):
     got = {r.host: r for r in W.anchor_text_agg(pages).collect()}
     assert set(got) == {"v"} and got["v"].n_anchors == 1
     assert got["v"].top_anchor == "ok"
+
+
+# --- blocklist filtering ---------------------------------------------------------
+
+
+def test_blocklist_suffix_semantics(spark):
+    """'bad.example' blocks itself AND subdomains, never 'notbad.example';
+    two matching rules resolve to the lexicographically first."""
+    pages = spark.createDataFrame(
+        [
+            ("https://bad.example/a",),
+            ("https://www.bad.example/b",),
+            ("https://notbad.example/c",),
+            ("https://deep.www.bad.example/d",),
+            ("https://ok.example/e",),
+        ],
+        "url string",
+    )
+    out = {
+        r.url: r.blocked_by
+        for r in W.blocklist_filter(
+            pages, ["bad.example", "www.bad.example"]
+        ).collect()
+    }
+    assert out["https://bad.example/a"] == "bad.example"
+    assert out["https://www.bad.example/b"] == "bad.example"  # first rule wins
+    assert out["https://deep.www.bad.example/d"] == "bad.example"
+    assert out["https://notbad.example/c"] is None
+    assert out["https://ok.example/e"] is None
+
+
+def test_host_suffixes_sql_both_dialects():
+    import duckdb
+
+    from gaia_spark.functions import portable as P
+
+    got = duckdb.sql(
+        f"SELECT {W.host_suffixes_sql(chr(39) + 'a.b.c' + chr(39), P.DUCK)} AS s"
+    ).fetchone()[0]
+    assert got == ["a.b.c", "b.c", "c"]
