@@ -77,7 +77,7 @@ def _recenter(assign: DataFrame, pts: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
     n_rounds: int = 3,
@@ -86,10 +86,9 @@ def kmeans_assign(
     reliable: bool = False,
 ) -> DataFrame:
     """``n_rounds`` Lloyd's iterations from md5-ordered seeds (the k rows
-    with the smallest md5(id) — deterministic, engine-independent), then a
-    final assignment. A cluster that empties mid-run simply drops out (its
-    cid disappears; documented, mirrored exactly by the oracle). Returns
-    (id, cid, dist_e12) — dist in (e6)² integer units."""
+    with the smallest md5(id) — deterministic, engine-independent);
+    returns the trained CODEBOOK (cid, c) with e6-bigint center arrays —
+    the piece product quantization reuses per subspace."""
     pts = iter_checkpoint(_quantize(emb, id_col, vec_col), reliable=reliable)
     h = portable.md5_int60(f"cast({id_col} as string)", portable.SPARK)
     w = Window.orderBy("_h", id_col)
@@ -102,6 +101,23 @@ def kmeans_assign(
     for _ in range(n_rounds):
         a = _assign(pts, centers, id_col)
         centers = iter_checkpoint(_recenter(a, pts, id_col), reliable=reliable)
+    return centers
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reliable: bool = False,
+) -> DataFrame:
+    """:func:`kmeans_fit` + a final exact-integer assignment. A cluster
+    that empties mid-run simply drops out (its cid disappears; documented,
+    mirrored exactly by the oracle). Returns (id, cid, dist_e12) — dist in
+    (e6)² integer units."""
+    centers = kmeans_fit(emb, k, n_rounds, id_col, vec_col, reliable)
+    pts = _quantize(emb, id_col, vec_col)
     return _assign(pts, centers, id_col)
 
 

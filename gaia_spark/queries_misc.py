@@ -2491,3 +2491,132 @@ def q_isochrones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isochrones(
         raster, zoom=1, breaks_m=list(_ISO_BREAKS), iters=_CD_ITERS, source_mod=_CD_MOD
     )
+
+
+# --- product quantization: PQ codes + ADC top-k -------------------------------------
+
+_PQ_M, _PQ_K, _PQ_SD, _PQ_ROUNDS = 8, 8, 8, 2
+_PQ_QID, _PQ_TOPK = 3, 10
+
+
+def _kmeans_sub_ctes(prefix: str, k: int, sd: int, rounds: int, lo: int) -> str:
+    """The _kmeans_ctes chain generalized to an embedding SLICE
+    [lo+1 .. lo+sd] with all CTE names prefixed — one block per PQ
+    subspace; ends in {prefix}asg = (vec_id, cid, d)."""
+    from gaia_spark.operators.clustering import KM_OFF
+
+    h = P.md5_int60("cast(vec_id as string)", P.DUCK)
+    pre = prefix
+    parts = [
+        f"""{pre}pts AS (SELECT vec_id, i,
+           cast(floor(cast(embedding[{lo} + i] as double) * 1000000 + 0.5) as bigint) AS xv
+           FROM embeddings, generate_series(1, {sd}) g(i)),
+    {pre}seeds AS (SELECT vec_id, cast(row_number() OVER (ORDER BY _h, vec_id) - 1 as int) AS cid
+              FROM (SELECT vec_id, {h} AS _h FROM embeddings)
+              ORDER BY _h, vec_id LIMIT {k}),
+    {pre}c0 AS (SELECT s.cid, p.i, p.xv AS cv FROM {pre}seeds s JOIN {pre}pts p USING (vec_id))"""
+    ]
+    prev = f"{pre}c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""{pre}a{r} AS (SELECT p.vec_id, c.cid,
+             cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
+             FROM {pre}pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2),
+    {pre}s{r} AS (SELECT vec_id, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+              FROM {pre}a{r}) WHERE rn = 1),
+    {pre}c{r} AS (SELECT s.cid, p.i,
+             cast(((sum(p.xv) + count(*) * {KM_OFF}) // count(*)) - {KM_OFF} as bigint) AS cv
+             FROM {pre}s{r} s JOIN {pre}pts p USING (vec_id) GROUP BY 1, 2)"""
+        )
+        prev = f"{pre}c{r}"
+    fr = rounds + 1
+    parts.append(
+        f"""{pre}a{fr} AS (SELECT p.vec_id, c.cid,
+              cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
+              FROM {pre}pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2),
+    {pre}asg AS (SELECT vec_id, cid, d FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM {pre}a{fr})
+    WHERE rn = 1)"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _pq_blocks() -> str:
+    return ",\n    ".join(
+        _kmeans_sub_ctes(f"m{j}_", _PQ_K, _PQ_SD, _PQ_ROUNDS, j * _PQ_SD)
+        for j in range(_PQ_M)
+    )
+
+
+def _pq_codes_oracle() -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, cast({j} as int) AS m, cid AS code, d AS dist_e12 FROM m{j}_asg"
+        for j in range(_PQ_M)
+    )
+    return f"WITH {_pq_blocks()}\n    {union}"
+
+
+@register("q_pq_codes", _pq_codes_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embeddings table: 8 subspaces
+    × 8-centroid deterministic codebooks (2 Lloyd's rounds each, md5
+    seeds) — every (vector, subspace) code AND its exact e6² residual
+    hash-checked against 8 prefixed k-means CTE chains."""
+    from gaia_spark.operators.simsearch import pq_codes
+
+    codes, _ = pq_codes(
+        load(spark, sf_dir, "embeddings"),
+        dim=64, m=_PQ_M, k=_PQ_K, n_rounds=_PQ_ROUNDS,
+    )
+    return codes
+
+
+def _pq_adc_oracle() -> str:
+    from gaia_spark.operators.clustering import KM_OFF  # noqa: F401  (doc parity)
+
+    dts = []
+    for j in range(_PQ_M):
+        lo = j * _PQ_SD
+        dts.append(
+            f"""q{j} AS (SELECT i,
+            cast(floor(cast(embedding[{lo} + i] as double) * 1000000 + 0.5) as bigint) AS qv
+            FROM embeddings, generate_series(1, {_PQ_SD}) g(i) WHERE vec_id = {_PQ_QID}),
+    dt{j} AS (SELECT c.cid AS code, cast(sum((q.qv - c.cv) * (q.qv - c.cv)) as bigint) AS dj
+              FROM m{j}_c{_PQ_ROUNDS} c JOIN q{j} q ON c.i = q.i GROUP BY 1)"""
+        )
+    code_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, cast({j} as int) AS m, cid AS code FROM m{j}_asg"
+        for j in range(_PQ_M)
+    )
+    dt_union = "\n      UNION ALL ".join(
+        f"SELECT cast({j} as int) AS m, code, dj FROM dt{j}" for j in range(_PQ_M)
+    )
+    dts_sql = ",\n    ".join(dts)
+    return f"""
+    WITH {_pq_blocks()},
+    {dts_sql},
+    ac AS ({code_union}),
+    ad AS ({dt_union}),
+    sc AS (SELECT vec_id, cast(sum(dj) as bigint) AS adc_e12
+           FROM ac JOIN ad USING (m, code) GROUP BY 1)
+    SELECT vec_id, adc_e12, rank FROM
+    (SELECT vec_id, adc_e12,
+            cast(row_number() OVER (ORDER BY adc_e12, vec_id) as int) AS rank
+     FROM sc)
+    WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register("q_pq_adc", _pq_adc_oracle())
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 PQ search for query vec_id=3: exact query subvectors vs
+    the 64-entry broadcast distance table over the codes, one combinable
+    per-vector sum, ties by id — rank list hash-identical cross-engine."""
+    from gaia_spark.operators.simsearch import pq_adc_topk
+
+    return pq_adc_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_id=_PQ_QID, topk=_PQ_TOPK,
+        dim=64, m=_PQ_M, k=_PQ_K, n_rounds=_PQ_ROUNDS,
+    )

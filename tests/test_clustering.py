@@ -102,3 +102,61 @@ def test_semdedup_transitive_group(spark):
     out = {r.vec_id: r for r in semdedup(df, k=1, n_rounds=1, threshold=0.995).collect()}
     assert [out[i].grp for i in (7, 8, 9)] == [7, 7, 7]
     assert [out[i].keep for i in (7, 8, 9)] == [1, 0, 0]
+
+
+# --- product quantization --------------------------------------------------------
+
+
+def test_pq_codes_shape_and_range(spark):
+    from gaia_spark.operators.simsearch import pq_codes
+
+    df = _blob_df(spark, [0.1, 0.5, 0.9], 8, dim=8)
+    codes, books = pq_codes(df, dim=8, m=2, k=2, n_rounds=2)
+    got = codes.collect()
+    assert len(got) == 24 * 2                       # one row per (vector, subspace)
+    assert all(0 <= r.code < 2 and r.m in (0, 1) for r in got)
+    b = books.collect()
+    assert all(len(r.c) == 4 for r in b)            # 8 dims / 2 subspaces
+
+
+def test_pq_adc_matches_numpy_recompute(spark):
+    """ADC scores recomputed in numpy from the COLLECTED codes + codebooks
+    + raw query agree exactly with the Spark pipeline (two independent
+    computation paths over the same exact integers), incl. rank order."""
+    from gaia_spark.operators.simsearch import pq_adc_topk, pq_codes
+
+    df = _blob_df(spark, [0.1, 0.5, 0.9], 8, dim=8)
+    m, k, sd, qid = 2, 2, 4, 5
+    codes, books = pq_codes(df, dim=8, m=m, k=k, n_rounds=2)
+    cb = {(r.m, r.cid): np.array(r.c, dtype=np.int64) for r in books.collect()}
+    cd = {(r.vec_id, r.m): r.code for r in codes.collect()}
+    qvec = df.where(f"vec_id = {qid}").collect()[0].embedding
+    qq = np.floor(np.array(qvec, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+    ids = sorted({v for v, _ in cd})
+    exp = {}
+    for v in ids:
+        s = 0
+        for j in range(m):
+            diff = qq[j * sd:(j + 1) * sd] - cb[(j, cd[(v, j)])]
+            s += int((diff * diff).sum())
+        exp[v] = s
+    got = pq_adc_topk(df, query_id=qid, topk=10, dim=8, m=m, k=k, n_rounds=2).collect()
+    order = sorted(ids, key=lambda v: (exp[v], v))[:10]
+    assert [r.vec_id for r in got] == order
+    assert all(r.adc_e12 == exp[r.vec_id] for r in got)
+
+
+def test_pq_adc_self_identity(spark):
+    """ADC(query) == Σ_j the query's own assignment residuals — the
+    defining asymmetric-distance identity."""
+    from gaia_spark.operators.simsearch import pq_adc_topk, pq_codes
+
+    df = _blob_df(spark, [0.2, 0.8], 6, dim=8)
+    qid = 3
+    codes, _ = pq_codes(df, dim=8, m=2, k=2, n_rounds=2)
+    own = sum(r.dist_e12 for r in codes.where(f"vec_id = {qid}").collect())
+    adc = {
+        r.vec_id: r.adc_e12
+        for r in pq_adc_topk(df, query_id=qid, topk=12, dim=8, m=2, k=2, n_rounds=2).collect()
+    }
+    assert adc[qid] == own
