@@ -1609,3 +1609,64 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("host", "blocked_by").agg(
         F.count("*").cast("long").alias("n_pages")
     )
+
+
+# --- in-engine logistic-regression quality classifier ----------------------------
+
+_LRQ_B, _LRQ_R = 64, 3
+_LRQ_Y = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+
+
+def _logreg_oracle() -> str:
+    from gaia_spark.operators.classifier import LR_OFF, SIGMOID_E6
+
+    grams = T.shingles_sql("text", P.DUCK, 2)
+    b = f"({P.md5_int60('g', P.DUCK)} % {_LRQ_B})"
+    parts = [
+        f"""fe AS (SELECT doc_id, {b} AS _b, cast(count(*) as bigint) AS x
+          FROM (SELECT doc_id, unnest({grams}) AS g FROM documents)
+          GROUP BY 1, 2),
+    lab AS (SELECT doc_id, cast({_LRQ_Y} as bigint) AS y FROM documents),
+    nn AS (SELECT cast(count(*) as bigint) AS n FROM documents),
+    w0 AS (SELECT DISTINCT _b, cast(0 as bigint) AS w_e6 FROM fe)"""
+    ]
+    prev = "w0"
+    for r in range(1, _LRQ_R + 1):
+        parts.append(
+            f"""z{r} AS (SELECT f.doc_id, l.y, cast(sum(f.x * w.w_e6) as bigint) AS z_i
+            FROM fe f JOIN {prev} w USING (_b) JOIN lab l USING (doc_id)
+            GROUP BY 1, 2),
+    e{r} AS (SELECT doc_id, cast({SIGMOID_E6} - y * 1000000 as bigint) AS e_e6 FROM z{r}),
+    g{r} AS (SELECT _b, cast(sum(f.x * e.e_e6) as bigint) AS g
+            FROM fe f JOIN e{r} e USING (doc_id) GROUP BY 1),
+    w{r} AS (SELECT _b,
+            cast(w.w_e6 - (((g.g + cast({LR_OFF} as bigint) * nn.n) // nn.n) - {LR_OFF}) as bigint) AS w_e6
+            FROM {prev} w JOIN g{r} g USING (_b) CROSS JOIN nn)"""
+        )
+        prev = f"w{r}"
+    parts.append(
+        f"""zf AS (SELECT f.doc_id, cast(sum(f.x * w.w_e6) as bigint) AS z_i
+           FROM fe f JOIN {prev} w USING (_b) GROUP BY 1)"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT doc_id, z_i, {SIGMOID_E6} AS score_e6,
+           cast(CASE WHEN {SIGMOID_E6} >= 500000 THEN 1 ELSE 0 END as int) AS pred
+    FROM zf
+    """
+
+
+@register("q_logreg_quality", _logreg_oracle())
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training INSIDE the engine: 3 full-batch
+    logistic-regression rounds over 64 hashed-bigram buckets (label:
+    lang == 'en'), weights e6-requantized each round, the lone float
+    (sigmoid) floored to e6 before every gradient sum — then every doc
+    scored under the trained weights. Per-doc logit, score and prediction
+    hash-checked against a 3-round CTE replay."""
+    from gaia_spark.operators.classifier import logreg_score, logreg_train
+
+    docs = load(spark, sf_dir, "documents")
+    w = logreg_train(docs, _LRQ_Y, n_buckets=_LRQ_B, n_rounds=_LRQ_R)
+    return logreg_score(docs, w, n_buckets=_LRQ_B)
