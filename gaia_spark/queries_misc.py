@@ -2620,3 +2620,54 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id=_PQ_QID, topk=_PQ_TOPK,
         dim=64, m=_PQ_M, k=_PQ_K, n_rounds=_PQ_ROUNDS,
     )
+
+
+# --- Hilbert bbox range decomposition ----------------------------------------------
+
+_HR_BBOX = (10.0, 35.0, -40.0, -5.0)  # lat_min, lat_max, lon_min, lon_max
+
+
+def _hilbert_ranges_oracle() -> str:
+    import math
+
+    order, n = _HILBERT_ORDER, 1 << _HILBERT_ORDER
+    la0, la1, lo0, lo1 = _HR_BBOX
+    x0 = max(0, min(n - 1, math.floor((lo0 + 180.0) / 360.0 * n)))
+    x1 = max(0, min(n - 1, math.floor((lo1 + 180.0) / 360.0 * n)))
+    y0 = max(0, min(n - 1, math.floor((la0 + 90.0) / 180.0 * n)))
+    y1 = max(0, min(n - 1, math.floor((la1 + 90.0) / 180.0 * n)))
+    parts = [
+        f"l0 AS (SELECT x AS _x, y AS _y, 0 AS d "
+        f"FROM generate_series({x0}, {x1}) t1(x), generate_series({y0}, {y1}) t2(y))"
+    ]
+    s, i = n // 2, 0
+    while s > 0:
+        d2, x2, y2 = P.hilbert_step_exprs("_x", "_y", "d", s, n)
+        parts.append(
+            f"l{i + 1} AS (SELECT {x2} AS _x, {y2} AS _y, {d2} AS d FROM l{i})"
+        )
+        s //= 2
+        i += 1
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    runs AS (SELECT d, d - row_number() OVER (ORDER BY d) AS _grp FROM l{i})
+    SELECT cast(min(d) as bigint) AS d_lo, cast(max(d) as bigint) AS d_hi,
+           cast(count(*) as bigint) AS n_cells
+    FROM runs GROUP BY _grp
+    """
+    )
+
+
+@register("q_hilbert_ranges", _hilbert_ranges_oracle())
+def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFC range decomposition of a 25°×35° bbox at order 8: the maximal
+    consecutive hilbert_d runs a clustered-table reader would scan —
+    in-plan cell explode, the xy2d chain, one bbox-bounded window merge;
+    the short run list vs the bbox area is the layout win, hash-checked
+    range by range."""
+    from gaia_spark.operators.spatial_join import hilbert_bbox_ranges
+
+    la0, la1, lo0, lo1 = _HR_BBOX
+    return hilbert_bbox_ranges(spark, la0, la1, lo0, lo1, order=_HILBERT_ORDER)

@@ -104,3 +104,27 @@ def test_hilbert_reserved_column_guard(spark):
     df = spark.createDataFrame([(1.0, 2.0, 7)], "lat double, lon double, hilbert_d int")
     with pytest.raises(ValueError):
         with_hilbert(df)
+
+
+def test_hilbert_bbox_ranges_cover_and_compress(spark):
+    """Range decomposition of a 16×12 bbox at order 6: runs are disjoint,
+    sorted, cover exactly the bbox cell count, and there are FAR fewer
+    runs than cells (the locality win — O(perimeter), not O(area))."""
+    from gaia_spark.operators.spatial_join import hilbert_bbox_ranges
+
+    n = 1 << 6
+    # bbox spanning x 10..25, y 20..31 in grid units
+    la0 = -90.0 + 180.0 * 20.5 / n
+    la1 = -90.0 + 180.0 * 31.5 / n
+    lo0 = -180.0 + 360.0 * 10.5 / n
+    lo1 = -180.0 + 360.0 * 25.5 / n
+    runs = sorted(
+        (r.d_lo, r.d_hi, r.n_cells)
+        for r in hilbert_bbox_ranges(spark, la0, la1, lo0, lo1, order=6).collect()
+    )
+    area = 16 * 12
+    assert sum(nc for _, _, nc in runs) == area
+    assert all(hi - lo + 1 == nc for lo, hi, nc in runs)
+    for (_, hi1, _), (lo2, _, _) in zip(runs, runs[1:]):
+        assert lo2 > hi1 + 1  # maximal and disjoint
+    assert len(runs) < area / 4
