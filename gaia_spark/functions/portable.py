@@ -450,3 +450,32 @@ def hilbert_grid_y_sql(lat: str, order: int) -> str:
     n = 1 << order
     raw = f"cast(floor((({lat}) + 90.0) / 180.0 * {n}) as bigint)"
     return clamp_sql(raw, "0", str(n - 1))
+
+
+def destination_sqls(lat: str, lon: str, bearing_deg: str, dist_m: str) -> tuple[str, str]:
+    """Geodesic destination point (the ST_Project analog, inverse of
+    bearing_deg_sql): (lat2, lon2) expression strings for travelling
+    ``dist_m`` metres from (lat, lon) on initial bearing ``bearing_deg``
+    over the sphere:
+
+        φ2 = asin(sin φ1·cos δ + cos φ1·sin δ·cos θ)
+        λ2 = λ1 + atan2(sin θ·sin δ·cos φ1, cos δ − sin φ1·sin φ2)
+
+    Portable libm surface (sin/cos/asin/atan2/radians/degrees — the same
+    set haversine_m_sql already hash-proves matches across engines);
+    longitude normalized to [-180, 180)."""
+    d = f"(({dist_m}) / {EARTH_RADIUS_M})"
+    th = f"radians({bearing_deg})"
+    p1 = f"radians({lat})"
+    # clamp: float noise can push |sin φ2| to 1 + ε, and asin(>1) is NaN
+    sinp2 = (
+        f"least(cast(1 as double), greatest(cast(-1 as double), "
+        f"sin({p1}) * cos({d}) + cos({p1}) * sin({d}) * cos({th})))"
+    )
+    lat2 = f"degrees(asin({sinp2}))"
+    lam2 = (
+        f"(radians({lon}) + atan2(sin({th}) * sin({d}) * cos({p1}), "
+        f"cos({d}) - sin({p1}) * {sinp2}))"
+    )
+    lon2 = f"({pos_mod_sql(f'(degrees({lam2}) + 180.0)', 360.0)} - 180.0)"
+    return lat2, lon2

@@ -2671,3 +2671,49 @@ def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     la0, la1, lo0, lo1 = _HR_BBOX
     return hilbert_bbox_ranges(spark, la0, la1, lo0, lo1, order=_HILBERT_ORDER)
+
+
+# --- geodesic destination (ST_Project) ---------------------------------------------
+
+_DEST_BRG = "cast((c_custkey * 37) % 360 as double)"
+_DEST_M = "cast(250000 + (c_custkey % 7) * 50000 as double)"
+
+
+def _destination_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    lat2, lon2 = P.destination_sqls("lat", "lon", _DEST_BRG, _DEST_M)
+    back = P.haversine_m_sql("lat", "lon", "dlat", "dlon")
+    return f"""
+    WITH {PTS_CTE},
+    d AS (SELECT c_custkey, lat, lon, {lat2} AS dlat, {lon2} AS dlon FROM pts)
+    SELECT c_custkey,
+           {P.floor_scaled_sql('dlat', 6)} AS dest_lat_e6,
+           {P.floor_scaled_sql('dlon', 6)} AS dest_lon_e6,
+           {P.floor_scaled_sql(back, 2)} AS dist_back_e2
+    FROM d
+    """
+
+
+@register("q_destination", _destination_oracle())
+def q_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic destination points (ST_Project): every customer point
+    projected 250–550 km along a key-derived bearing; the oracle
+    hash-checks the e6 destination AND the haversine distance BACK from
+    the origin (must equal the requested distance — the sphere-consistency
+    invariant, e2-checked), sharing one expression string per value."""
+    from gaia_spark.queries import customer_points
+
+    pts = customer_points(spark, sf_dir)
+    lat2, lon2 = P.destination_sqls("lat", "lon", _DEST_BRG, _DEST_M)
+    back = P.haversine_m_sql("lat", "lon", "dlat", "dlon")
+    return (
+        pts.select("c_custkey", "lat", "lon",
+                   F.expr(lat2).alias("dlat"), F.expr(lon2).alias("dlon"))
+        .select(
+            "c_custkey",
+            F.expr(P.floor_scaled_sql("dlat", 6)).alias("dest_lat_e6"),
+            F.expr(P.floor_scaled_sql("dlon", 6)).alias("dest_lon_e6"),
+            F.expr(P.floor_scaled_sql(back, 2)).alias("dist_back_e2"),
+        )
+    )

@@ -108,3 +108,34 @@ def test_ring_area_sphere_matches_rect_closed_form(spark):
         F.expr(P.rect_area_m2_sql("mla", "mlo", "xla", "xlo")).alias("rect"),
     ).toPandas()
     assert (abs(out.cd - out.rect) / out.rect < 1e-12).all()
+
+
+def test_destination_closed_forms(spark):
+    """Due-east on the equator moves exactly dist/R radians of longitude;
+    due-north moves latitude; the antimeridian wraps."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions import portable as P
+
+    R = P.EARTH_RADIUS_M
+    one_deg = R * math.pi / 180.0
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 90.0, one_deg),
+            (2, 0.0, 0.0, 0.0, one_deg),
+            (3, 0.0, 179.5, 90.0, one_deg),
+            (4, 45.0, 10.0, 180.0, one_deg),
+        ],
+        "k long, lat double, lon double, brg double, dist double",
+    )
+    lat2, lon2 = P.destination_sqls("lat", "lon", "brg", "dist")
+    got = {
+        r.k: (r.la, r.lo)
+        for r in df.select("k", F.expr(lat2).alias("la"), F.expr(lon2).alias("lo")).collect()
+    }
+    assert abs(got[1][0]) < 1e-9 and abs(got[1][1] - 1.0) < 1e-9
+    assert abs(got[2][0] - 1.0) < 1e-9 and abs(got[2][1]) < 1e-9
+    assert abs(got[3][0]) < 1e-9 and abs(got[3][1] - (-179.5)) < 1e-9
+    assert abs(got[4][0] - 44.0) < 1e-9 and abs(got[4][1] - 10.0) < 1e-9
