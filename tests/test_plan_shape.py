@@ -290,3 +290,56 @@ def test_link_graph_is_pure_jvm(spark):
     assert "Python" not in plan
     for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert join not in plan
+
+
+def test_bm25_broadcasts_stats_and_is_python_free(spark):
+    from gaia_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, "spark query window merge table row " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(bm25_scores(docs, ["spark", "query"]))
+    assert "BroadcastExchange" in plan          # df table + (N, TL) scalars
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocklist_filter_broadcasts_rules(spark):
+    from gaia_spark.functions.web import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.example.com/p",) for i in range(50)], "url string"
+    )
+    plan = plan_of(blocklist_filter(pages, ["bad.example", "h3.example.com"]))
+    # the RULES side must broadcast (the verdict join-back on url is a
+    # legitimate key-partitioned SMJ — hits can be page-scale)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_distance_table_broadcasts(spark):
+    from gaia_spark.operators.simsearch import pq_adc_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) / 5 for d in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_of(pq_adc_topk(emb, query_id=1, topk=5, dim=8, m=2, k=2, n_rounds=1))
+    # codes ⋈ dtable must be broadcast — the codes side is the 100-TB table
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logreg_training_round_broadcasts_weights(spark):
+    from gaia_spark.operators.classifier import logreg_score, logreg_train
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en" if i % 2 else "de") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    w = logreg_train(docs, "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", n_buckets=8, n_rounds=1)
+    plan = plan_of(logreg_score(docs, w, n_buckets=8))
+    assert "BroadcastHashJoin" in plan          # n_buckets-row weight table
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
