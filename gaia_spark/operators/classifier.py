@@ -110,6 +110,7 @@ def logreg_train(
                 ).cast("long").alias("w_e6"),
             ),
             reliable=reliable,
+            release=w,
         )
     return w
 

@@ -100,7 +100,9 @@ def kmeans_fit(
     )
     for _ in range(n_rounds):
         a = _assign(pts, centers, id_col)
-        centers = iter_checkpoint(_recenter(a, pts, id_col), reliable=reliable)
+        centers = iter_checkpoint(
+            _recenter(a, pts, id_col), reliable=reliable, release=centers
+        )
     return centers
 
 

@@ -598,6 +598,9 @@ def bpe_train(
             .limit(1)
             .withColumn("round", F.lit(rnd).cast("int"))
         )
+        # materialize the 1-row winner NOW: `merges` is read only after the
+        # loop, by which point this round's vocab blocks have been released
+        top = iter_checkpoint(top, False)
         merges = top if merges is None else merges.unionByName(top)
         # positions matching the winning pair; run-parity keeps the
         # left-to-right non-overlapping subset
@@ -642,5 +645,7 @@ def bpe_train(
                 ).alias("syms"),
             )
         )
-        vocab = iter_checkpoint(rebuilt.select("w", "wc", "syms"), False)
+        vocab = iter_checkpoint(
+            rebuilt.select("w", "wc", "syms"), False, release=vocab
+        )
     return merges.select("round", "pa", "pb", "pair_count")

@@ -284,7 +284,7 @@ def feature_distance_nearest_cells(
 
     def _merge(acc: DataFrame | None, cand: DataFrame) -> DataFrame:
         merged = cand if acc is None else acc.unionByName(cand)
-        return (
+        merged = (
             merged.dropDuplicates(["_fk", "_zid"])
             .withColumn(
                 "_rn",
@@ -295,7 +295,10 @@ def feature_distance_nearest_cells(
             .where(F.col("_rn") <= 1)
             .drop("_rn")
         )
-        return iter_checkpoint(merged, reliable_checkpoint)
+        # cut the accumulator's lineage each round (this line was previously
+        # unreachable behind an early return — the per-round checkpoint was
+        # silently skipped) and free the superseded accumulator's blocks
+        return iter_checkpoint(merged, reliable_checkpoint, release=acc)
 
     for rho in range(max_rounds + 1):
         last = rho == max_rounds
@@ -342,7 +345,9 @@ def feature_distance_nearest_cells(
             .select("_fk")
         )
         pend = iter_checkpoint(
-            pend.join(settled, "_fk", "left_anti"), reliable_checkpoint
+            pend.join(settled, "_fk", "left_anti"),
+            reliable_checkpoint,
+            release=pend,
         )
         if pend.isEmpty():
             break

@@ -70,6 +70,7 @@ def pagerank(
         base.withColumn("rank", F.lit(1.0) / F.lit(float(n))), reliable_checkpoint
     )
     for _ in range(iters):
+        _prev = ranks
         dangling = (
             ranks.where(F.col("out_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
@@ -92,7 +93,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = iter_checkpoint(ranks, reliable_checkpoint)
+        ranks = iter_checkpoint(ranks, reliable_checkpoint, release=_prev)
     return ranks.select("node", "rank")
 
 
@@ -139,6 +140,7 @@ def shortest_paths(
     ).distinct()
     dist = iter_checkpoint(dist, reliable_checkpoint)
     for _ in range(iters):
+        _prev = dist
         relaxed = (
             e.join(dist, e["src"] == dist["node"])
             .select("dst", (F.col("dist") + F.col("w")).alias("dist"))
@@ -149,7 +151,7 @@ def shortest_paths(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        dist = iter_checkpoint(dist, reliable_checkpoint)
+        dist = iter_checkpoint(dist, reliable_checkpoint, release=_prev)
     return dist
 
 
@@ -192,6 +194,7 @@ def hits(
     hub = iter_checkpoint(hub, reliable_checkpoint)
     auth = None
     for _ in range(iters):
+        _prev_hub, _prev_auth = hub, auth
         a_raw = (
             e.join(hub, e["src"] == hub["node"])
             .groupBy("dst")
@@ -209,7 +212,7 @@ def hits(
             auth.crossJoin(F.broadcast(amax))
             .select("node", F.expr(quant12_sql("_q / _m")).alias("auth"))
         )
-        auth = iter_checkpoint(auth, reliable_checkpoint)
+        auth = iter_checkpoint(auth, reliable_checkpoint, release=_prev_auth)
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
@@ -227,7 +230,7 @@ def hits(
             hub.crossJoin(F.broadcast(hmax))
             .select("node", F.expr(quant12_sql("_q / _m")).alias("hub"))
         )
-        hub = iter_checkpoint(hub, reliable_checkpoint)
+        hub = iter_checkpoint(hub, reliable_checkpoint, release=_prev_hub)
     return hub.join(auth, "node").select("node", "hub", "auth")
 
 

@@ -180,12 +180,15 @@ def flow_accumulation(
             .join(p.alias("p"), F.col("s.nxt") == F.col("p.v"))
             .select(F.col("s.v").alias("v"), F.col("p.nxt").alias("nxt"))
         )
-        p2 = iter_checkpoint(p.unionByName(hop).distinct(), reliable=reliable)
+        p2 = iter_checkpoint(
+            p.unionByName(hop).distinct(), reliable=reliable, release=p
+        )
         s = iter_checkpoint(
             s.alias("a")
             .join(F.broadcast(s.alias("b")), F.col("a.nxt") == F.col("b.v"))
             .select(F.col("a.v").alias("v"), F.col("b.nxt").alias("nxt")),
             reliable=reliable,
+            release=s,
         )
         n_p2 = p2.count()
         p = p2

@@ -341,8 +341,9 @@ def knn_join_cells(
             .where(F.col("_rn") <= k)
             .drop("_rn")
         )
-        # cut the iterative lineage each round
-        return iter_checkpoint(topped, reliable_checkpoint)
+        # cut the iterative lineage each round; the superseded accumulator
+        # is dead once the merge materializes
+        return iter_checkpoint(topped, reliable_checkpoint, release=acc)
 
     dist = F.expr(portable.haversine_m_sql("lat", "lon", "site_lat", "site_lon"))
     for rho in range(max_rounds + 1):
@@ -395,7 +396,9 @@ def knn_join_cells(
             (F.col("_nc") >= k) & (F.col("_dk") < F.least(vert, horiz))
         ).select("_pk")
         pending = iter_checkpoint(
-            pending.join(settled_keys, "_pk", "left_anti"), reliable_checkpoint
+            pending.join(settled_keys, "_pk", "left_anti"),
+            reliable_checkpoint,
+            release=pending,
         )
         if pending.isEmpty():
             break

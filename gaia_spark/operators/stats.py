@@ -244,7 +244,7 @@ def min_label_components(
     The per-round lineage cut is localCheckpoint by default;
     ``reliable_checkpoint=True`` survives executor loss on a real cluster
     (see session.iter_checkpoint)."""
-    from gaia_spark.session import iter_checkpoint
+    from gaia_spark.session import iter_checkpoint, release_checkpoint
 
     labels = iter_checkpoint(
         nodes.select(node_col, F.col(node_col).alias("label")), reliable_checkpoint
@@ -276,7 +276,8 @@ def min_label_components(
             .where(F.col("a.label") != F.col("b.label"))
             .isEmpty()
         )
-        labels = new
+        _old, labels = labels, new
+        release_checkpoint(_old)  # superseded only AFTER the check read it
         if converged:
             break
     if not converged:

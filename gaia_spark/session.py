@@ -23,6 +23,10 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    # long multi-query sessions accumulate localCheckpoint/broadcast blocks;
+    # the ContextCleaner only reaps them after a JVM GC notices the refs are
+    # dead — hourly-scale default is far too lazy for a 150-query session
+    "spark.cleaner.periodicGC.interval": "1min",
 }
 
 
@@ -43,7 +47,7 @@ def get_session(
     return builder.getOrCreate()
 
 
-def iter_checkpoint(df, reliable: bool = False):
+def iter_checkpoint(df, reliable: bool = False, release=None):
     """Lineage cut for iterative operators (ring expansion, min-label
     propagation): ``localCheckpoint`` by default — right locally and
     cheapest on a cluster, but its blocks live on executors and are LOST on
@@ -51,7 +55,29 @@ def iter_checkpoint(df, reliable: bool = False):
     with preemptible executors pass ``reliable=True`` to write a
     fault-tolerant checkpoint instead (requires
     ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`` once per app).
+
+    ``release``: the PREVIOUS round's checkpointed DataFrame, unpersisted
+    once the new checkpoint has materialized (eager=True guarantees the
+    new blocks no longer reference the old ones). Round-loop operators
+    pass their superseded state here so a k-round iteration holds one
+    round of blocks, not k — without it a long multi-query session slowly
+    fills executor storage with dead checkpoint blocks.
     """
-    if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    out = df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    if release is not None:
+        release_checkpoint(release)
+    return out
+
+
+def release_checkpoint(df) -> None:
+    """Free a SUPERSEDED checkpoint's storage blocks. DataFrame.unpersist()
+    does NOT reach localCheckpoint blocks (they are cached on the internal
+    RDD, not via the catalog cache manager) — free the LogicalRDD's RDD
+    directly. Verified: storage block count drops to 0 and later use of the
+    released frame fails loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), which
+    is the correct contract for a dead round. Best-effort: a frame that was
+    never checkpointed is a silent no-op."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
