@@ -138,3 +138,48 @@ def logreg_score(
         F.expr(SIGMOID_E6).alias("score_e6"),
         (F.expr(SIGMOID_E6) >= 500_000).cast("int").alias("pred"),
     )
+
+
+def logit_expr_sql(weights: dict[int, int], n_buckets: int, text_col: str) -> str:
+    """Per-ROW exact-integer logit under a FROZEN weight table: the
+    n_buckets e6 weights ride as a map literal inside the expression (the
+    IVF-centers-as-plan-literals precedent — bounded driver data), and the
+    hashed-bigram features are folded in ONE aggregate over the gram array.
+    No explode, no join, no per-doc aggregation ⇒ STATELESS, so the same
+    expression scores a structured stream unchanged."""
+    from gaia_spark.functions.text import shingles_sql
+
+    grams = shingles_sql(text_col, P.SPARK, 2)
+    entries = ", ".join(
+        f"{b}, cast({w} as bigint)" for b, w in sorted(weights.items())
+    )
+    wmap = f"map({entries})" if entries else "map(-1, cast(0 as bigint))"
+    b = f"({P.md5_int60('g', P.SPARK)} % {n_buckets})"
+    return (
+        f"aggregate({grams}, cast(0 as bigint), "
+        f"(acc, g) -> acc + coalesce(element_at({wmap}, cast({b} as int)), cast(0 as bigint)))"
+    )
+
+
+def stream_logreg_score(
+    docs,
+    weights: dict[int, int],
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Score a STREAM of documents under a trained classifier: per-row
+    integer logit via :func:`logit_expr_sql` (weights frozen as a plan
+    literal), e6 sigmoid, 0.5-cut prediction. Stateless — no watermark
+    needed; micro-batch output rows are byte-identical to
+    :func:`logreg_score` on the same input (pytest-asserted parity).
+    Returns (id, z_i, score_e6, pred)."""
+    z = docs.select(
+        id_col, F.expr(logit_expr_sql(weights, n_buckets, text_col)).alias("z_i")
+    )
+    return z.select(
+        id_col,
+        "z_i",
+        F.expr(SIGMOID_E6).alias("score_e6"),
+        (F.expr(SIGMOID_E6) >= 500_000).cast("int").alias("pred"),
+    )

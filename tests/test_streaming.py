@@ -221,3 +221,45 @@ def test_stream_kde_matches_batch(spark, tmp_path):
     for r in rows:
         if (str(r.win), int(r.cell)) not in got:
             assert r.win.end > max_emitted_end
+
+
+def test_stream_logreg_score_matches_batch(spark, tmp_path):
+    """Stream scoring under a frozen trained model: micro-batch rows are
+    EXACTLY the batch logreg_score rows on the same input (the per-row
+    map-literal logit is stateless), including z_i bit-equality."""
+    from gaia_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+        stream_logreg_score,
+    )
+
+    src = str(tmp_path / "incoming_docs")
+    rows = [
+        (i, "good clean prose here" if i % 2 else "zz yy xx ww", "en" if i % 2 else "de")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    docs.write.mode("append").parquet(src)
+
+    w_df = logreg_train(docs, "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", n_buckets=16, n_rounds=2)
+    weights = {r._b: r.w_e6 for r in w_df.collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(src)
+    q = (
+        stream_logreg_score(stream, weights, n_buckets=16)
+        .writeStream.format("memory")
+        .queryName("streamlr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.z_i, r.score_e6, r.pred)
+        for r in spark.sql("select * from streamlr").collect()
+    }
+    expect = {
+        (r.doc_id, r.z_i, r.score_e6, r.pred)
+        for r in logreg_score(spark.read.parquet(src), w_df, n_buckets=16).collect()
+    }
+    assert got == expect and len(got) == 40
