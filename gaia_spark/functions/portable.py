@@ -479,3 +479,26 @@ def destination_sqls(lat: str, lon: str, bearing_deg: str, dist_m: str) -> tuple
     )
     lon2 = f"({pos_mod_sql(f'(degrees({lam2}) + 180.0)', 360.0)} - 180.0)"
     return lat2, lon2
+
+
+def hilbert_unstep_exprs(t: str, x: str, y: str, s: int) -> tuple[str, str, str]:
+    """One d2xy Hilbert-decode level at scale ``s`` (ascending 1, 2, …,
+    n/2): returns (t', x', y') expression strings — the exact inverse of
+    :func:`hilbert_step_exprs` (verified d == xy2d(d2xy(d)) for every cell
+    up to n=64 before SQL-ification). XOR-free: ry = (t%2 + rx) % 2; all
+    intermediate x, y stay in [0, s) before the +s·r shifts, so idiv/% stay
+    non-negative. Same string runs in Spark SQL and DuckDB."""
+    rx = f"({idiv_sql(t, 2)} % 2)"
+    ry = f"(((({t}) % 2) + {rx}) % 2)"
+    rot_x = (
+        f"(CASE WHEN {ry} = 1 THEN {x} "
+        f"WHEN {rx} = 1 THEN {s - 1} - ({y}) ELSE {y} END)"
+    )
+    rot_y = (
+        f"(CASE WHEN {ry} = 1 THEN {y} "
+        f"WHEN {rx} = 1 THEN {s - 1} - ({x}) ELSE {x} END)"
+    )
+    x2 = f"({rot_x} + {s} * {rx})"
+    y2 = f"({rot_y} + {s} * {ry})"
+    t2 = idiv_sql(t, 4)
+    return t2, x2, y2

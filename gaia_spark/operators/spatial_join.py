@@ -594,3 +594,38 @@ def hilbert_bbox_ranges(
         .drop("_grp")
         .select("d_lo", "d_hi", "n_cells")
     )
+
+
+def hilbert_decode(
+    df: DataFrame, order: int = 8, d_col: str = "hilbert_d"
+) -> DataFrame:
+    """Inverse of :func:`with_hilbert`: decode curve positions back to grid
+    coordinates (hx, hy) — what a reader does after :func:`
+    hilbert_bbox_ranges` hands it d-runs. Same shape as the encoder:
+    ``order`` chained JVM projections (portable.hilbert_unstep_exprs),
+    zero shuffle. NB: project-collapse can push the fused function past
+    janino's 64 KB method limit at order ≥ 6 — Spark then falls back to
+    interpreted evaluation for the stage (correct, logged loudly); cut
+    the chain with a checkpoint if composing decode with further long
+    projection chains (q_hilbert_decode does)."""
+    for c in ("hx", "hy"):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    n = 1 << order
+    tc = "__hd_t"
+    r = (
+        df.withColumn(tc, F.col(d_col))
+        .withColumn("hx", F.lit(0).cast("long"))
+        .withColumn("hy", F.lit(0).cast("long"))
+    )
+    s = 1
+    while s < n:
+        t2, x2, y2 = portable.hilbert_unstep_exprs(tc, "hx", "hy", s)
+        r = r.select(
+            *[c for c in r.columns if c not in (tc, "hx", "hy")],
+            F.expr(t2).cast("long").alias(tc),
+            F.expr(x2).cast("long").alias("hx"),
+            F.expr(y2).cast("long").alias("hy"),
+        )
+        s *= 2
+    return r.drop(tc)

@@ -2717,3 +2717,68 @@ def q_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(P.floor_scaled_sql(back, 2)).alias("dist_back_e2"),
         )
     )
+
+
+# --- Hilbert decode (d2xy) round trip ----------------------------------------------
+
+_HD_ORDER = 6
+
+
+def _hilbert_decode_oracle() -> str:
+    n = 1 << _HD_ORDER
+    parts = [f"l0 AS (SELECT d AS od, d AS t, 0 AS x, 0 AS y "
+             f"FROM generate_series(0, {n * n - 1}) g(d))"]
+    s, i = 1, 0
+    while s < n:
+        t2, x2, y2 = P.hilbert_unstep_exprs("t", "x", "y", s)
+        parts.append(f"l{i + 1} AS (SELECT od, {t2} AS t, {x2} AS x, {y2} AS y FROM l{i})")
+        s *= 2
+        i += 1
+    # re-encode the decoded (x, y) through the FORWARD chain: the returned
+    # d_rt column proves the round trip inside the hash-checked rows
+    parts.append(f"e0 AS (SELECT od, x AS gx, y AS gy, x AS ex, y AS ey, 0 AS ed FROM l{i})")
+    s, j = n // 2, 0
+    while s > 0:
+        d2, x2, y2 = P.hilbert_step_exprs("ex", "ey", "ed", s, n)
+        parts.append(
+            f"e{j + 1} AS (SELECT od, gx, gy, {x2} AS ex, {y2} AS ey, {d2} AS ed FROM e{j})"
+        )
+        s //= 2
+        j += 1
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT cast(od as bigint) AS d, cast(gx as bigint) AS hx,
+           cast(gy as bigint) AS hy, cast(ed as bigint) AS d_rt
+    FROM e{j}
+    """
+    )
+
+
+@register("q_hilbert_decode", _hilbert_decode_oracle())
+def q_hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d2xy decode of every order-6 curve position, re-encoded through the
+    forward chain in the same rows — the full decode map AND the
+    d_rt == d round-trip invariant hash-checked cell by cell."""
+    from gaia_spark.operators.spatial_join import hilbert_decode, with_hilbert
+
+    from gaia_spark.session import iter_checkpoint
+
+    n = 1 << _HD_ORDER
+    ds = spark.range(n * n).select(F.col("id").alias("d"))
+    # cut the plan between decode and re-encode: stacking both projection
+    # chains in ONE plan makes Catalyst's project-collapse inline each
+    # level's multi-referenced state ~5× per level — 12 stacked levels
+    # explode the expression tree and OOM the optimizer (observed). Each
+    # chain alone is fine; the checkpoint keeps them separate plans.
+    dec = iter_checkpoint(hilbert_decode(ds, order=_HD_ORDER, d_col="d"))
+    # re-encode from the decoded grid coords via the lat/lon-free chain:
+    # feed cell centers back through with_hilbert's quantizer
+    relat = f"(-90.0 + (hy + cast(5 as double) / 10) * (180.0 / {n}))"
+    relon = f"(-180.0 + (hx + cast(5 as double) / 10) * (360.0 / {n}))"
+    pts = dec.select(
+        "d", "hx", "hy",
+        F.expr(relat).alias("lat"), F.expr(relon).alias("lon"),
+    )
+    rt = with_hilbert(pts, order=_HD_ORDER, out="d_rt").drop("lat", "lon")
+    return rt.select("d", "hx", "hy", "d_rt")
