@@ -502,3 +502,44 @@ def hilbert_unstep_exprs(t: str, x: str, y: str, s: int) -> tuple[str, str, str]
     y2 = f"({rot_y} + {s} * {ry})"
     t2 = idiv_sql(t, 4)
     return t2, x2, y2
+
+
+def gc_waypoint_sqls(
+    lat1: str, lon1: str, lat2: str, lon2: str, f_num: int, f_den: int
+) -> tuple[str, str]:
+    """Great-circle waypoint at fraction f = f_num/f_den between two points
+    (spherical slerp — the route-densify primitive beside bearing and
+    destination): interpolate on the chord in 3-D Cartesian with
+    sin-weights A = sin((1−f)ω)/sin ω, B = sin(fω)/sin ω, then atan2 back.
+    The central angle ω derives from the same haversine the engine already
+    hash-proves; coincident endpoints (sin ω = 0) fall back to the start
+    point. f is spelled as an exact integer ratio (a bare 0.25 literal is
+    DECIMAL in Spark SQL but DOUBLE in DuckDB)."""
+    f = f"(cast({f_num} as double) / cast({f_den} as double))"
+    hav = (
+        f"(pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))"
+    )
+    om = f"(2 * asin(least(cast(1 as double), sqrt({hav}))))"
+    a = f"(sin((cast(1 as double) - {f}) * {om}) / sin({om}))"
+    b = f"(sin({f} * {om}) / sin({om}))"
+    x = (
+        f"({a} * cos(radians({lat1})) * cos(radians({lon1})) + "
+        f"{b} * cos(radians({lat2})) * cos(radians({lon2})))"
+    )
+    y = (
+        f"({a} * cos(radians({lat1})) * sin(radians({lon1})) + "
+        f"{b} * cos(radians({lat2})) * sin(radians({lon2})))"
+    )
+    z = f"({a} * sin(radians({lat1})) + {b} * sin(radians({lat2})))"
+    guard = f"(sin({om}) = cast(0 as double))"
+    lat = (
+        f"(CASE WHEN {guard} THEN {lat1} "
+        f"ELSE degrees(atan2({z}, sqrt({x} * {x} + {y} * {y}))) END)"
+    )
+    lon = (
+        f"(CASE WHEN {guard} THEN {lon1} "
+        f"ELSE degrees(atan2({y}, {x})) END)"
+    )
+    return lat, lon

@@ -2782,3 +2782,52 @@ def q_hilbert_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rt = with_hilbert(pts, order=_HD_ORDER, out="d_rt").drop("lat", "lon")
     return rt.select("d", "hx", "hy", "d_rt")
+
+
+# --- great-circle route densify ------------------------------------------------------
+
+_GC_FRACS = ((1, 4), (2, 4), (3, 4))
+
+
+def _gc_route_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    dlat, dlon = P.destination_sqls("lat", "lon", _DEST_BRG, _DEST_M)
+    sels = []
+    for num, den in _GC_FRACS:
+        wla, wlo = P.gc_waypoint_sqls("lat", "lon", "dlat", "dlon", num, den)
+        sels.append(
+            f"SELECT c_custkey, cast({num} as int) AS seg, "
+            f"{P.floor_scaled_sql(wla, 6)} AS wp_lat_e6, "
+            f"{P.floor_scaled_sql(wlo, 6)} AS wp_lon_e6 FROM d"
+        )
+    body = "\n    UNION ALL ".join(sels)
+    return f"""
+    WITH {PTS_CTE},
+    d AS (SELECT c_custkey, lat, lon, {dlat} AS dlat, {dlon} AS dlon FROM pts)
+    {body}
+    """
+
+
+@register("q_gc_route", _gc_route_oracle())
+def q_gc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle route densify: the quarter/half/three-quarter waypoints
+    of every customer→destination geodesic (spherical slerp on the same
+    proven libm surface), each waypoint hash-checked at e6."""
+    from gaia_spark.queries import customer_points
+
+    dlat, dlon = P.destination_sqls("lat", "lon", _DEST_BRG, _DEST_M)
+    d = customer_points(spark, sf_dir).select(
+        "c_custkey", "lat", "lon", F.expr(dlat).alias("dlat"), F.expr(dlon).alias("dlon")
+    )
+    out = None
+    for num, den in _GC_FRACS:
+        wla, wlo = P.gc_waypoint_sqls("lat", "lon", "dlat", "dlon", num, den)
+        part = d.select(
+            "c_custkey",
+            F.lit(num).cast("int").alias("seg"),
+            F.expr(P.floor_scaled_sql(wla, 6)).alias("wp_lat_e6"),
+            F.expr(P.floor_scaled_sql(wlo, 6)).alias("wp_lon_e6"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -139,3 +139,33 @@ def test_destination_closed_forms(spark):
     assert abs(got[2][0] - 1.0) < 1e-9 and abs(got[2][1]) < 1e-9
     assert abs(got[3][0]) < 1e-9 and abs(got[3][1] - (-179.5)) < 1e-9
     assert abs(got[4][0] - 44.0) < 1e-9 and abs(got[4][1] - 10.0) < 1e-9
+
+
+def test_gc_waypoints_closed_forms(spark):
+    """Equator path waypoints interpolate longitude linearly; the meridian
+    midpoint halves latitude; f=1/2 of antipodal-adjacent pairs stays on
+    the great circle (spot: (0,0)→(60,0) midpoint = (30,0))."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions import portable as P
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 10.0, 0.0, 50.0),
+            (2, 0.0, 0.0, 60.0, 0.0),
+            (3, 10.0, 20.0, 10.0, 20.0),  # coincident: guard path
+        ],
+        "k long, lat double, lon double, dlat double, dlon double",
+    )
+    wla, wlo = P.gc_waypoint_sqls("lat", "lon", "dlat", "dlon", 1, 2)
+    got = {
+        r.k: (r.la, r.lo)
+        for r in df.select("k", F.expr(wla).alias("la"), F.expr(wlo).alias("lo")).collect()
+    }
+    assert abs(got[1][0]) < 1e-9 and abs(got[1][1] - 30.0) < 1e-9
+    assert abs(got[2][0] - 30.0) < 1e-9 and abs(got[2][1]) < 1e-9
+    assert got[3] == (10.0, 20.0)
+    # quarter point of the equator path
+    wla4, wlo4 = P.gc_waypoint_sqls("lat", "lon", "dlat", "dlon", 1, 4)
+    q = df.where("k = 1").select(F.expr(wlo4).alias("lo")).collect()[0].lo
+    assert abs(q - 20.0) < 1e-9
