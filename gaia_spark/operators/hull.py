@@ -84,6 +84,55 @@ def convex_hull_per_group(
     return pts.select(group_col, lat, lon).groupBy(group_col).applyInPandas(hull, schema)
 
 
+def convex_hull_per_group_distributed(
+    points: DataFrame,
+    group_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Two-stage convex hull, the scale-safe sibling of
+    :func:`convex_hull_per_group` (which shuffles each group's ENTIRE point
+    set into one applyInPandas task — a 10⁹-point group OOMs that task).
+
+    Stage 1 (``mapInPandas``, no shuffle): each Arrow batch computes the
+    monotone-chain hull of ITS OWN points per group — output is ≤ h rows
+    per (batch, group), so the stage-2 shuffle moves per-partition hull
+    vertices, never raw points. Stage 2 reuses the single-stage operator on
+    the partial-hull points: hull(∪ Sᵢ) = hull(∪ hull(Sᵢ)), and since
+    ``_monotone_chain`` keeps only STRICT extreme points (collinear
+    interior points of a partial-hull edge are convex combinations of that
+    partition's points, hence never global vertices), the two paths are
+    vertex-for-vertex identical — asserted by the parity pytest.
+
+    Output contract identical to the single-stage operator."""
+    gtype = points.schema[group_col].dataType.simpleString()
+    schema1 = f"{group_col} {gtype}, {lat} double, {lon} double"
+
+    def partial(batches):
+        for b in batches:
+            out = []
+            for key, g in b.groupby(group_col, sort=False):
+                ring = _monotone_chain(
+                    g[lat].to_numpy(dtype=np.float64),
+                    g[lon].to_numpy(dtype=np.float64),
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            group_col: [key] * len(ring),
+                            lat: [la for la, _ in ring],
+                            lon: [lo for _, lo in ring],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    pts = points.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    partials = pts.select(group_col, lat, lon).mapInPandas(partial, schema1)
+    return convex_hull_per_group(partials, group_col, lat, lon)
+
+
 def _dp_keep(lats: np.ndarray, lons: np.ndarray, tol: float) -> np.ndarray:
     """Douglas–Peucker keep-mask (iterative stack, no recursion limit)."""
     n = len(lats)

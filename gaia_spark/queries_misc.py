@@ -786,17 +786,19 @@ def _hull_oracle() -> str:
 
 @register("q_zone_hulls", _hull_oracle())
 def q_zone_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ConvexHullProcess: per-group monotone-chain hull (applyInPandas
-    numpy kernel - the genuinely iterative geometry case), audited four
-    ways against the analytic oracle: vertex count, exact per-vertex
-    floor-scaled lat checksum (bit-identical construction doubles), and
-    shoelace area / planar perimeter vs the inscribed-polygon closed
-    forms."""
-    from gaia_spark.operators.hull import convex_hull_per_group
+    """ConvexHullProcess: per-group hull through the TWO-STAGE distributed
+    path (per-partition partial monotone chains via mapInPandas, then the
+    per-group merge — the 100-TB-safe plan: the group-key shuffle moves
+    partial hull vertices, never raw points), audited four ways against
+    the analytic oracle: vertex count, exact per-vertex floor-scaled lat
+    checksum (bit-identical construction doubles), and shoelace area /
+    planar perimeter vs the inscribed-polygon closed forms. Vertex-level
+    parity with the single-stage applyInPandas hull is pytest-asserted."""
+    from gaia_spark.operators.hull import convex_hull_per_group_distributed
 
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     pts = spark.sql(_HULL_PTS_SQL)
-    hulls = convex_hull_per_group(pts, "g")
+    hulls = convex_hull_per_group_distributed(pts, "g")
 
     closed = "concat(vertices, slice(vertices, 1, 1))"
     pairs = (

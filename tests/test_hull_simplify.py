@@ -129,3 +129,30 @@ def test_simplify_lines_operator(spark):
         "fid long, vertices array<struct<lat:double,lon:double>>",
     )
     assert len(simplify_lines(df2, 0.01).collect()[0].vertices) == 2
+
+
+def test_two_stage_hull_parity(spark):
+    """hull(∪ partials) == hull(all points), vertex for vertex, even with
+    many tiny partitions (stage-1 batches far smaller than groups) and with
+    collinear points sitting on partial-hull edges."""
+    from gaia_spark.operators.hull import convex_hull_per_group_distributed
+
+    rng = np.random.default_rng(7)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "g": np.repeat([0, 1, 2], n // 3),
+            "lat": np.round(rng.uniform(-5, 5, n), 1),  # rounding → collinear runs
+            "lon": np.round(rng.uniform(-5, 5, n), 1),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    one = {
+        r["g"]: [(v["lat"], v["lon"]) for v in r["vertices"]]
+        for r in convex_hull_per_group(df, "g").collect()
+    }
+    two = {
+        r["g"]: [(v["lat"], v["lon"]) for v in r["vertices"]]
+        for r in convex_hull_per_group_distributed(df, "g").collect()
+    }
+    assert one == two
