@@ -196,6 +196,107 @@ def add_buffer(
     return points.withColumn(out, buffer_ngon_udf("lat", "lon", F.lit(float(radius_m))))
 
 
+# --- feature-layer buffer (polygon / line offset rings) ----------------------
+
+
+def buffer_ring_sql(ring: str, radius_deg: float, quad_segs: int = 8) -> str:
+    """Offset ring of a CONVEX ring column (open, CCW or CW — orientation is
+    normalized in-plan) with round joins, as ONE JVM expression: per vertex,
+    a ``quad_segs``-segment arc sweeps from the incoming edge's outward
+    normal to the outgoing edge's — consecutive arcs' endpoints span the
+    offset edges, so the result is the exact round-join offset polygon
+    sampled at π/(2·quad_segs) per right angle. Planar (lon, lat) degree
+    space like the engine's other vertex math; radius in degrees. Pure
+    closed-form trig over the input doubles (atan2 normals, exact-double
+    angle steps), so a dialect replay is hash-checkable per vertex.
+    Returns a CLOSED ring (first point repeated)."""
+    # cast: a bare float literal parses as DECIMAL in Spark SQL (portability
+    # gotcha — see .claude/skills/verify) and must stay a double here
+    r = f"cast({repr(float(radius_deg))} as double)"
+    q = int(quad_segs)
+    cur, prv, nxt = (
+        f"element_at({ring}, i + 1)",
+        f"element_at({ring}, ((i + size({ring}) - 1) % size({ring})) + 1)",
+        f"element_at({ring}, ((i + 1) % size({ring})) + 1)",
+    )
+    phi_p = f"atan2(-({cur}.lon - {prv}.lon), {cur}.lat - {prv}.lat)"
+    phi_n = f"atan2(-({nxt}.lon - {cur}.lon), {nxt}.lat - {cur}.lat)"
+    e = f"(CASE WHEN ({phi_n}) - ({phi_p}) < 0 THEN ({phi_n}) - ({phi_p}) + 2 * pi() ELSE ({phi_n}) - ({phi_p}) END)"
+    # quad_segs = segments per QUARTER circle: arcs get ceil(e / (π/2q))
+    # segments, so caps (e=π) and right angles (e=π/2) are equally smooth.
+    # Exact-double for the fixture angles: e.g. e=π/2 → (π/2)·(2q)/π = q
+    # exactly (power-of-two scaling), so ceil never wobbles.
+    nseg = f"greatest(1, cast(ceil(({e}) * {2 * q} / pi()) as int))"
+    ang = f"(({phi_p}) + ({e}) * cast(k as double) / cast({nseg} as double))"
+    arc = (
+        f"transform(sequence(0, {nseg}), k -> struct("
+        f"{cur}.lat + {r} * sin({ang}) AS lat, "
+        f"{cur}.lon + {r} * cos({ang}) AS lon))"
+    )
+    open_ring = f"flatten(transform(sequence(0, size({ring}) - 1), i -> {arc}))"
+    return f"concat({open_ring}, slice({open_ring}, 1, 1))"
+
+
+def buffer_features(
+    features: DataFrame,
+    radius_deg: float,
+    quad_segs: int = 8,
+    kind: str = "poly",
+    vertices_col: str = "vertices",
+    out: str = "buffered",
+) -> DataFrame:
+    """Feature-layer BufferProcess (`[R] gaia/geo/processes_vector.py ::
+    BufferProcess` buffers any geometry; the engine's point case is
+    :func:`add_buffer`): materializes the offset ring of each polygon or
+    polyline as a new vertex array — no Python stage, whole-plan codegen.
+
+    ``kind='poly'``: ``vertices_col`` is a closed outer ring. CONVEX rings
+    are exact (guarded in-plan: non-convex rows get NULL ``out`` rather
+    than a silently self-intersecting ring — the general concave offset
+    needs a polygon-clipping kernel, documented limitation). Orientation
+    is normalized via the shoelace sign.
+
+    ``kind='line'``: the open chain is doubled into the degenerate ring
+    v₁..vₘ,vₘ₋₁..v₂, which makes the offset ring the round-capped capsule
+    sweep; exact for straight or gently-bending chains with radius below
+    the local feature size (concave-side self-intersection is the same
+    documented limitation as every offset algorithm without clipping)."""
+    tmp = "_buf_ring"
+    if kind == "poly":
+        ring0 = f"slice({vertices_col}, 1, size({vertices_col}) - 1)"
+        pairs = (
+            f"zip_with(slice({vertices_col}, 1, size({vertices_col}) - 1), "
+            f"slice({vertices_col}, 2, size({vertices_col}) - 1), "
+            "(a, b) -> a.lon * b.lat - b.lon * a.lat)"
+        )
+        shoe = f"aggregate({pairs}, cast(0 as double), (acc, x) -> acc + x)"
+        ringed = features.withColumn(
+            tmp, F.expr(f"CASE WHEN {shoe} >= 0 THEN {ring0} ELSE reverse({ring0}) END")
+        )
+        # convex guard: every consecutive edge pair turns left (cross >= 0)
+        cr = (
+            f"(element_at({tmp}, (i % size({tmp})) + 1).lon - element_at({tmp}, i).lon) * "
+            f"(element_at({tmp}, ((i + 1) % size({tmp})) + 1).lat - element_at({tmp}, (i % size({tmp})) + 1).lat) - "
+            f"(element_at({tmp}, (i % size({tmp})) + 1).lat - element_at({tmp}, i).lat) * "
+            f"(element_at({tmp}, ((i + 1) % size({tmp})) + 1).lon - element_at({tmp}, (i % size({tmp})) + 1).lon)"
+        )
+        ok = f"forall(sequence(1, size({tmp})), i -> ({cr}) >= 0)"
+    else:
+        ringed = features.withColumn(
+            tmp,
+            F.expr(
+                f"CASE WHEN size({vertices_col}) > 2 THEN concat({vertices_col}, "
+                f"reverse(slice({vertices_col}, 2, size({vertices_col}) - 2))) "
+                f"ELSE {vertices_col} END"
+            ),
+        )
+        ok = "true"
+    buf = buffer_ring_sql(tmp, radius_deg, quad_segs)
+    return ringed.withColumn(
+        out, F.expr(f"CASE WHEN {ok} THEN {buf} END")
+    ).drop(tmp)
+
+
 # --- great-circle densification (waypoint interpolation) ---------------------
 
 

@@ -934,3 +934,95 @@ def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.floor_scaled_sql("array_min(transform(_pv, v -> v.lon))", 6)).alias("min_lon_e6"),
         F.expr(P.floor_scaled_sql("array_max(transform(_pv, v -> v.lon))", 6)).alias("max_lon_e6"),
     )
+
+
+# --- feature-layer buffer (polygon offset rings) ------------------------------
+
+def _feature_buffer_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    r = "cast(2.0 as double)"
+    # engine base normals at the four CCW rect corners are exact atan2
+    # outcomes (-pi, -pi/2, -0.0, pi/2) and every sweep is exactly pi/2, so
+    # the oracle replays vertex construction bit-for-bit: base + (pi/2)*k/4
+    ang = "(base + (pi() / 2) * cast(k as double) / cast(4 as double))"
+    area = (
+        "(pmax_lat - pmin_lat) * (pmax_lon - pmin_lon) "
+        f"+ (2 * (pmax_lat - pmin_lat) + 2 * (pmax_lon - pmin_lon)) * {r} "
+        f"+ 8 * {r} * {r} * sin(pi() / 8)"
+    )
+    perim = (
+        f"2 * (pmax_lat - pmin_lat) + 2 * (pmax_lon - pmin_lon) "
+        f"+ 32 * {r} * sin(pi() / 16)"
+    )
+    return f"""
+    WITH {PARCELS_CTE},
+    cs AS (SELECT unnest(range(1, 5)) AS ci),
+    ks AS (SELECT unnest(range(0, 5)) AS k),
+    corners AS (SELECT p_partkey, ci,
+      CASE WHEN ci IN (1, 2) THEN pmin_lat ELSE pmax_lat END AS cy,
+      CASE WHEN ci IN (1, 4) THEN pmin_lon ELSE pmax_lon END AS cx,
+      CASE ci WHEN 1 THEN -pi() WHEN 2 THEN -pi()/2 WHEN 3 THEN 0.0
+              ELSE pi()/2 END AS base,
+      pmin_lat, pmax_lat, pmin_lon, pmax_lon
+      FROM parcels CROSS JOIN cs),
+    verts AS (SELECT p_partkey,
+      cy + {r} * sin({ang}) AS lat,
+      cx + {r} * cos({ang}) AS lon,
+      CASE WHEN ci = 1 AND k = 0 THEN 2 ELSE 1 END AS mult,
+      pmin_lat, pmax_lat, pmin_lon, pmax_lon
+      FROM corners CROSS JOIN ks)
+    SELECT p_partkey,
+      cast(sum(mult) as bigint) AS n_vertices,
+      cast(sum(mult * {P.floor_scaled_sql('lat', 4)}) as bigint) AS lat_e4_sum,
+      cast(sum(mult * {P.floor_scaled_sql('lon', 4)}) as bigint) AS lon_e4_sum,
+      {P.floor_scaled_sql(f'min({area})', 3)} AS area_e3,
+      {P.floor_scaled_sql(f'min({perim})', 3)} AS perim_e3
+    FROM verts GROUP BY p_partkey
+    """
+
+
+@register("q_feature_buffer", _feature_buffer_oracle())
+def q_feature_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-layer BufferProcess over the generic parcel ring layer
+    (`[R] BufferProcess` on polygons — the engine's point case is
+    q_buffer_rings): the offset ring with round joins materializes as one
+    JVM HOF expression; audited per parcel by vertex count, exact
+    per-vertex e4 lat/lon bigint checksums (the oracle replays the arc
+    construction bit-for-bit — rect corner normals are exact atan2
+    doubles), and shoelace area / perimeter vs the closed forms
+    A + P·r + 8r²·sin(π/8) and P + 32r·sin(π/16)."""
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.scalar_geo import buffer_features
+
+    feats = parcel_features(spark, sf_dir)
+    buf = buffer_features(feats, 2.0, quad_segs=4)
+    pairs = (
+        "zip_with(slice(buffered, 1, size(buffered) - 1), "
+        "slice(buffered, 2, size(buffered) - 1), "
+        "(a, b) -> struct(a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2))"
+    )
+    area = (
+        f"aggregate({pairs}, cast(0 as double), "
+        "(acc, p) -> acc + (p.x1 * p.y2 - p.x2 * p.y1)) / 2.0"
+    )
+    perim = (
+        f"aggregate({pairs}, cast(0 as double), (acc, p) -> "
+        "acc + sqrt((p.x2 - p.x1) * (p.x2 - p.x1) + (p.y2 - p.y1) * (p.y2 - p.y1)))"
+    )
+    lat_sum = (
+        "aggregate(buffered, cast(0 as bigint), "
+        f"(acc, p) -> acc + {P.floor_scaled_sql('p.lat', 4)})"
+    )
+    lon_sum = (
+        "aggregate(buffered, cast(0 as bigint), "
+        f"(acc, p) -> acc + {P.floor_scaled_sql('p.lon', 4)})"
+    )
+    return buf.select(
+        "p_partkey",
+        F.size("buffered").cast("long").alias("n_vertices"),
+        F.expr(lat_sum).alias("lat_e4_sum"),
+        F.expr(lon_sum).alias("lon_e4_sum"),
+        F.expr(P.floor_scaled_sql(area, 3)).alias("area_e3"),
+        F.expr(P.floor_scaled_sql(perim, 3)).alias("perim_e3"),
+    )
