@@ -240,6 +240,68 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_ivf_det(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 3,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN on the engine's own deterministic coarse quantizer
+    (:func:`gaia_spark.operators.clustering.kmeans_fit`: md5-ordered seeds,
+    exact-integer assignment, e6 re-quantized rounds) instead of
+    pyspark.ml KMeans — which makes the whole index CROSS-ENGINE
+    REPLAYABLE: probe selection is an exact bigint argmin, so the DuckDB
+    oracle rebuilds the identical lists and the query graduates from
+    rows-only to hash-checked. Same FAISS IVF-flat plan shape as
+    :func:`ann_topk_ivf`: candidates = nprobe nearest lists per query,
+    exact cosine refine, top-k."""
+    from gaia_spark.operators.clustering import _assign, _quantize, kmeans_fit
+
+    centers = kmeans_fit(vectors, k=n_lists, n_rounds=n_rounds, id_col=id_col, vec_col=vec_col)
+    pts = _quantize(vectors, id_col, vec_col)
+    assigned = _assign(pts, centers, id_col).select(id_col, "cid")
+    qpts = _quantize(
+        queries.withColumnRenamed(query_id_col, id_col), id_col, vec_col
+    ).withColumnRenamed(id_col, "_qid")
+    d = (
+        "aggregate(zip_with(x, c, (p, q) -> (p - q) * (p - q)), "
+        "cast(0 as bigint), (acc, t) -> acc + t)"
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("cid"))
+    probes = (
+        qpts.crossJoin(F.broadcast(centers))
+        .withColumn("_d", F.expr(d))
+        .withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select("_qid", "cid")
+    )
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec"))
+    cand = (
+        vectors.join(assigned, id_col)
+        .join(F.broadcast(probes), "cid")
+        .join(F.broadcast(q), "_qid")
+        .where(F.col(id_col) != F.col("_qid"))
+    )
+    dot = DOT.format(a=vec_col, b="_qvec")
+    na = NORM2.format(a=vec_col)
+    nb = NORM2.format(a="_qvec")
+    scored = cand.withColumn("cos", F.expr(f"{dot} / sqrt({na}) / sqrt({nb})"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col), F.col(id_col), "rank",
+            F.expr(P.floor_scaled_sql("cos", 6)).alias("cos_e6"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

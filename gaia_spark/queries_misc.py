@@ -151,20 +151,6 @@ def _raster_zonal_oracle() -> str:
     """
 
 
-@register("q_ann_ivf", oracle=None)
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer + nprobe lists + exact refine) —
-    rows-only: ML clustering isn't cross-engine reproducible; recall vs the
-    exact top-k is pytest-checked (test_simsearch_ivf)."""
-    from gaia_spark.operators.simsearch import ann_topk_ivf
-
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ann_topk_ivf(emb, queries, k=3, n_lists=8, nprobe=3)
-
-
 @register("q_raster_zonal", _raster_zonal_oracle())
 def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector zonal stats over the analytic-surface tile pyramid
@@ -1994,6 +1980,62 @@ def _kmeans_ctes(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
 
 def _kmeans_oracle() -> str:
     return "WITH " + _kmeans_ctes() + " SELECT vec_id, cid, d AS dist_e12 FROM asg"
+
+
+def _ann_ivf_oracle(k: int = 3, n_lists: int = 8, nprobe: int = 3) -> str:
+    ddot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(e.embedding[i] as double) * cast(q.qe[i] as double)))"
+    )
+    dna = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double)))"
+    )
+    dnb = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> cast(q.qe[i] as double) * cast(q.qe[i] as double)))"
+    )
+    return f"""
+    WITH {_kmeans_ctes(k=n_lists)},
+    qd AS (SELECT p.vec_id AS qid, c.cid,
+           cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
+           FROM pts p JOIN c3 c ON p.i = c.i WHERE p.vec_id < 5 GROUP BY 1, 2),
+    probes AS (SELECT qid, cid FROM
+      (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qd)
+      WHERE rn <= {nprobe}),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid AS query_id, e.vec_id,
+             {ddot} / sqrt({dna}) / sqrt({dnb}) AS cos
+      FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+      JOIN probes pr ON a.cid = pr.cid JOIN q ON q.qid = pr.qid
+      WHERE e.vec_id != q.qid),
+    r AS (SELECT query_id, vec_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+    SELECT query_id, vec_id, cast(rank as int) AS rank,
+           {P.floor_scaled_sql('cos', 6)} AS cos_e6
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("q_ann_ivf", _ann_ivf_oracle())
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, HASH-checked (upgraded from rows-only per VERDICT r4 #6):
+    the coarse quantizer is the engine's own deterministic k-means
+    (md5-ordered seeds, exact-integer argmin, e6 re-quantized rounds —
+    the machinery PQ already proved), probe selection is an exact bigint
+    top-nprobe, and the cosine refine reuses the q_embed_knn shared
+    expressions — so the DuckDB oracle replays the ENTIRE index build and
+    search. Recall vs exact brute force stays pytest-checked
+    (test_simsearch)."""
+    from gaia_spark.operators.simsearch import ann_topk_ivf_det
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_ivf_det(emb, queries, k=3, n_lists=8, nprobe=3)
 
 
 @register("q_kmeans_docs", _kmeans_oracle())

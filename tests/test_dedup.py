@@ -380,3 +380,30 @@ def test_decontaminate_counts_and_zero_hit_docs(spark):
     assert out[1].contam_e4 == 5000
     assert (out[2].n_hit, out[2].contam_e4) == (0, 0)
     assert out[3].n_hit == out[3].n_grams == 3 and out[3].contam_e4 == 10000
+
+
+def test_ann_ivf_det_recall_and_full_probe(spark):
+    """The deterministic-quantizer IVF (the hash-checked q_ann_ivf path):
+    nprobe = n_lists must equal brute force; nprobe=3 keeps recall."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.operators.simsearch import ann_topk_ivf_det, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ann_topk_ivf_det(emb, queries, k=3, n_lists=8, nprobe=8).collect()
+    }
+    assert full == exact
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_topk_ivf_det(emb, queries, k=3, n_lists=8, nprobe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"det IVF recall {recall} too low"
