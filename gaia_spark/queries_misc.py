@@ -2875,3 +2875,72 @@ def q_gc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --- Douglas-Peucker, hash-checked on the closed-form spike family -----------
+
+# key-derived single-spike polyline: baseline lat 0 at lon 0..N, one spike
+# of height h at lon m. Parameter ranges keep every baseline point's
+# deviation to any chord DP can draw strictly under the tolerance
+# (worst case m=15: 0.525*14/sqrt(225+0.525^2) = 0.4897 < 0.5), so the
+# simplified set is closed-form: endpoints + the spike iff h > tol.
+# test_hull_simplify certifies closed-form == brute-force DP for the
+# whole key family before the oracle ever relies on it.
+_SPIKE_TOL = 0.5
+_SPIKE_M = "(3 + (c_custkey * 7) % 13)"          # 3 .. 15
+_SPIKE_N = f"({_SPIKE_M} + 4 + (c_custkey * 11) % 13)"  # m+4 .. m+16
+_SPIKE_H = "(CASE WHEN c_custkey % 2 = 0 THEN 0.525 ELSE 0.475 END)"
+
+
+def _simplify_closed_oracle() -> str:
+    m, n, h = _SPIKE_M, _SPIKE_N, _SPIKE_H
+    kept = f"CASE WHEN {h} > {_SPIKE_TOL} THEN 3 ELSE 2 END"
+    lat_sum = f"CASE WHEN {h} > {_SPIKE_TOL} THEN {P.floor_scaled_sql(h, 6)} ELSE 0 END"
+    lon_sum = (
+        f"CASE WHEN {h} > {_SPIKE_TOL} "
+        f"THEN cast({m} as bigint) * 1000000 + cast({n} as bigint) * 1000000 "
+        f"ELSE cast({n} as bigint) * 1000000 END"
+    )
+    return f"""
+    SELECT c_custkey,
+           cast({kept} as int) AS n_simplified,
+           cast({lat_sum} as bigint) AS lat_e6_sum,
+           cast({lon_sum} as bigint) AS lon_e6_sum
+    FROM customer
+    """
+
+
+@register("q_simplify_closed", _simplify_closed_oracle())
+def q_simplify_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimplifyProcess, HASH-checked (VERDICT r4 #7): Douglas-Peucker runs
+    as the real mapInPandas numpy kernel over the key-derived spike
+    polylines; the fixture's safe-regime parameters make the kept-vertex
+    set closed-form (endpoints + spikes above tolerance), so the oracle
+    states the answer without replaying the recursion. The general-input
+    evidence stays in q_simplify (rows-only) and the DP property pytests."""
+    from gaia_spark.operators.hull import simplify_lines
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    verts = cust.withColumn(
+        "vertices",
+        F.expr(
+            f"transform(sequence(0, {_SPIKE_N}), i -> struct("
+            f"CASE WHEN i = {_SPIKE_M} THEN cast({_SPIKE_H} as double) "
+            f"ELSE cast(0 as double) END AS lat, cast(i as double) AS lon))"
+        ),
+    )
+    out = simplify_lines(verts, tol_deg=_SPIKE_TOL)
+    lat_sum = (
+        "aggregate(vertices, cast(0 as bigint), "
+        f"(acc, p) -> acc + {P.floor_scaled_sql('p.lat', 6)})"
+    )
+    lon_sum = (
+        "aggregate(vertices, cast(0 as bigint), "
+        f"(acc, p) -> acc + {P.floor_scaled_sql('p.lon', 6)})"
+    )
+    return out.select(
+        "c_custkey",
+        F.size("vertices").cast("int").alias("n_simplified"),
+        F.expr(lat_sum).alias("lat_e6_sum"),
+        F.expr(lon_sum).alias("lon_e6_sum"),
+    )

@@ -156,3 +156,20 @@ def test_two_stage_hull_parity(spark):
         for r in convex_hull_per_group_distributed(df, "g").collect()
     }
     assert one == two
+
+
+def test_spike_family_closed_form():
+    """Certify the q_simplify_closed oracle: brute-force DP over every key
+    in the fixture family equals the closed form (endpoints + spike iff
+    h > tol) — including both DP recursion levels the spike induces."""
+    tol = 0.5
+    for key in range(1, 30001):
+        m = 3 + (key * 7) % 13
+        n = m + 4 + (key * 11) % 13
+        h = 0.525 if key % 2 == 0 else 0.475
+        lats = np.zeros(n + 1)
+        lats[m] = h
+        lons = np.arange(n + 1, dtype=np.float64)
+        keep = _dp_keep(lats, lons, tol)
+        expect = {0, n} | ({m} if h > tol else set())
+        assert set(np.flatnonzero(keep)) == expect, (key, m, n, h)
