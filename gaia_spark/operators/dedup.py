@@ -485,11 +485,21 @@ def duplicate_passages(
     anchored = grams.join(counts.select("_g"), "_g")
     a = anchored.select(F.col("_d").alias("a"), F.col("_pos").alias("pa"), "_g")
     b = anchored.select(F.col("_d").alias("b"), F.col("_pos").alias("pb"), "_g")
+    # one candidate per CONSECUTIVE anchor run ("island") per diagonal, not
+    # per diagonal (ADVICE r4: two separate duplicated passages can share a
+    # diagonal; min(pa) alone would only report the earlier one). Island id
+    # = pa - row_number, the classic gaps-and-islands key; cap-induced
+    # anchor holes inside one true run just yield extra candidates whose
+    # identical maximal runs collapse in the final distinct().
+    wisl = Window.partitionBy("a", "b", "_diag").orderBy("pa")
     cand = (
         a.join(b, "_g")
         .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b", (F.col("pa") - F.col("pb")).alias("_diag"))
+        .select("a", "b", (F.col("pa") - F.col("pb")).alias("_diag"), "pa", "pb")
+        .withColumn("_isl", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("a", "b", "_diag", "_isl")
         .agg(F.min("pa").alias("start_a"), F.min("pb").alias("start_b"))
+        .drop("_isl")
     )
     texts = df.select(F.col(id_col).alias("_tid"), F.expr(toks).alias("_toks"))
     joined = (

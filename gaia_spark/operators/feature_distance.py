@@ -197,6 +197,7 @@ def feature_distance_nearest_cells(
     kind: str = "poly",
     max_rounds: int = 8,
     reliable_checkpoint: bool = False,
+    max_fallback_rows: int = 10_000_000,
 ) -> DataFrame:
     """Distributed nearest-zone per feature for zone layers TOO LARGE TO
     BROADCAST: iterative cell-ring expansion (the knn.knn_join_cells
@@ -303,7 +304,26 @@ def feature_distance_nearest_cells(
     for rho in range(max_rounds + 1):
         last = rho == max_rounds
         if last:
-            cand = pend.crossJoin(zcover.select("_zid", "_zed").dropDuplicates(["_zid"]))
+            # loud bounded fallback (VERDICT r4 #9): the unsettled remainder
+            # is small by construction after ring expansion, but count it
+            # and refuse an oversized crossJoin rather than assume
+            n_pending = pend.count()
+            if n_pending == 0:
+                break
+            zuniq = zcover.select("_zid", "_zed").dropDuplicates(["_zid"])
+            n_zones = zuniq.count()
+            print(
+                f"feature_distance_nearest_cells: final fallback crossJoin "
+                f"over {n_pending} unsettled features x {n_zones} zones"
+            )
+            if n_pending * n_zones > max_fallback_rows:
+                raise RuntimeError(
+                    f"feature_distance_nearest_cells: fallback crossJoin "
+                    f"would produce {n_pending * n_zones} rows (> "
+                    f"max_fallback_rows={max_fallback_rows}); raise "
+                    f"max_rounds or the bound"
+                )
+            cand = pend.crossJoin(zuniq)
         else:
             offs = F.array(
                 *[

@@ -303,6 +303,7 @@ def knn_join_cells(
     site_key: str = "site_id",
     max_rounds: int = 8,
     reliable_checkpoint: bool = False,
+    max_fallback_rows: int = 10_000_000,
 ) -> DataFrame:
     """Distributed kNN via iterative cell-ring expansion (both sides large).
 
@@ -350,7 +351,25 @@ def knn_join_cells(
         last = rho == max_rounds
         if last:
             # bounded fallback: whatever never settled (polar/sparse regions)
-            # compares against every site — the remainder is small by now
+            # compares against every site. The remainder is small by
+            # construction after ring expansion — but that is an ASSUMPTION,
+            # so make it loud (VERDICT r4 #9): count it, log it, and refuse
+            # the crossJoin above max_fallback_rows instead of silently
+            # launching an n×m product.
+            n_pending = pending.count()
+            if n_pending == 0:
+                break
+            n_sites = sites.count()
+            print(
+                f"knn_join_cells: final fallback crossJoin over {n_pending} "
+                f"unsettled points x {n_sites} sites"
+            )
+            if n_pending * n_sites > max_fallback_rows:
+                raise RuntimeError(
+                    f"knn_join_cells: fallback crossJoin would produce "
+                    f"{n_pending * n_sites} rows (> max_fallback_rows="
+                    f"{max_fallback_rows}); raise max_rounds or the bound"
+                )
             cand = pending.crossJoin(sites.drop("_sc"))
         else:
             offs = F.array(

@@ -80,18 +80,76 @@ def point_tile_pyramid(points: DataFrame, max_zoom: int, min_zoom: int = 0) -> D
     return out
 
 
+# np functions a gdal_calc-style band expression may call
+_CALC_NP_FUNCS = frozenset(
+    {"sqrt", "abs", "exp", "log", "log2", "log10", "minimum", "maximum",
+     "clip", "where", "sin", "cos", "tan", "arctan", "arctan2", "floor",
+     "ceil", "round", "power", "hypot"}
+)
+
+
+def _validate_calc(calc: str, letters: list[str]) -> None:
+    """AST whitelist for the band expression (ADVICE r4: a charset check
+    permits arbitrary dotted np.* attribute chains — parse instead and
+    allow only arithmetic, numeric literals, band letters, and calls to a
+    fixed set of np functions)."""
+    import ast
+
+    try:
+        tree = ast.parse(calc, mode="eval")
+    except SyntaxError as exc:
+        raise ValueError(f"calc does not parse: {calc!r}") from exc
+    ok_names = set(letters)
+
+    def check(node: ast.AST) -> None:
+        if isinstance(node, ast.Constant):
+            if not isinstance(node.value, (int, float)):
+                raise ValueError(f"calc literal not allowed: {node.value!r}")
+        elif isinstance(node, ast.Name):
+            if node.id not in ok_names:
+                raise ValueError(f"calc name not allowed: {node.id!r}")
+        elif isinstance(node, ast.BinOp):
+            if not isinstance(node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div,
+                                        ast.Pow, ast.Mod, ast.FloorDiv)):
+                raise ValueError(f"calc operator not allowed: {type(node.op).__name__}")
+            check(node.left)
+            check(node.right)
+        elif isinstance(node, ast.UnaryOp):
+            if not isinstance(node.op, (ast.USub, ast.UAdd)):
+                raise ValueError(f"calc operator not allowed: {type(node.op).__name__}")
+            check(node.operand)
+        elif isinstance(node, ast.Compare):
+            for c in [node.left, *node.comparators]:
+                check(c)
+        elif isinstance(node, ast.Call):
+            fn = node.func
+            if not (
+                isinstance(fn, ast.Attribute)
+                and isinstance(fn.value, ast.Name)
+                and fn.value.id == "np"
+                and fn.attr in _CALC_NP_FUNCS
+                and not node.keywords
+            ):
+                raise ValueError(f"calc call not allowed: {ast.dump(fn)}")
+            for arg in node.args:  # the np.func attribute itself is NOT descended
+                check(arg)
+        else:
+            raise ValueError(f"calc node not allowed: {type(node).__name__}")
+
+    check(tree.body)
+
+
 def raster_math(raster: DataFrame, calc: str, bands: tuple[int, ...] = (0, 1)) -> DataFrame:
     """RasterMathProcess: per-tile band algebra, e.g. calc='A + 2*B'.
 
     Bands are pivoted onto one row per (zoom,x,y) and the numpy expression
     is evaluated per tile in an Arrow-batched grouped-map — the direct
     analogue of ``gdal_calc``'s lettered-band eval, but distributed.
-    Only numpy-evaluable arithmetic on band letters A..Z is accepted.
+    The expression is AST-whitelisted: arithmetic, numeric literals,
+    band letters, and a fixed set of np.* calls — nothing else parses.
     """
     letters = [chr(ord("A") + i) for i in range(len(bands))]
-    allowed = set("+-*/(). 0123456789") | set(letters) | set("npsqrtminmaxabsloexp,_")
-    if not set(calc.replace("np.", "")) <= allowed:
-        raise ValueError(f"calc expression not allowed: {calc!r}")
+    _validate_calc(calc, letters)
 
     piv = (
         raster.where(F.col("band").isin(list(bands)))
@@ -112,7 +170,7 @@ def raster_math(raster: DataFrame, calc: str, bands: tuple[int, ...] = (0, 1)) -
                 env[letter] = np.stack(
                     [np.asarray(p, dtype=np.float64) for p in bdf[f"_px_{letter}"]]
                 )
-            res = eval(calc, {"__builtins__": {}}, env)  # noqa: S307 — validated charset
+            res = eval(calc, {"__builtins__": {}}, env)  # noqa: S307 — AST-whitelisted
             yield pd.DataFrame(
                 {
                     "zoom": bdf["zoom"],

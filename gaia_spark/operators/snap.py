@@ -35,7 +35,13 @@ def snap_t_sql(py: str, px: str, y1: str, x1: str, y2: str, x2: str) -> str:
     dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
     dot = f"(({px} - {x1}) * {dx} + ({py} - {y1}) * {dy})"
     den = f"({dx} * {dx} + {dy} * {dy})"
-    return f"least(cast(1 as double), greatest(cast(0 as double), {dot} / {den}))"
+    # den = 0 (zero-length segment): snap to its point (t = 0) instead of a
+    # NULL t silently dropping the candidate (or erroring under ANSI mode) —
+    # the guard contour_segments applies to its analogous division
+    return (
+        f"(CASE WHEN {den} = 0 THEN cast(0 as double) "
+        f"ELSE least(cast(1 as double), greatest(cast(0 as double), {dot} / {den})) END)"
+    )
 
 
 def snap_point_sql(

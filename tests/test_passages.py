@@ -118,3 +118,18 @@ def test_bpe_train_partitioning_invariance(spark):
     a = sorted(map(tuple, bpe_train(d, n_merges=2).collect()))
     b = sorted(map(tuple, bpe_train(d.repartition(7), n_merges=2).collect()))
     assert a == b
+
+
+def test_two_passages_same_diagonal(spark):
+    """ADVICE r4: two separate duplicated passages on the SAME diagonal of
+    a document pair must both be reported (islands, not min-per-diagonal)."""
+    p1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    p2 = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    filler_a = "one two three four five six seven eight"
+    filler_b = "red blue green gold pink gray teal cyan"  # same length, different words
+    a_text = f"{p1} {filler_a} {p2}"
+    b_text = f"{p1} {filler_b} {p2}"  # both passages at SAME offsets -> same diagonal
+    df = spark.createDataFrame([(1, a_text), (2, b_text)], "doc_id long, text string")
+    out = duplicate_passages(df, k=4, min_run=12).collect()
+    passages = {r.passage for r in out}
+    assert p1 in passages and p2 in passages, passages
