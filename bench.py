@@ -270,7 +270,17 @@ def run_suite(
             continue
         samples, steals = [], []
         n = 0
-        for _ in range(reps):
+        # adaptive reps (VERDICT r4 #2): a steal storm can contaminate ALL
+        # base reps (BENCH_r04 recorded a 6.55%-steal window whose minima
+        # were 2-5x calm evidence); keep re-running — up to the extra cap —
+        # until at least one rep executed in a calm window, then take the
+        # min over CALM reps so the committed driver artifact matches calm
+        # evidence instead of whichever weather the driver sampled.
+        calm_pct = float(os.environ.get("SPARK_GRAFT_CALM_PCT", "1.5"))
+        max_extra = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_REPS", "4"))
+        total = reps
+        r = 0
+        while r < total:
             # operators like point_tile_pyramid persist() intermediates;
             # without this, Spark's CacheManager plan-matches rep 2+ onto
             # rep 1's cache and the bench measures cached reads
@@ -281,12 +291,19 @@ def run_suite(
             samples.append(time.perf_counter() - t0)
             c1, s1 = cpu_ticks()
             steals.append(round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2))
-        # MIN of reps: this sandbox host shows heavy hypervisor steal time
-        # (observed 10-25x wall-clock swings on identical plans); the minimum
-        # is the unimpeded execution time and is what scaling ratios need.
+            r += 1
+            if r == total and total < reps + max_extra and not any(
+                s <= calm_pct for s in steals
+            ):
+                total += 1
+        # MIN of CALM reps (falling back to min of all if no rep was calm):
+        # this sandbox host shows heavy hypervisor steal time (observed
+        # 10-25x wall-clock swings on identical plans); the calm minimum is
+        # the unimpeded execution time and is what scaling ratios need.
         # The per-rep arrays + per-rep steal go into the JSON so a stormy
         # round is self-evidently noise to any reader of BENCH_rN.json.
-        times[name] = round(min(samples), 3)
+        calm = [t for t, s in zip(samples, steals) if s <= calm_pct]
+        times[name] = round(min(calm) if calm else min(samples), 3)
         rows[name] = n
         rep_times[name] = [round(s, 3) for s in samples]
         rep_steal[name] = steals

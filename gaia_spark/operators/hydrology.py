@@ -167,10 +167,16 @@ def flow_accumulation(
         nodes.select(F.col("v").alias("nxt")), "nxt", "left_semi"
     ).select("v", "nxt")
     sinks = nodes.select("v").join(edges.select("v"), "v", "left_anti")
+    import shutil
+    import tempfile
+
+    from gaia_spark.session import sever_lineage
+
+    scratch = tempfile.mkdtemp(prefix="gaia_facc_")
     s = edges.unionByName(sinks.withColumn("nxt", F.col("v")))
     p = iter_checkpoint(edges, reliable=reliable)
     n_p = p.count()
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         # S is one row per NODE (bounded); P is the growing closure. Always
         # broadcast S — without the hint AQE happily broadcasts a
         # tens-of-MB P (it is under the threshold) and the per-round
@@ -195,13 +201,312 @@ def flow_accumulation(
         if n_p2 == n_p:
             break
         n_p = n_p2
+        # both S∘S and S⋈P reference their predecessors twice per round —
+        # sever the retained object graph periodically (session.sever_lineage)
+        if (_round + 1) % 3 == 0:
+            p = sever_lineage(p, f"{scratch}/p_{_round}")
+            s = sever_lineage(s, f"{scratch}/s_{_round}")
     acc = p.groupBy(F.col("nxt").alias("v")).agg(F.count("*").cast("long").alias("acc"))
-    return (
+    out = iter_checkpoint(
         nodes.select("v", "r", "c")
         .join(acc, "v", "left")
         .join(s.withColumnRenamed("nxt", "basin"), "v")
-        .select("r", "c", F.coalesce("acc", F.lit(0)).cast("long").alias("acc"), "basin")
+        .select("r", "c", F.coalesce("acc", F.lit(0)).cast("long").alias("acc"), "basin"),
+        reliable=reliable,
     )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def _edges_sinks(dirs: DataFrame, zoom: int, reliable: bool):
+    """Shared graph build for both accumulation paths: the checkpointed
+    node table, the interior edge list (v, nxt) and the sink set."""
+    from gaia_spark.session import iter_checkpoint
+
+    n_px = TILE_PX * (1 << zoom)
+    nodes = iter_checkpoint(
+        dirs.select((F.col("r") * n_px + F.col("c")).alias("v"), "r", "c", "dir"),
+        reliable=reliable,
+    )
+    tgt = nodes.where(F.col("dir") > 0).select(
+        "v",
+        (
+            (F.col("r") + F.expr(d8_step_sql(0))) * n_px
+            + F.pmod(F.col("c") + F.expr(d8_step_sql(1)), F.lit(n_px))
+        ).alias("nxt"),
+    )
+    edges = tgt.join(
+        nodes.select(F.col("v").alias("nxt")), "nxt", "left_semi"
+    ).select("v", "nxt")
+    sinks = nodes.select("v").join(edges.select("v"), "v", "left_anti")
+    return nodes, edges, sinks
+
+
+def _basins(
+    edges: DataFrame,
+    sinks: DataFrame,
+    max_rounds: int,
+    reliable: bool,
+    scratch: str | None = None,
+) -> DataFrame:
+    """Terminal sink per node by successor pointer doubling: S_{k+1} =
+    S_k ∘ S_k with sinks self-absorbed — one row per node per round,
+    ⌈log₂ max-path⌉ rounds. The self-join references S twice per round, so
+    the retained object graph is severed every 3 rounds (session.
+    sever_lineage). Returns (v, basin)."""
+    import shutil
+    import tempfile
+
+    from gaia_spark.session import iter_checkpoint, sever_lineage
+
+    own = scratch is None
+    scratch = scratch or tempfile.mkdtemp(prefix="gaia_basins_")
+    s = iter_checkpoint(
+        edges.unionByName(sinks.withColumn("nxt", F.col("v"))), reliable=reliable
+    )
+    sink_set = sinks.select(F.col("v").alias("nxt"))
+    n_settled = s.join(sink_set, "nxt", "left_semi").count()
+    n_all = s.count()
+    rounds = 0
+    while n_settled < n_all:
+        rounds += 1
+        s = iter_checkpoint(
+            s.alias("a")
+            .join(F.broadcast(s.alias("b")), F.col("a.nxt") == F.col("b.v"))
+            .select(F.col("a.v").alias("v"), F.col("b.nxt").alias("nxt")),
+            reliable=reliable,
+            release=s,
+        )
+        if rounds % 3 == 0:
+            s = sever_lineage(s, f"{scratch}/basins_{rounds}")
+        n_settled = s.join(sink_set, "nxt", "left_semi").count()
+    out = iter_checkpoint(s.withColumnRenamed("nxt", "basin"), reliable=reliable)
+    if own:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def flow_accumulation_peel(
+    dirs: DataFrame,
+    zoom: int,
+    max_rounds: int = 200,
+    reliable: bool = False,
+    stats: list | None = None,
+    scratch_dir: str | None = None,
+    sever_every: int = 3,
+) -> DataFrame:
+    """Scale-safe flow accumulation: rake-and-compress tree contraction
+    whose per-round state is **O(cells)** — the fix for the closure path's
+    O(Σ path-length) intermediate (see :func:`flow_accumulation`), which is
+    fine on tile fixtures but reaches 10¹⁰⁺ rows on continental DEMs where
+    main-stem flow paths run 10⁴–10⁵ cells.
+
+    The D8 graph is a functional forest (strictly-downhill ⇒ acyclic;
+    edges point downstream = toward the root sink). acc(v) = subtree
+    size − 1 in that forest. Tree contraction:
+
+    - **Rake** (the verdict's "peel in-degree-0 cells"): nodes with no
+      remaining upstream are finished — their acc is known; they push
+      their subtree size downstream and leave the active set. Rake alone
+      is Kahn peeling with O(longest-flow-path) rounds; valleys make that
+      10⁴⁺ on real DEMs, hence:
+    - **Compress**: an active node v with exactly ONE active upstream c is
+      a chain link; an independent set of links (deterministic md5-parity
+      coin, never two adjacent) is removed per round. v's answer becomes
+      the pending promise subtree(v) = subtree(c) + off with
+      off = w(v) + carry(c→v), and the bypass edge c→parent(v) carries
+      carry(c→v) + w(v) + carry(v→parent) so downstream totals stay exact.
+      Rake+compress contracts any forest in O(log n) expected rounds.
+
+    Pending promises form dependency chains of depth ≤ #rounds, resolved
+    afterwards by the same bounded iteration. Every per-round table
+    (active, pushes, pending, done) is ≤ one row per cell — asserted by
+    ``stats`` (per-round row counts appended for the bounded-intermediate
+    pytest). Exact bigint weights throughout ⇒ bit-identical to the
+    closure path and the recursive-CTE oracle under any partitioning.
+
+    **Lineage hygiene (measured, not theoretical):** a per-round plan that
+    references its predecessor ≥3× makes the RETAINED object graph grow
+    ~3× per round even through localCheckpoint/checkpoint — on this
+    engine's JVM that turned round 13 of a 4-row join into 142 s. The fix
+    is the standard production pattern for long iterative chains: every
+    ``sever_every`` rounds the active state takes a parquet write/read
+    roundtrip (a genuinely fresh plan), and per-round done/pending
+    increments are appended to parquet instead of ever-growing unions.
+    ``scratch_dir`` must be shared storage on a real cluster (defaults to
+    a local tempdir); it is deleted after the result materializes.
+    Returns (r, c, acc, basin)."""
+    import shutil
+    import tempfile
+
+    from gaia_spark.session import iter_checkpoint, release_checkpoint
+
+    spark = dirs.sparkSession
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="gaia_peel_")
+    nodes, edges, sinks = _edges_sinks(dirs, zoom, reliable)
+    bit = f"({portable.md5_int60('cast(v as string)', portable.SPARK)}) % 2"
+    active = iter_checkpoint(
+        edges.unionByName(sinks.withColumn("nxt", F.lit(None).cast("long"))).select(
+            "v",
+            "nxt",
+            F.lit(1).cast("long").alias("w"),
+            F.lit(0).cast("long").alias("carry"),
+            F.expr(bit).cast("int").alias("bit"),
+        ),
+        reliable=reliable,
+    )
+    window_cps: list[DataFrame] = [active]
+    pend_total = 0
+    n_active = active.count()
+    rounds = 0
+    while n_active > 0 and rounds < max_rounds:
+        rounds += 1
+        # --- rake: in-degree-0 nodes finish and push subtree size downstream
+        indeg = active.groupBy(F.col("nxt").alias("v")).agg(F.count("*").alias("_ind"))
+        a = iter_checkpoint(active.join(indeg, "v", "left"), reliable=reliable)
+        window_cps.append(a)
+        leaves = a.where(F.col("_ind").isNull())
+        leaves.select("v", F.col("w").alias("sub")).write.mode("append").parquet(
+            f"{scratch}/done"
+        )
+        push = (
+            leaves.where(F.col("nxt").isNotNull())
+            .groupBy(F.col("nxt").alias("v"))
+            .agg(F.sum(F.col("w") + F.col("carry")).alias("_add"))
+        )
+        raked = (
+            a.where(F.col("_ind").isNotNull())
+            .join(push, "v", "left")
+            .select(
+                "v",
+                "nxt",
+                (F.col("w") + F.coalesce(F.col("_add"), F.lit(0))).alias("w"),
+                "carry",
+                "bit",
+            )
+        )
+        # --- compress: independent set of unary chain links (bit=1 whose
+        # parent is not itself a selected unary link)
+        ind2 = raked.groupBy(F.col("nxt").alias("v")).agg(F.count("*").alias("_i2"))
+        r2 = iter_checkpoint(
+            raked.join(ind2, "v", "left").withColumn(
+                "_unary", F.coalesce(F.col("_i2"), F.lit(0)) == 1
+            ),
+            reliable=reliable,
+        )
+        window_cps.append(r2)
+        sel = (
+            r2.alias("x")
+            .join(
+                r2.select(
+                    F.col("v").alias("nxt"),
+                    F.col("_unary").alias("_pu"),
+                    F.col("bit").alias("_pb"),
+                ).alias("y"),
+                "nxt",
+                "left",
+            )
+            .where(
+                F.col("_unary")
+                & (F.col("bit") == 1)
+                & ~(F.coalesce(F.col("_pu"), F.lit(False)) & (F.col("_pb") == 1))
+            )
+            .select(
+                F.col("v").alias("sv"),
+                F.col("nxt").alias("snxt"),
+                F.col("w").alias("sw"),
+                F.col("carry").alias("scarry"),
+            )
+        )
+        j = iter_checkpoint(r2.join(sel, r2["nxt"] == sel["sv"], "left"), reliable=reliable)
+        window_cps.append(j)
+        new_pending = j.where(F.col("sv").isNotNull()).select(
+            F.col("sv").alias("v"),
+            j["v"].alias("dep"),
+            (F.col("sw") + F.col("carry")).alias("off"),
+        )
+        new_pending.write.mode("append").parquet(f"{scratch}/pending")
+        active = j.join(
+            j.where(F.col("sv").isNotNull()).select(F.col("sv").alias("v")),
+            "v",
+            "left_anti",
+        ).select(
+            "v",
+            # child of a compressed node: inherit its nxt VERBATIM (NULL when
+            # the compressed node was a sink — the child becomes the sink;
+            # a coalesce here would leave it pointing at the removed node)
+            F.when(F.col("sv").isNotNull(), F.col("snxt")).otherwise(F.col("nxt")).alias("nxt"),
+            "w",
+            F.when(
+                F.col("sv").isNotNull(),
+                F.col("carry") + F.col("sw") + F.col("scarry"),
+            )
+            .otherwise(F.col("carry"))
+            .alias("carry"),
+            "bit",
+        )
+        n_pend = new_pending.count()
+        pend_total += n_pend
+        n_active = n_active - leaves.count() - n_pend
+        if rounds % sever_every == 0 and n_active > 0:
+            active.write.mode("overwrite").parquet(f"{scratch}/active_{rounds}")
+            active = spark.read.parquet(f"{scratch}/active_{rounds}")
+            for frame in window_cps:
+                release_checkpoint(frame)
+            window_cps = []
+        if stats is not None:
+            stats.append({"round": rounds, "active": n_active, "pending": pend_total})
+    if n_active > 0:
+        stuck = [tuple(r) for r in active.limit(10).collect()]
+        raise RuntimeError(
+            f"flow_accumulation_peel: {n_active} active after {max_rounds} "
+            f"rounds; first rows (v, nxt, w, carry, bit): {stuck}"
+        )
+    done = spark.read.parquet(f"{scratch}/done")
+    # --- resolve pending promises: dep chains have depth <= #rounds
+    sub = done
+    if pend_total:
+        pending = spark.read.parquet(f"{scratch}/pending")
+        unresolved = iter_checkpoint(
+            pending.select("v", F.col("dep").alias("ptr"), "off"), reliable=reliable
+        )
+        pmap = pending.select(
+            F.col("v").alias("ptr"), F.col("dep").alias("_pdep"), F.col("off").alias("_poff")
+        )
+        n_un = unresolved.count()
+        guard = 0
+        _prev_sub = None
+        while n_un > 0:
+            guard += 1
+            if guard > max_rounds:
+                raise RuntimeError("flow_accumulation_peel: pending chain too deep")
+            hit = unresolved.join(
+                done.select(F.col("v").alias("ptr"), "sub"), "ptr"
+            ).select("v", (F.col("off") + F.col("sub")).alias("sub"))
+            sub = iter_checkpoint(
+                sub.unionByName(hit.select("v", "sub")), reliable=reliable, release=_prev_sub
+            )
+            _prev_sub = sub
+            unresolved = iter_checkpoint(
+                unresolved.join(pmap, "ptr")
+                .select("v", F.col("_pdep").alias("ptr"), (F.col("off") + F.col("_poff")).alias("off")),
+                reliable=reliable,
+                release=unresolved,
+            )
+            n_un = unresolved.count()
+    basins = _basins(edges, sinks, max_rounds, reliable, scratch=scratch)
+    out = iter_checkpoint(
+        nodes.select("v", "r", "c")
+        .join(sub, "v")
+        .join(basins, "v")
+        .select("r", "c", (F.col("sub") - 1).cast("long").alias("acc"), "basin"),
+        reliable=reliable,
+    )
+    for frame in window_cps:
+        release_checkpoint(frame)
+    if scratch_dir is None:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 def cost_distance(

@@ -244,13 +244,17 @@ def min_label_components(
     The per-round lineage cut is localCheckpoint by default;
     ``reliable_checkpoint=True`` survives executor loss on a real cluster
     (see session.iter_checkpoint)."""
-    from gaia_spark.session import iter_checkpoint, release_checkpoint
+    import shutil
+    import tempfile
+
+    from gaia_spark.session import iter_checkpoint, release_checkpoint, sever_lineage
 
     labels = iter_checkpoint(
         nodes.select(node_col, F.col(node_col).alias("label")), reliable_checkpoint
     )
+    scratch = tempfile.mkdtemp(prefix="gaia_mlc_")
     converged = False
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         prop = (
             edges.join(labels, node_col)
             .groupBy(nbr_col)
@@ -280,10 +284,18 @@ def min_label_components(
         release_checkpoint(_old)  # superseded only AFTER the check read it
         if converged:
             break
+        # the round plan references labels 3x (hop join, pointer self-join,
+        # convergence check) — sever the retained object graph every few
+        # rounds or per-round overhead grows ~3x/round (session.sever_lineage)
+        if (_round + 1) % 3 == 0:
+            labels = sever_lineage(labels, f"{scratch}/labels_{_round}")
     if not converged:
+        shutil.rmtree(scratch, ignore_errors=True)
         raise RuntimeError(
             f"min_label_components: no convergence in {max_iter} rounds"
         )
+    labels = iter_checkpoint(labels, reliable_checkpoint)
+    shutil.rmtree(scratch, ignore_errors=True)
     return labels
 
 

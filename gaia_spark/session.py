@@ -81,3 +81,17 @@ def release_checkpoint(df) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass
+
+
+def sever_lineage(df, path: str):
+    """Parquet write/read roundtrip — the only lineage cut that also drops
+    the RETAINED JVM object graph. Measured in round 5: an iterative loop
+    whose per-round plan references its predecessor >= 2-3 times grows
+    per-job overhead ~3x per round even through localCheckpoint/checkpoint
+    (a 4-row join hit 142 s by round 13); a parquet roundtrip every few
+    rounds keeps rounds flat (62-round contraction: 243 s total). Use for
+    any doubling/propagation loop beyond ~8 rounds; ``path`` must be
+    shared storage on a real cluster. Callers delete the path once the
+    downstream result has materialized."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

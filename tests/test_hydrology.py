@@ -164,3 +164,38 @@ def test_isochrones_constant_surface_bands(spark):
     # band 1: [1.5c, 2.5c): 2c orthogonals, c+c chains, c√2+c knights, 2√2c diag
     assert out[1].n_cells > 0 and out[1].min_e6 >= 151_500_000
     assert all(b <= 2 for b in out)
+
+
+def test_peel_matches_closure_and_bounds_state(spark):
+    """The scale-safe rake-and-compress path (VERDICT r4 #3): bit-identical
+    to the closure path on a real terrain grid, with per-round state
+    (active + pending promises) NEVER exceeding one row per cell — the
+    bounded-intermediate property the closure path lacks."""
+    from gaia_spark.operators.hydrology import flow_accumulation_peel
+
+    rng = np.random.default_rng(11)
+    grid = (
+        20.0 * np.sin(np.linspace(0, 3, TILE_PX))[:, None]
+        + 15.0 * np.cos(np.linspace(0, 5, TILE_PX))[None, :]
+        + rng.uniform(0, 2.0, (TILE_PX, TILE_PX))
+    )
+    dirs = flow_direction(_raster_from_grid(spark, grid), zoom=0).localCheckpoint()
+    n_nodes = dirs.count()
+    a = sorted(map(tuple, flow_accumulation(dirs, zoom=0).collect()))
+    stats = []
+    b = sorted(map(tuple, flow_accumulation_peel(dirs, zoom=0, stats=stats).collect()))
+    assert a == b
+    assert all(s["active"] + s["pending"] <= n_nodes for s in stats)
+    # and the contraction actually finished (active drained to zero)
+    assert stats[-1]["active"] == 0
+
+
+def test_peel_rejects_unconverged(spark):
+    """max_rounds too small -> loud failure, never a partial answer."""
+    from gaia_spark.operators.hydrology import flow_accumulation_peel
+
+    rng = np.random.default_rng(3)
+    grid = rng.uniform(0, 50, (TILE_PX, TILE_PX))
+    dirs = flow_direction(_raster_from_grid(spark, grid), zoom=0).localCheckpoint()
+    with pytest.raises(RuntimeError, match="active after"):
+        flow_accumulation_peel(dirs, zoom=0, max_rounds=2).count()
