@@ -276,8 +276,11 @@ def run_suite(
         # until at least one rep executed in a calm window, then take the
         # min over CALM reps so the committed driver artifact matches calm
         # evidence instead of whichever weather the driver sampled.
-        calm_pct = float(os.environ.get("SPARK_GRAFT_CALM_PCT", "1.5"))
-        max_extra = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_REPS", "4"))
+        calm_pct = float(os.environ.get("SPARK_GRAFT_CALM_PCT", "2.0"))
+        max_extra = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_REPS", "2"))
+        # never let calm-hunting blow the driver's wall budget: stop
+        # extending once this query has consumed its time allowance
+        extra_budget_s = float(os.environ.get("SPARK_GRAFT_EXTRA_BUDGET_S", "45"))
         total = reps
         r = 0
         while r < total:
@@ -292,8 +295,11 @@ def run_suite(
             c1, s1 = cpu_ticks()
             steals.append(round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2))
             r += 1
-            if r == total and total < reps + max_extra and not any(
-                s <= calm_pct for s in steals
+            if (
+                r == total
+                and total < reps + max_extra
+                and sum(samples) < extra_budget_s
+                and not any(s <= calm_pct for s in steals)
             ):
                 total += 1
         # MIN of CALM reps (falling back to min of all if no rep was calm):

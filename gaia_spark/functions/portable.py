@@ -552,18 +552,38 @@ WGS84_F = 1.0 / 298.257223563
 WGS84_B = WGS84_A * (1.0 - WGS84_F)
 
 
+def _vincenty_sigma_update(acc: str) -> str:
+    """One round of the Vincenty-direct σ iteration as a single SQL
+    expression in terms of the current σ (``acc``) and the prepared
+    columns _vd_sig0/_vd_sig1/_vd_bb. Identical text on both engines
+    (the fold wrapper is the only dialect split)."""
+    ss = f"sin({acc})"
+    cs = f"cos({acc})"
+    c2sm = f"cos(2 * _vd_sig1 + {acc})"
+    return (
+        f"_vd_sig0 + _vd_bb * {ss} * ({c2sm} + _vd_bb / 4 * "
+        f"({cs} * (-1 + 2 * {c2sm} * {c2sm}) "
+        f"- _vd_bb / 6 * {c2sm} * (-3 + 4 * {ss} * {ss}) "
+        f"* (-3 + 4 * {c2sm} * {c2sm})))"
+    )
+
+
 def vincenty_direct_steps(
-    lat: str, lon: str, az_deg: str, dist_m: str, iters: int = 4
+    lat: str, lon: str, az_deg: str, dist_m: str, iters: int = 4,
+    dialect: str = "spark",
 ) -> list[tuple[str, str]]:
     """Vincenty direct problem on WGS84 as an ORDERED list of named SQL
-    steps ending in ``_vd_lat2`` / ``_vd_lon2`` (degrees). The sigma
-    iteration is unrolled to a FIXED ``iters`` rounds (4 ≈ machine
-    precision for any distance), each step referencing earlier steps BY
-    NAME — Spark applies them as a selectExpr chain, the oracle nests
-    them as subqueries, so both engines evaluate the identical expression
-    DAG and the result is hash-checkable like the spherical family.
-    Closes the last geodesy accuracy gap vs gaia-through-pyproj (the
-    spherical destination is off up to ~0.5% in latitude; Vincenty is
+    steps ending in ``_vd_lat2`` / ``_vd_lon2`` (degrees). The σ
+    iteration is a RUNTIME FOLD (``iters`` fixed rounds, 4 ≈ machine
+    precision for any distance): like the inverse, chained-alias
+    unrolling feeds Catalyst's project-collapse a multiplicative
+    reference fan-out and planning time explodes with the round count,
+    so the rounds run per row inside one constant-size
+    ``aggregate(sequence(...))`` / ``list_reduce`` expression instead —
+    Spark and DuckDB evaluate the identical update text, so the result
+    stays hash-checkable like the spherical family. Closes the last
+    geodesy accuracy gap vs gaia-through-pyproj (the spherical
+    destination is off up to ~0.5% in latitude; Vincenty is
     sub-millimeter). Every constant is a cast double literal (the
     decimal-literal portability gotcha)."""
     c = lambda v: f"cast({v!r} as double)"
@@ -582,23 +602,16 @@ def vincenty_direct_steps(
     s.append(("_vd_ba", "1 + _vd_u2 / 16384 * (4096 + _vd_u2 * (-768 + _vd_u2 * (320 - 175 * _vd_u2)))"))
     s.append(("_vd_bb", "_vd_u2 / 1024 * (256 + _vd_u2 * (-128 + _vd_u2 * (74 - 47 * _vd_u2)))"))
     s.append(("_vd_sig0", f"({dist_m}) / ({c(b)} * _vd_ba)"))
-    prev = "_vd_sig0"
-    for k in range(1, iters + 1):
-        s.append((f"_vd_tsm{k}", f"2 * _vd_sig1 + {prev}"))
-        s.append((f"_vd_c2sm{k}", f"cos(_vd_tsm{k})"))
-        s.append((f"_vd_ss{k}", f"sin({prev})"))
-        s.append((f"_vd_cs{k}", f"cos({prev})"))
-        s.append(
-            (
-                f"_vd_dsig{k}",
-                f"_vd_bb * _vd_ss{k} * (_vd_c2sm{k} + _vd_bb / 4 * "
-                f"(_vd_cs{k} * (-1 + 2 * _vd_c2sm{k} * _vd_c2sm{k}) "
-                f"- _vd_bb / 6 * _vd_c2sm{k} * (-3 + 4 * _vd_ss{k} * _vd_ss{k}) "
-                f"* (-3 + 4 * _vd_c2sm{k} * _vd_c2sm{k})))",
-            )
-        )
-        s.append((f"_vd_sg{k}", f"_vd_sig0 + _vd_dsig{k}"))
-        prev = f"_vd_sg{k}"
+    body = _vincenty_sigma_update("acc")
+    if dialect == "spark":
+        fold = f"aggregate(sequence(1, {iters}), _vd_sig0, (acc, x) -> {body})"
+    elif dialect == "duckdb":
+        dummies = ", ".join(["cast(0 as double)"] * iters)
+        fold = f"list_reduce([_vd_sig0, {dummies}], (acc, x) -> {body})"
+    else:  # pragma: no cover
+        raise ValueError(f"unknown dialect {dialect!r}")
+    s.append(("_vd_sig", fold))
+    prev = "_vd_sig"
     s.append(("_vd_ss", f"sin({prev})"))
     s.append(("_vd_cs", f"cos({prev})"))
     s.append(("_vd_tsm", f"2 * _vd_sig1 + {prev}"))
@@ -629,8 +642,142 @@ def vincenty_subquery_sql(
 ) -> str:
     """Wrap ``inner`` (a SELECT producing the four input columns) in the
     nested-subquery replay of :func:`vincenty_direct_steps` — the DuckDB
-    side of the shared expression DAG."""
+    side of the shared expression DAG (list_reduce fold)."""
     sql = f"({inner})"
-    for name, expr in vincenty_direct_steps(lat, lon, az_deg, dist_m, iters):
+    for name, expr in vincenty_direct_steps(
+        lat, lon, az_deg, dist_m, iters, dialect="duckdb"
+    ):
+        sql = f"(SELECT *, {expr} AS {name} FROM {sql})"
+    return sql
+
+
+def _vincenty_lambda_update(acc: str) -> str:
+    """One round of the Vincenty-inverse λ iteration as a single SQL
+    expression in terms of the current λ (``acc``) and the prepared
+    columns _vi_su1/_vi_cu1/_vi_su2/_vi_cu2/_vi_ll. Textually inlined
+    (no named intermediates — lambda bodies can't bind them); identical
+    text on both engines so the fold is hash-stable. Guards: coincident
+    points (sinσ = 0 → sinα := 0) and equatorial pairs (cos²α = 0 →
+    cos2σm := 0), the standard Vincenty substitutes."""
+    c = lambda v: f"cast({v!r} as double)"
+    f = WGS84_F
+    sl = f"sin({acc})"
+    cl = f"cos({acc})"
+    t1 = f"(_vi_cu2 * {sl})"
+    t2 = f"(_vi_cu1 * _vi_su2 - _vi_su1 * _vi_cu2 * {cl})"
+    ss = f"sqrt({t1} * {t1} + {t2} * {t2})"
+    cs = f"(_vi_su1 * _vi_su2 + _vi_cu1 * _vi_cu2 * {cl})"
+    sig = f"atan2({ss}, {cs})"
+    sa = (
+        f"(CASE WHEN {ss} = 0 THEN cast(0 as double) "
+        f"ELSE _vi_cu1 * _vi_cu2 * {sl} / {ss} END)"
+    )
+    c2a = f"(1 - {sa} * {sa})"
+    c2sm = (
+        f"(CASE WHEN {c2a} = 0 THEN cast(0 as double) "
+        f"ELSE {cs} - 2 * _vi_su1 * _vi_su2 / {c2a} END)"
+    )
+    cc = f"({c(f / 16.0)} * {c2a} * (4 + {c(f)} * (4 - 3 * {c2a})))"
+    return (
+        f"_vi_ll + (1 - {cc}) * {c(f)} * {sa} * ({sig} + {cc} * {ss} * "
+        f"({c2sm} + {cc} * {cs} * (-1 + 2 * {c2sm} * {c2sm})))"
+    )
+
+
+def vincenty_inverse_steps(
+    lat1: str, lon1: str, lat2: str, lon2: str, iters: int = 6,
+    dialect: str = "spark",
+) -> list[tuple[str, str]]:
+    """Vincenty inverse problem on WGS84 (geodesic distance between two
+    points) as ordered named SQL steps ending in ``_vi_dist_m`` — the
+    sibling of :func:`vincenty_direct_steps`. The λ iteration is a
+    RUNTIME FOLD, not an unrolled chain: Catalyst's project-collapse
+    inlines chained aliases, and the inverse round has ~10× reference
+    fan-out, so unrolling explodes super-exponentially (measured: 3
+    unrolled rounds = 405 s of PLANNING on a 1-row input; 6 rounds never
+    finishes). `aggregate(sequence(1, iters), λ0, (acc, x) -> update)`
+    keeps the plan constant-size and iterates per row at runtime —
+    Spark-side `aggregate`, DuckDB-side `list_reduce` over
+    [λ0, 0×iters] (same left fold, same update text, hash-stable; this
+    is the ONE step whose wrapper syntax is dialect-split). Final-round
+    quantities (σ, sin σ, cos 2σm, the Helmert series) are then one
+    ordinary named-step round computed from the converged λ. 6 rounds ≈
+    machine precision away from the antipodal region; nearly-antipodal
+    pairs are the documented classical non-convergence case — callers'
+    fixtures avoid them."""
+    c = lambda v: f"cast({v!r} as double)"
+    a, f, b = WGS84_A, WGS84_F, WGS84_B
+    s: list[tuple[str, str]] = []
+    s.append(("_vi_u1", f"atan({c(1.0 - f)} * tan(radians({lat1})))"))
+    s.append(("_vi_u2", f"atan({c(1.0 - f)} * tan(radians({lat2})))"))
+    s.append(("_vi_su1", "sin(_vi_u1)"))
+    s.append(("_vi_cu1", "cos(_vi_u1)"))
+    s.append(("_vi_su2", "sin(_vi_u2)"))
+    s.append(("_vi_cu2", "cos(_vi_u2)"))
+    s.append(("_vi_ll", f"radians(({lon2}) - ({lon1}))"))
+    body = _vincenty_lambda_update("acc")
+    if dialect == "spark":
+        fold = f"aggregate(sequence(1, {iters}), _vi_ll, (acc, x) -> {body})"
+    elif dialect == "duckdb":
+        dummies = ", ".join(["cast(0 as double)"] * iters)
+        fold = f"list_reduce([_vi_ll, {dummies}], (acc, x) -> {body})"
+    else:  # pragma: no cover
+        raise ValueError(f"unknown dialect {dialect!r}")
+    s.append(("_vi_lam", fold))
+    # one final round from the converged λ (plain named steps — single
+    # round, so project-collapse growth is bounded)
+    s.append(("_vi_sl", "sin(_vi_lam)"))
+    s.append(("_vi_cl", "cos(_vi_lam)"))
+    s.append(
+        (
+            "_vi_ss",
+            "sqrt((_vi_cu2 * _vi_sl) * (_vi_cu2 * _vi_sl) + "
+            "(_vi_cu1 * _vi_su2 - _vi_su1 * _vi_cu2 * _vi_cl) * "
+            "(_vi_cu1 * _vi_su2 - _vi_su1 * _vi_cu2 * _vi_cl))",
+        )
+    )
+    s.append(("_vi_cs", "_vi_su1 * _vi_su2 + _vi_cu1 * _vi_cu2 * _vi_cl"))
+    s.append(("_vi_sig", "atan2(_vi_ss, _vi_cs)"))
+    # coincident points: sinσ = 0 — define sinα = 0 so dist lands at 0
+    s.append(
+        (
+            "_vi_sa",
+            "(CASE WHEN _vi_ss = 0 THEN cast(0 as double) "
+            "ELSE _vi_cu1 * _vi_cu2 * _vi_sl / _vi_ss END)",
+        )
+    )
+    s.append(("_vi_c2a", "1 - _vi_sa * _vi_sa"))
+    s.append(
+        (
+            "_vi_c2sm",
+            "(CASE WHEN _vi_c2a = 0 THEN cast(0 as double) "
+            "ELSE _vi_cs - 2 * _vi_su1 * _vi_su2 / _vi_c2a END)",
+        )
+    )
+    s.append(("_vi_us", f"_vi_c2a * {c((a * a - b * b) / (b * b))}"))
+    s.append(("_vi_ba", "1 + _vi_us / 16384 * (4096 + _vi_us * (-768 + _vi_us * (320 - 175 * _vi_us)))"))
+    s.append(("_vi_bb", "_vi_us / 1024 * (256 + _vi_us * (-128 + _vi_us * (74 - 47 * _vi_us)))"))
+    s.append(
+        (
+            "_vi_dsig",
+            "_vi_bb * _vi_ss * (_vi_c2sm + _vi_bb / 4 * "
+            "(_vi_cs * (-1 + 2 * _vi_c2sm * _vi_c2sm) "
+            "- _vi_bb / 6 * _vi_c2sm * (-3 + 4 * _vi_ss * _vi_ss) "
+            "* (-3 + 4 * _vi_c2sm * _vi_c2sm)))",
+        )
+    )
+    s.append(("_vi_dist_m", f"{c(b)} * _vi_ba * (_vi_sig - _vi_dsig)"))
+    return s
+
+
+def vincenty_inverse_subquery_sql(
+    inner: str, lat1: str, lon1: str, lat2: str, lon2: str, iters: int = 6
+) -> str:
+    """Nested-subquery oracle twin of :func:`vincenty_inverse_steps`
+    (duckdb dialect — `list_reduce` fold)."""
+    sql = f"({inner})"
+    for name, expr in vincenty_inverse_steps(
+        lat1, lon1, lat2, lon2, iters, dialect="duckdb"
+    ):
         sql = f"(SELECT *, {expr} AS {name} FROM {sql})"
     return sql

@@ -82,3 +82,47 @@ def test_roundtrip_against_spherical_tolerance(spark, lat, az, dist):
     sep_m = dist * 0.005
     deg = sep_m / 111_000.0
     assert abs(lat_e - r["la"]) < deg and abs(lon_e - r["lo"]) < deg / math.cos(math.radians(lat))
+
+
+def test_inverse_equator_exact(spark):
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions.portable import vincenty_inverse_steps
+
+    df = spark.sql(
+        "SELECT cast(0.0 as double) AS a1, cast(10.0 as double) AS o1, "
+        "cast(0.0 as double) AS a2, cast(19.0 as double) AS o2"
+    )
+    for name, expr in vincenty_inverse_steps("a1", "o1", "a2", "o2"):
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    d = df.select("_vi_dist_m").collect()[0][0]
+    assert abs(d - WGS84_A * math.radians(9.0)) < 1e-6
+
+
+def test_inverse_roundtrips_direct(spark):
+    """direct(p, az, s) then inverse(p, dest) must return s (sub-mm)."""
+    from gaia_spark.functions.portable import vincenty_inverse_steps
+
+    for lat, az, s in [(47.3, 61.0, 1_500_000.0), (-33.9, 200.0, 800_000.0),
+                       (5.0, 123.0, 2_500_000.0)]:
+        lat2, lon2 = _vd(spark, lat, 5.0, az, s)
+        df = spark.sql(
+            f"SELECT cast({lat} as double) AS a1, cast(5.0 as double) AS o1, "
+            f"cast({lat2} as double) AS a2, cast({lon2} as double) AS o2"
+        )
+        for name, expr in vincenty_inverse_steps("a1", "o1", "a2", "o2"):
+            df = df.selectExpr("*", f"{expr} AS {name}")
+        d = df.select("_vi_dist_m").collect()[0][0]
+        assert abs(d - s) < 1e-3, (lat, az, s, d)
+
+
+def test_inverse_coincident_zero(spark):
+    from gaia_spark.functions.portable import vincenty_inverse_steps
+
+    df = spark.sql(
+        "SELECT cast(12.5 as double) AS a1, cast(-7.0 as double) AS o1, "
+        "cast(12.5 as double) AS a2, cast(-7.0 as double) AS o2"
+    )
+    for name, expr in vincenty_inverse_steps("a1", "o1", "a2", "o2"):
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    assert df.select("_vi_dist_m").collect()[0][0] == 0.0
