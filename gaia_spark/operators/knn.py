@@ -151,11 +151,20 @@ def near_join(
     radius_m: float,
     point_key: str = "url",
     site_key: str = "site_id",
+    max_cover_rows: int = 5_000_000,
 ) -> DataFrame:
     """NearProcess / buffer-as-predicate: all (point, site) pairs with
     haversine ≤ radius_m. Cell-cover candidate join + codegen'd refine —
     the haversine refine is pure SQL (portable), so the whole refine stage
-    stays JVM-side."""
+    stays JVM-side.
+
+    **Scale bound (explicit, not silent):** the cover ring is enumerated in
+    a DRIVER-side loop over ``sites_pdf`` — O(sites × ring²) rows, which is
+    the right trade only for a broadcast-sized site table (the pandas input
+    type is the contract). The loop refuses above ``max_cover_rows``
+    (default 5M ≈ hundreds of MB of broadcast) and points at
+    :func:`near_join_cells`, whose cover is derived with sequence/explode
+    INSIDE the plan and scales to 10⁶+ sites as a DataFrame end to end."""
     spark = points.sparkSession
     # resolution: cells comparable to the radius
     # conservative degree OVER-estimate of the radius (110,000 m/deg floor;
@@ -187,6 +196,13 @@ def near_join(
             span_lo, span_hi = -ring_x, ring_x
         c = int(cell_encode(np.array([slat]), np.array([slon]), res)[0])
         cx, cy = c % n, c // n
+        if len(rows) + (2 * ring_y + 1) * (span_hi - span_lo + 1) > max_cover_rows:
+            raise ValueError(
+                f"near_join: cover exceeds max_cover_rows={max_cover_rows} "
+                f"({len(sites_pdf)} sites, radius {radius_m} m) — use "
+                "near_join_cells (distributed in-plan cover) for site tables "
+                "this large"
+            )
         for dy in range(-ring_y, ring_y + 1):
             yy = cy + dy
             if yy < 0 or yy >= n:

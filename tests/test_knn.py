@@ -203,3 +203,17 @@ def test_knn_cells_fallback_loud_and_bounded(spark, points, sites):
         knn_join_cells(
             points, sites_df, k=1, res=5, max_rounds=0, max_fallback_rows=3
         ).collect()
+
+
+def test_near_join_refuses_oversized_driver_cover(spark):
+    """The driver-side cover loop is bounded LOUDLY (VERDICT r4 minor #4):
+    above max_cover_rows it refuses and points at near_join_cells instead
+    of silently materializing an O(sites x ring^2) broadcast."""
+    import pandas as pd
+
+    sites = pd.DataFrame(
+        {"site_id": range(20), "lat": [40.0] * 20, "lon": [float(i) for i in range(20)]}
+    )
+    pts = spark.createDataFrame([("p0", 40.0, 0.0)], "url string, lat double, lon double")
+    with pytest.raises(ValueError, match="near_join_cells"):
+        near_join(pts, sites, 500_000.0, max_cover_rows=50).collect()
