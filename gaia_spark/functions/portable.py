@@ -13,6 +13,8 @@ Kept in lockstep with the numpy kernels in
 
 from __future__ import annotations
 
+import math
+
 EARTH_RADIUS_M = 6371008.8
 
 SPARK = "spark"
@@ -128,6 +130,54 @@ def rect_area_m2_sql(min_lat: str, min_lon: str, max_lat: str, max_lon: str) -> 
     return (
         f"({r2} * (radians({max_lon}) - radians({min_lon})) * "
         f"abs(sin(radians({max_lat})) - sin(radians({min_lat}))))"
+    )
+
+
+def sin_authalic_sql(lat_deg: str) -> str:
+    """sin of the AUTHALIC latitude of geodetic ``lat_deg`` (degrees) on
+    WGS84, via the EXACT q-function (Snyder, Map Projections §3,
+    eq. 3-11/3-12 — public domain): sin ξ = q(φ)/q(90°) with
+    q(φ) = (1−e²)·[sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ))].
+    No series truncation; `ln` is natural log on BOTH engines (Spark `ln`
+    = DuckDB `ln`; never `log`, which is base-10 in DuckDB). The authalic
+    sphere has exactly the ellipsoid's surface area, so areas measured on
+    it with authalic latitudes are exact ellipsoidal areas."""
+    c = lambda v: f"cast({v!r} as double)"
+    e2 = WGS84_F * (2.0 - WGS84_F)
+    e = math.sqrt(e2)
+    qp = (1.0 - e2) * (
+        1.0 / (1.0 - e2) - (1.0 / (2.0 * e)) * math.log((1.0 - e) / (1.0 + e))
+    )
+    s = f"sin(radians({lat_deg}))"
+    q = (
+        f"({c(1.0 - e2)} * (({s}) / (1 - {c(e2)} * ({s}) * ({s})) "
+        f"- {c(1.0 / (2.0 * e))} * ln((1 - {c(e)} * ({s})) / (1 + {c(e)} * ({s})))))"
+    )
+    return f"({q} / {c(qp)})"
+
+
+def authalic_radius_sq() -> float:
+    """R_A² of WGS84 (m²): a²·q(90°)/2 — the sphere with the ellipsoid's
+    exact surface area."""
+    e2 = WGS84_F * (2.0 - WGS84_F)
+    e = math.sqrt(e2)
+    qp = (1.0 - e2) * (
+        1.0 / (1.0 - e2) - (1.0 / (2.0 * e)) * math.log((1.0 - e) / (1.0 + e))
+    )
+    return WGS84_A * WGS84_A * qp / 2.0
+
+
+def rect_area_ellipsoid_m2_sql(
+    min_lat: str, min_lon: str, max_lat: str, max_lon: str
+) -> str:
+    """EXACT WGS84-ellipsoid area of a lat/lon-aligned rectangle (m²):
+    R_A² · Δλ · |sin ξ(max_lat) − sin ξ(min_lat)| — the authalic map is
+    area-preserving, and for geodetic rects this closed form IS the
+    ellipsoidal surface integral ∫∫ a²(1−e²)cosφ/(1−e²sin²φ)² dφ dλ."""
+    ra2 = authalic_radius_sq()
+    return (
+        f"({ra2!r} * (radians({max_lon}) - radians({min_lon})) * "
+        f"abs({sin_authalic_sql(max_lat)} - {sin_authalic_sql(min_lat)}))"
     )
 
 

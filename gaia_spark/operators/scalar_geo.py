@@ -143,6 +143,31 @@ def ring_area_sphere_m2_sql(vertices: str = "vertices") -> str:
     return f"abs(({acc}) * {P.EARTH_RADIUS_M * P.EARTH_RADIUS_M / 2.0})"
 
 
+def ring_area_ellipsoid_m2_sql(vertices: str = "vertices") -> str:
+    """WGS84-ELLIPSOID polygon area (m²) as ONE JVM aggregate: the
+    Chamberlain–Duquette shoelace evaluated on the AUTHALIC sphere —
+    |R_A²/2 · Σ (λ₂−λ₁)(sin ξ₁ + sin ξ₂)| with ξ the authalic latitude
+    (exact q-ratio, :func:`portable.sin_authalic_sql`) and R_A the
+    authalic radius. The authalic map preserves areas exactly, so for
+    lat/lon-edged rings (rects, the parcel fixtures) this IS the exact
+    ellipsoidal area — the sub-percent accuracy win over
+    :func:`ring_area_sphere_m2_sql` that gaia gets from GEOS/pyproj.
+    Same antimeridian caveat as the spherical form."""
+    from gaia_spark.functions import portable as P
+
+    pairs = (
+        f"zip_with(slice({vertices}, 1, size({vertices}) - 1), "
+        f"slice({vertices}, 2, size({vertices}) - 1), "
+        "(a, b) -> struct(a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2))"
+    )
+    term = (
+        f"(radians(p.lon2) - radians(p.lon1)) * "
+        f"({P.sin_authalic_sql('p.lat1')} + {P.sin_authalic_sql('p.lat2')})"
+    )
+    acc = f"aggregate({pairs}, cast(0 as double), (acc, p) -> acc + {term})"
+    return f"abs(({acc}) * {P.authalic_radius_sq() / 2.0!r})"
+
+
 def ring_centroid_area_sql(vertices: str = "vertices") -> str:
     """AREA-WEIGHTED polygon centroid (planar shoelace) as a JVM expression
     returning struct(lat, lon) — the semantics of shapely's ``centroid``

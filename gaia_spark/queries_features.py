@@ -579,6 +579,42 @@ def q_parcel_area_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parcel_area_ellipsoid_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    rect = P.rect_area_ellipsoid_m2_sql("pmin_lat", "pmin_lon", "pmax_lat", "pmax_lon")
+    # km² quantization (k=-6): parcel areas run ~1e12 m², where the
+    # engine-aggregate vs closed-form float paths differ by ~1 ULP ≈ 1 m²
+    # — integer-m² flooring flipped 1 row in 2000 at sf0.01; km² puts the
+    # boundary 10⁶ ULPs away
+    return f"""
+    WITH {PARCELS_CTE}
+    SELECT p_partkey,
+           {P.floor_scaled_sql(rect, -6)} AS area_km2_e0
+    FROM parcels
+    """
+
+
+@register("q_parcel_area_ellipsoid", _parcel_area_ellipsoid_oracle())
+def q_parcel_area_ellipsoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AreaProcess on the WGS84 ELLIPSOID: the Chamberlain-Duquette ring
+    aggregate evaluated on the authalic sphere (exact q-ratio authalic
+    latitudes) against the exact ellipsoidal rect closed form - like
+    q_parcel_area_sphere the engine sees only vertices, and the authalic
+    map makes the rect identity EXACT on the ellipsoid, closing the
+    geodesy accuracy gap for areas like Vincenty does for distances."""
+    from gaia_spark.operators.scalar_geo import ring_area_ellipsoid_m2_sql
+    from gaia_spark.functions import portable as P
+
+    feats = parcel_features(spark, sf_dir)
+    return feats.select(
+        "p_partkey",
+        F.expr(P.floor_scaled_sql(ring_area_ellipsoid_m2_sql("vertices"), -6)).alias(
+            "area_km2_e0"
+        ),
+    )
+
+
 def _areal_interp_oracle() -> str:
     from gaia_spark.functions import portable as P2
     from gaia_spark.operators.zonal import overlap_weight_sql

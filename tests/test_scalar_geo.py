@@ -169,3 +169,46 @@ def test_gc_waypoints_closed_forms(spark):
     wla4, wlo4 = P.gc_waypoint_sqls("lat", "lon", "dlat", "dlon", 1, 4)
     q = df.where("k = 1").select(F.expr(wlo4).alias("lo")).collect()[0].lo
     assert abs(q - 20.0) < 1e-9
+
+
+def test_ring_area_ellipsoid_matches_quadrature(spark):
+    """The authalic-latitude CD aggregate must reproduce the exact WGS84
+    surface integral A = dlam * a^2(1-e^2) * INT cos(phi)/(1-e^2 sin^2 phi)^2
+    on a geodetic rect (sub-m^2 on a ~2x2 deg parcel), and must beat the
+    spherical form by the documented sub-percent margin."""
+    import math
+
+    from gaia_spark.functions.portable import WGS84_A, WGS84_F
+    from gaia_spark.operators.scalar_geo import (
+        ring_area_ellipsoid_m2_sql,
+        ring_area_sphere_m2_sql,
+    )
+
+    lat1, lat2, lon1, lon2 = 42.0, 44.0, 5.0, 7.0
+    ring = (
+        f"array(struct(cast({lat1} as double) AS lat, cast({lon1} as double) AS lon), "
+        f"struct(cast({lat1} as double) AS lat, cast({lon2} as double) AS lon), "
+        f"struct(cast({lat2} as double) AS lat, cast({lon2} as double) AS lon), "
+        f"struct(cast({lat2} as double) AS lat, cast({lon1} as double) AS lon), "
+        f"struct(cast({lat1} as double) AS lat, cast({lon1} as double) AS lon))"
+    )
+    row = (
+        spark.range(1)
+        .select(
+            F.expr(f"{ring_area_ellipsoid_m2_sql(ring)}").alias("ae"),
+            F.expr(f"{ring_area_sphere_m2_sql(ring)}").alias("asp"),
+        )
+        .collect()[0]
+    )
+    e2 = WGS84_F * (2.0 - WGS84_F)
+    phis = np.linspace(math.radians(lat1), math.radians(lat2), 400001)
+    integ = np.cos(phis) / (1.0 - e2 * np.sin(phis) ** 2) ** 2
+    exact = (
+        math.radians(lon2 - lon1)
+        * WGS84_A * WGS84_A * (1.0 - e2)
+        * np.trapz(integ, phis)
+    )
+    assert abs(row["ae"] - exact) < 1.0                  # sub-m^2 on ~37,000 km^2
+    rel_sphere = abs(row["asp"] - exact) / exact
+    assert rel_sphere > 1e-4                             # sphere is measurably off
+    assert abs(row["ae"] - exact) / exact < rel_sphere / 1e4
