@@ -186,6 +186,53 @@ def _line_len_oracle() -> str:
     """
 
 
+def _line_len_ellipsoid_oracle() -> str:
+    from gaia_spark.functions import portable as P
+
+    inner = (
+        f"WITH {LINES_CTE} SELECT s_suppkey, la AS lat1, lo AS lon1, "
+        "CASE WHEN horiz THEN la ELSE la + len END AS lat2, "
+        "CASE WHEN horiz THEN lo + len ELSE lo END AS lon2 FROM lines"
+    )
+    nested = P.vincenty_inverse_subquery_sql(inner, "lat1", "lon1", "lat2", "lon2")
+    return f"""
+    SELECT s_suppkey,
+           cast(sum({P.floor_scaled_sql('_vi_dist_m', 3)}) as bigint) AS length_mm
+    FROM {nested} t
+    GROUP BY s_suppkey
+    """
+
+
+@register("q_line_length_ellipsoid", _line_len_ellipsoid_oracle())
+def q_line_length_ellipsoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LengthProcess on the WGS84 ELLIPSOID: polyline chains exploded to
+    edges, each edge measured by the Vincenty inverse (runtime-fold named
+    steps), quantized to integer millimeters PER EDGE and summed as exact
+    bigints — floats never cross the aggregation, so the per-line total is
+    hash-stable under any partitioning or shuffle order. The generic
+    multi-vertex sibling of q_line_length's spherical haversine; the
+    oracle replays edges + fold through the shared nested-subquery SQL."""
+    from gaia_spark.functions import portable as P
+
+    feats = line_features(spark, sf_dir)
+    pairs = (
+        "zip_with(slice(vertices, 1, size(vertices) - 1), "
+        "slice(vertices, 2, size(vertices) - 1), "
+        "(a, b) -> struct(a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2))"
+    )
+    edges = feats.select(
+        "s_suppkey", F.posexplode(F.expr(pairs)).alias("_i", "e")
+    ).select("s_suppkey", "e.lat1", "e.lon1", "e.lat2", "e.lon2")
+    for name, expr in P.vincenty_inverse_steps("lat1", "lon1", "lat2", "lon2"):
+        edges = edges.selectExpr("*", f"{expr} AS {name}")
+    per_edge = edges.select(
+        "s_suppkey", F.expr(P.floor_scaled_sql("_vi_dist_m", 3)).alias("_mm")
+    )
+    return per_edge.groupBy("s_suppkey").agg(
+        F.sum("_mm").cast("long").alias("length_mm")
+    )
+
+
 @register("q_line_length", _line_len_oracle())
 def q_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LengthProcess over a polyline feature layer — summed haversine as one

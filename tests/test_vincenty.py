@@ -126,3 +126,40 @@ def test_inverse_coincident_zero(spark):
     for name, expr in vincenty_inverse_steps("a1", "o1", "a2", "o2"):
         df = df.selectExpr("*", f"{expr} AS {name}")
     assert df.select("_vi_dist_m").collect()[0][0] == 0.0
+
+
+def test_chain_length_ellipsoid_multi_vertex(spark):
+    """3-vertex chain = sum of the two per-edge Vincenty distances, and the
+    mm-quantized bigint sum is what the engine aggregates (order-free)."""
+    import pyspark.sql.functions as F
+
+    from gaia_spark.functions import portable as P
+
+    def inv(a1, o1, a2, o2):
+        df = spark.sql(
+            f"SELECT cast({a1} as double) AS a1, cast({o1} as double) AS o1, "
+            f"cast({a2} as double) AS a2, cast({o2} as double) AS o2"
+        )
+        for name, expr in P.vincenty_inverse_steps("a1", "o1", "a2", "o2"):
+            df = df.selectExpr("*", f"{expr} AS {name}")
+        return df.select("_vi_dist_m").collect()[0][0]
+
+    ring = (
+        "array(struct(cast(10.0 as double) AS lat, cast(5.0 as double) AS lon), "
+        "struct(cast(12.0 as double) AS lat, cast(7.5 as double) AS lon), "
+        "struct(cast(12.0 as double) AS lat, cast(11.0 as double) AS lon))"
+    )
+    pairs = (
+        f"zip_with(slice({ring}, 1, size({ring}) - 1), slice({ring}, 2, size({ring}) - 1), "
+        "(a, b) -> struct(a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2))"
+    )
+    edges = spark.range(1).select(F.posexplode(F.expr(pairs)).alias("_i", "e")).select(
+        "e.lat1", "e.lon1", "e.lat2", "e.lon2"
+    )
+    for name, expr in P.vincenty_inverse_steps("lat1", "lon1", "lat2", "lon2"):
+        edges = edges.selectExpr("*", f"{expr} AS {name}")
+    total_mm = edges.select(
+        F.sum(F.expr(P.floor_scaled_sql("_vi_dist_m", 3))).alias("t")
+    ).collect()[0]["t"]
+    want = inv(10.0, 5.0, 12.0, 7.5) + inv(12.0, 7.5, 12.0, 11.0)
+    assert abs(total_mm / 1000.0 - want) < 0.002  # two floor(+0.5) quantizations
