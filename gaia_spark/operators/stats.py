@@ -235,10 +235,14 @@ def min_label_components(
     """Connected components by min-label propagation WITH pointer doubling:
     returns (node_col, label) where label = min node id of the component.
 
-    Each round: one-hop neighbor min, then a pointer jump
-    (label := min(label, label's label)) — the chain depth halves every
-    round, so convergence is O(log diameter) rounds; raises if the loop
-    exits unconverged rather than silently returning split components.
+    Each round: one-hop neighbor min, then TWO pointer jumps
+    (label := min(label, label's label), twice) — chain depth quarters
+    every round, so convergence is ~½·O(log diameter) rounds; raises if
+    the loop exits unconverged rather than silently returning split
+    components. The previous label is THREADED through the round as a
+    carried column, so the convergence check is a scan of the
+    just-checkpointed frame (labels are monotone non-increasing, so
+    "no row changed" is exact), not an extra join per round.
     ``edges`` must be symmetric (or the propagation only flows one way);
     labels are always node ids, so the pointer lookup is total.
     The per-round lineage cut is localCheckpoint by default;
@@ -252,6 +256,8 @@ def min_label_components(
     labels = iter_checkpoint(
         nodes.select(node_col, F.col(node_col).alias("label")), reliable_checkpoint
     )
+    _cp = labels  # the round's live checkpoint frame (release target: a
+    # .drop() wrapper is NOT releasable — unpersist needs the LogicalRDD root)
     scratch = tempfile.mkdtemp(prefix="gaia_mlc_")
     converged = False
     for _round in range(max_iter):
@@ -261,40 +267,58 @@ def min_label_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed(nbr_col, node_col)
         )
-        hop = labels.join(prop, node_col, "left").select(
+        cur = labels.join(prop, node_col, "left").select(
             node_col,
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            F.col("label").alias("_prev"),
         )
-        parent = hop.select(F.col(node_col).alias("_p"), F.col("label").alias("_pl"))
-        new = iter_checkpoint(
-            hop.join(parent, hop["label"] == parent["_p"], "left")
-            .select(
+        # first jump checkpointed: the second jump references its input
+        # twice (row + parent side), and an unmaterialized input would be
+        # recomputed on both sides
+        jump1 = iter_checkpoint(
+            cur.join(
+                cur.select(F.col(node_col).alias("_p"), F.col("label").alias("_pl")),
+                cur["label"] == F.col("_p"),
+                "left",
+            ).select(
                 node_col,
                 F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
+                "_prev",
             ),
             reliable_checkpoint,
         )
-        converged = (
-            new.alias("a")
-            .join(labels.alias("b"), node_col)
-            .where(F.col("a.label") != F.col("b.label"))
-            .isEmpty()
+        new = iter_checkpoint(
+            jump1.join(
+                jump1.select(F.col(node_col).alias("_p"), F.col("label").alias("_pl")),
+                jump1["label"] == F.col("_p"),
+                "left",
+            ).select(
+                node_col,
+                F.least(F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))).alias("label"),
+                "_prev",
+            ),
+            reliable_checkpoint,
         )
-        _old, labels = labels, new
-        release_checkpoint(_old)  # superseded only AFTER the check read it
+        release_checkpoint(jump1)
+        converged = new.where(F.col("label") != F.col("_prev")).isEmpty()
+        if _cp is not None:
+            release_checkpoint(_cp)  # superseded only AFTER new materialized
+        _cp, labels = new, new.drop("_prev")
         if converged:
             break
-        # the round plan references labels 3x (hop join, pointer self-join,
-        # convergence check) — sever the retained object graph every few
-        # rounds or per-round overhead grows ~3x/round (session.sever_lineage)
+        # the round plan references labels multiple times — sever the
+        # retained object graph every few rounds or per-round overhead
+        # grows multiplicatively (session.sever_lineage)
         if (_round + 1) % 3 == 0:
             labels = sever_lineage(labels, f"{scratch}/labels_{_round}")
+            release_checkpoint(_cp)
+            _cp = None  # parquet-backed state; nothing to release
     if not converged:
         shutil.rmtree(scratch, ignore_errors=True)
         raise RuntimeError(
             f"min_label_components: no convergence in {max_iter} rounds"
         )
-    labels = iter_checkpoint(labels, reliable_checkpoint)
+    labels = iter_checkpoint(labels, reliable_checkpoint, release=_cp)
     shutil.rmtree(scratch, ignore_errors=True)
     return labels
 
