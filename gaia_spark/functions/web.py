@@ -285,3 +285,125 @@ def blocklist_filter(pages, rules: list[str], url_col: str = "url"):
         .agg(F.min("rule").alias("blocked_by"))
     )
     return h.join(hits, url_col, "left")
+
+
+# --- URL canonicalization (crawl-dedup normalization key) ---------------------
+#
+# Role: `[R] web-page ingestion` — the canonical form that collapses trivially
+# distinct spellings of the same resource BEFORE exact/near dedup: lowercase
+# scheme+authority, default :80/:443 port stripped, fragment dropped, query
+# parameters sorted, trailing path slashes trimmed ('' → '/'). Map-only
+# JVM regex/array chain — zero shuffle, no Python; the grouping that counts
+# collapsed variants is one hash agg.
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_REST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$"
+
+
+def _sorted_query_sql(q: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"array_join(array_sort(split({q}, '&')), '&')"
+    return f"array_to_string(list_sort(string_split({q}, '&')), '&')"
+
+
+def canonical_url_sql(url: str, dialect: str) -> str:
+    """Canonical form of an absolute http(s) URL; NULL when ``url`` has no
+    scheme://host prefix. Same text in both dialects except the array
+    sort/join names. Policy choices (documented, not hidden): www. is KEPT
+    (it is a distinct host), query VALUES are untouched (no %-decoding
+    offline), empty query '?' collapses away."""
+    u0 = f"regexp_replace({url}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u0}, '{_SCHEME_RE}', 1))"
+    hp = f"lower(regexp_extract({u0}, '{_HOST_RE}', 1))"
+    hp_noport = (
+        f"CASE WHEN {scheme} = 'https' THEN regexp_replace({hp}, ':443$', '') "
+        f"WHEN {scheme} = 'http' THEN regexp_replace({hp}, ':80$', '') "
+        f"ELSE {hp} END"
+    )
+    rest = f"regexp_extract({u0}, '{_REST_RE}', 1)"
+    path = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    query = f"nullif(regexp_extract({rest}, '[?](.*)$', 1), '')"
+    cpath = (
+        f"CASE WHEN {path} = '' OR {path} = '/' THEN '/' "
+        f"ELSE coalesce(nullif(regexp_replace({path}, '/+$', ''), ''), '/') END"
+    )
+    sq = _sorted_query_sql(query, dialect)
+    return (
+        f"CASE WHEN {scheme} = '' OR {hp} = '' THEN NULL "
+        f"ELSE concat({scheme}, '://', {hp_noport}, {cpath}, "
+        f"CASE WHEN {query} IS NOT NULL THEN concat('?', {sq}) ELSE '' END) END"
+    )
+
+
+# --- robots.txt evaluation (crawl-politeness gate) -----------------------------
+
+def robots_verdicts(
+    urls,
+    rules,
+    url_col: str = "url",
+) -> "DataFrame":
+    """Evaluate URLs against robots.txt-style rules with Google
+    longest-match semantics: among all rules of the URL's host whose path
+    prefix matches the URL path, the LONGEST prefix wins; on equal length
+    disallow beats allow; no matching rule (or no rules for the host)
+    means allowed. The crawl-politeness gate that runs before fetch
+    scheduling.
+
+    ``rules`` holds (host, rule_type 'allow'|'disallow', path_prefix).
+    Returns (url, verdict, matched_rule) with matched_rule NULL for the
+    default-allow case.
+
+    Scale shape (10^12 URLs × per-host rule sets): ONE host equi-join —
+    rule sets are per-host small (robots.txt is capped at 500 KB in
+    practice) so fan-out is bounded; the winner is a per-URL max_by-style
+    aggregate (combinable), not a window sort. Prefix match and the
+    (length, type, text) winner key are pure JVM string ops.
+
+    Engine-determinism: the winner is selected by an exact lexicographic
+    key — (prefix length, rule_type, path_prefix) via min() on a
+    composed sortable string — so ties break identically in any engine
+    or partitioning."""
+    import pyspark.sql.functions as F
+
+    h = urls.select(
+        F.col(url_col).alias("url"),
+        F.expr(host_sql(url_col)).alias("_host"),
+        F.expr(path_of_sql(url_col)).alias("_path"),
+    )
+    r = rules.select(
+        F.col("host").alias("_host"),
+        F.col("rule_type").alias("_rt"),
+        F.col("path_prefix").alias("_rp"),
+    )
+    m = h.join(r, "_host").where(
+        F.expr("substr(_path, 1, length(_rp))") == F.col("_rp")
+    )
+    # sortable winner key: longer prefix first, then disallow before allow,
+    # then prefix text — encoded so min() picks the winner in one agg
+    key = (
+        "concat(lpad(cast(999 - length(_rp) as string), 3, '0'), "
+        "CASE WHEN _rt = 'disallow' THEN '0' ELSE '1' END, _rp)"
+    )
+    agg = (
+        m.groupBy("url")
+        .agg(
+            F.min(F.expr(f"struct({key} as k, _rt as rt, _rp as rp)")).alias("_w")
+        )
+    )
+    return (
+        h.select("url")
+        .distinct()
+        .join(agg, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("_w.rt"), F.lit("allow")).alias("verdict"),
+            F.col("_w.rp").alias("matched_rule"),
+        )
+    )
+
+
+def path_of_sql(url: str) -> str:
+    """URL path ('' when absent) — the pre-query, pre-fragment path
+    component of an absolute URL."""
+    rest = f"regexp_extract({url}, '{_REST_RE}', 1)"
+    return f"regexp_extract({rest}, '^([^?#]*)', 1)"

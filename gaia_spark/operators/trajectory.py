@@ -96,3 +96,145 @@ def trip_stats(
             "max_leg_m_e3"
         ),
     )
+
+
+def stay_points(
+    df: DataFrame,
+    dist_m: float,
+    min_points: int = 2,
+    min_dur_s: int = 0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stay-point detection (Li et al. 2008 simplified to the SQL-exact
+    gaps-and-islands form): a stay is a maximal run of consecutive events
+    where every leg is shorter than ``dist_m``; stays shorter than
+    ``min_points`` events or ``min_dur_s`` seconds are dropped.
+
+    Role: the reference's movement-segmentation analysis (`[R] SURVEY.md
+    §2.G window analytics`) — turns a raw event timeline into dwell
+    episodes (place visits) with duration and centroid, the input to
+    place-mining / home-detection pipelines.
+
+    Scale shape (100 TB): ONE user-partitioned window shuffle computes
+    the previous point, the new-stay flag, and the running stay number;
+    the per-(user, stay) aggregation reuses the same partitioning (AQE
+    coalesces without a second exchange). The centroid is an exact
+    bigint mean of offset-e4 fixed-point coordinates — order-free, so
+    partial aggregation never perturbs the hash.
+
+    Returns (user, stay_no, n_points, dur_s, clat_e4, clon_e4).
+    """
+    d = with_prev_point(df, user_col, ts_col, tiebreak_col, lat, lon)
+    leg = P.haversine_m_sql("prev_lat", "prev_lon", lat, lon)
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    g = d.withColumn(
+        "new_stay",
+        F.when(
+            F.col("prev_lat").isNotNull() & (F.expr(leg) < float(dist_m)), 0
+        ).otherwise(1),
+    ).withColumn("stay_no", F.sum("new_stay").over(cum).cast("long"))
+    # offset to non-negative before fixed-pointing: bigint_div floors in
+    # DuckDB but truncates in Spark, identical only for non-negative sums
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    agg = g.groupBy(user_col, "stay_no").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.floor(F.max(epoch) - F.min(epoch)).cast("long").alias("dur_s"),
+        F.expr(
+            P.bigint_div(
+                f"sum({P.floor_scaled_sql(f'({lat} + 90.0)', 4)})",
+                "count(*)",
+                P.SPARK,
+            )
+        ).alias("_olat"),
+        F.expr(
+            P.bigint_div(
+                f"sum({P.floor_scaled_sql(f'({lon} + 180.0)', 4)})",
+                "count(*)",
+                P.SPARK,
+            )
+        ).alias("_olon"),
+    )
+    return (
+        agg.where((F.col("n_points") >= min_points) & (F.col("dur_s") >= min_dur_s))
+        .withColumn("clat_e4", (F.col("_olat") - 900000).cast("long"))
+        .withColumn("clon_e4", (F.col("_olon") - 1800000).cast("long"))
+        .drop("_olat", "_olon")
+    )
+
+
+def hausdorff_distance(
+    points: DataFrame,
+    pairs: DataFrame,
+    traj_col: str = "traj_id",
+    key_col: str = "pt_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Symmetric Hausdorff distance between trajectory pairs — the standard
+    trajectory-similarity measure (`[R] SURVEY.md §2.C DistanceProcess`
+    family lifted from point layers to point SETS): h(A,B) = max over a of
+    min over b of d(a,b); H(A,B) = max(h(A,B), h(B,A)).
+
+    ``points`` holds (traj_id, pt_id, lat, lon); ``pairs`` holds
+    (pair_id, a, b) naming the two trajectories to compare. Returns
+    (pair_id, h_ab_m_e3, h_ba_m_e3, hausdorff_m_e3).
+
+    Scale shape: the cross product is scoped PER PAIR by the pair_id
+    equi-join (never corpus-wide all-pairs), so cost is Σ_pairs |A|·|B|
+    — the exact-semantics price of Hausdorff. Both directed maxima come
+    from the same joined relation via two combinable min/max aggregate
+    chains. A trajectory pair must jointly fit a shuffle partition
+    (~10^4 points each is fine); beyond that, prefilter candidates with
+    a cell-cover near join and compute the exact max-min only on
+    boundary cells — the documented scale path, not implemented here.
+
+    Engine-determinism: each pairwise haversine quantizes to e3-mm
+    fixed-point bigint BEFORE min/max, so the nested extrema are exact
+    integer comparisons — bit-identical in any engine or partitioning."""
+    d_sql = P.floor_scaled_sql(
+        P.haversine_m_sql("alat", "alon", "blat", "blon"), 3
+    )
+    pa = pairs.join(
+        points.select(
+            F.col(traj_col).alias("a"),
+            F.col(key_col).alias("apid"),
+            F.col(lat).alias("alat"),
+            F.col(lon).alias("alon"),
+        ),
+        "a",
+    ).select("pair_id", "apid", "alat", "alon")
+    pb = pairs.join(
+        points.select(
+            F.col(traj_col).alias("b"),
+            F.col(key_col).alias("bpid"),
+            F.col(lat).alias("blat"),
+            F.col(lon).alias("blon"),
+        ),
+        "b",
+    ).select("pair_id", "bpid", "blat", "blon")
+    d = pa.join(pb, "pair_id").select(
+        "pair_id", "apid", "bpid", F.expr(d_sql).alias("d_e3")
+    )
+    h_ab = (
+        d.groupBy("pair_id", "apid")
+        .agg(F.min("d_e3").alias("_m"))
+        .groupBy("pair_id")
+        .agg(F.max("_m").cast("long").alias("h_ab_m_e3"))
+    )
+    h_ba = (
+        d.groupBy("pair_id", "bpid")
+        .agg(F.min("d_e3").alias("_m"))
+        .groupBy("pair_id")
+        .agg(F.max("_m").cast("long").alias("h_ba_m_e3"))
+    )
+    return h_ab.join(h_ba, "pair_id").select(
+        "pair_id",
+        "h_ab_m_e3",
+        "h_ba_m_e3",
+        F.greatest("h_ab_m_e3", "h_ba_m_e3").alias("hausdorff_m_e3"),
+    )

@@ -403,3 +403,184 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     return resample_ffill(e, bucket_s=3600)
+
+
+# --- stay-point detection (dwell episodes) ------------------------------------
+
+# home + jitter movement fixture: most events dwell near the user's
+# key-derived home (sub-km jitter from the event id), every 7th event is a
+# trip to a far key-derived location — gives every user a mix of real stays
+# and singleton travel segments. One shared SQL string per coordinate.
+_STAY_LAT = (
+    f"CASE WHEN event_id % 7 = 0 THEN {P.key_lat_sql('event_id')} "
+    f"ELSE {P.key_lat_sql('user_id')} "
+    "+ (event_id % 19) * (cast(3 as double) / cast(1000 as double)) END"
+)
+_STAY_LON = (
+    f"CASE WHEN event_id % 7 = 0 THEN {P.key_lon_sql('event_id')} "
+    f"ELSE {P.key_lon_sql('user_id')} "
+    "+ (event_id % 23) * (cast(3 as double) / cast(1000 as double)) END"
+)
+
+
+@register(
+    "q_staypoints",
+    f"""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      {_STAY_LAT} AS lat, {_STAY_LON} AS lon FROM events),
+    p AS (SELECT user_id, ts, event_id, lat, lon,
+                 lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT user_id, ts, event_id, lat, lon,
+                 CASE WHEN prev_lat IS NOT NULL AND
+                      {P.haversine_m_sql('prev_lat', 'prev_lon', 'lat', 'lon')}
+                      < 10000.0 THEN 0 ELSE 1 END AS new_stay
+          FROM p),
+    s AS (SELECT user_id, ts, lat, lon,
+                 sum(new_stay) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS stay_no
+          FROM g),
+    a AS (SELECT user_id, cast(stay_no as bigint) AS stay_no,
+                 cast(count(*) as bigint) AS n_points,
+                 cast(floor(date_part('epoch', max(ts) - min(ts))) as bigint) AS dur_s,
+                 sum({P.floor_scaled_sql('(lat + 90.0)', 4)}) // count(*) AS _olat,
+                 sum({P.floor_scaled_sql('(lon + 180.0)', 4)}) // count(*) AS _olon
+          FROM s GROUP BY 1, 2)
+    SELECT user_id, stay_no, n_points, dur_s,
+           cast(_olat - 900000 as bigint) AS clat_e4,
+           cast(_olon - 1800000 as bigint) AS clon_e4
+    FROM a WHERE n_points >= 3 AND dur_s >= 600
+    """,
+)
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection over each user's timeline (home-dwell fixture):
+    maximal runs of consecutive <10 km legs, kept when they span ≥3 events
+    and ≥10 minutes, with exact-bigint centroid. ONE user-partitioned
+    window shuffle feeds the flag, the running stay number, and the
+    per-stay aggregation."""
+    from gaia_spark.operators.trajectory import stay_points
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_STAY_LAT).alias("lat"),
+        F.expr(_STAY_LON).alias("lon"),
+    )
+    return stay_points(e, dist_m=10000.0, min_points=3, min_dur_s=600).withColumn(
+        "stay_no", F.col("stay_no").cast("long")
+    )
+
+
+# --- Knox space-time interaction test ------------------------------------------
+
+_KNOX_D, _KNOX_T = 100_000.0, 86_400  # 100 km, 1 day
+
+
+def _knox_oracle() -> str:
+    h = P.haversine_m_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    e1 = P.bigint_div("2 * ns * 1000000", "n * (n - 1)", P.DUCK)
+    expected = P.bigint_div(f"({e1}) * 2 * nt", "2", P.DUCK)
+    ratio = P.bigint_div("2 * x * 500000000000", "expected_e6", P.DUCK)
+    return f"""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS t_us,
+                      {_STAY_LAT} AS lat, {_STAY_LON} AS lon
+               FROM events WHERE user_id % 5 = 0),
+    p AS (SELECT {h} AS dm, abs(a.t_us - b.t_us) AS dt
+          FROM e a JOIN e b ON a.event_id < b.event_id),
+    c AS (SELECT (SELECT count(*) FROM e) AS n,
+                 cast(sum(CASE WHEN dm <= {_KNOX_D} THEN 1 ELSE 0 END) as bigint) AS ns,
+                 cast(sum(CASE WHEN dt <= {_KNOX_T} * 1000000 THEN 1 ELSE 0 END) as bigint) AS nt,
+                 cast(sum(CASE WHEN dm <= {_KNOX_D}
+                          AND dt <= {_KNOX_T} * 1000000 THEN 1 ELSE 0 END) as bigint) AS x
+          FROM p),
+    w AS (SELECT cast(n as bigint) AS n, ns, nt, x AS x_obs,
+                 CASE WHEN n > 1 THEN {expected} ELSE NULL END AS expected_e6
+          FROM c)
+    SELECT n, ns, nt, x_obs, expected_e6,
+           CASE WHEN expected_e6 > 0
+                THEN {ratio.replace('x', 'x_obs')} ELSE NULL END AS ratio_e6
+    FROM w
+    """
+
+
+@register("q_knox", _knox_oracle())
+def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction statistic over the home-dwell event
+    fixture (100 km / 1 day): same-user dwell clusters make space-close
+    pairs, the shared timeline makes time-close pairs, and X counts pairs
+    close in both vs the permutation-null expectation. The engine
+    generates space pairs through the distributed cell-cover near join
+    and time pairs through a Δt-bucket cover join; the oracle runs the
+    brute all-pairs cross join — derivation disagreement, one answer,
+    every count and the floor-division expectation exact bigints."""
+    from gaia_spark.operators.stats import knox_test
+
+    e = load(spark, sf_dir, "events").where("user_id % 5 = 0")
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.expr(_STAY_LAT).alias("lat"),
+        F.expr(_STAY_LON).alias("lon"),
+    )
+    return knox_test(
+        pts, delta_d_m=_KNOX_D, delta_t_s=_KNOX_T, key_col="pid",
+        ts_us_col="t_us",
+    )
+
+
+# --- trajectory Hausdorff distance ---------------------------------------------
+
+
+def _hausdorff_oracle() -> str:
+    h = P.floor_scaled_sql(
+        P.haversine_m_sql("alat", "alon", "blat", "blon"), 3
+    )
+    return f"""
+    WITH e AS (SELECT user_id, event_id, {_STAY_LAT} AS lat, {_STAY_LON} AS lon
+               FROM events WHERE user_id % 7 = 0),
+    pr AS (SELECT DISTINCT user_id AS pair_id, user_id AS a, user_id + 7 AS b
+           FROM e WHERE user_id % 14 = 0),
+    pa AS (SELECT pr.pair_id, e.event_id AS apid, e.lat AS alat, e.lon AS alon
+           FROM pr JOIN e ON e.user_id = pr.a),
+    pb AS (SELECT pr.pair_id, e.event_id AS bpid, e.lat AS blat, e.lon AS blon
+           FROM pr JOIN e ON e.user_id = pr.b),
+    d AS (SELECT pa.pair_id, apid, bpid, {h} AS d_e3
+          FROM pa JOIN pb ON pa.pair_id = pb.pair_id),
+    ha AS (SELECT pair_id, cast(max(m) as bigint) AS h_ab_m_e3
+           FROM (SELECT pair_id, apid, min(d_e3) AS m FROM d GROUP BY 1, 2)
+           GROUP BY 1),
+    hb AS (SELECT pair_id, cast(max(m) as bigint) AS h_ba_m_e3
+           FROM (SELECT pair_id, bpid, min(d_e3) AS m FROM d GROUP BY 1, 2)
+           GROUP BY 1)
+    SELECT ha.pair_id, h_ab_m_e3, h_ba_m_e3,
+           greatest(h_ab_m_e3, h_ba_m_e3) AS hausdorff_m_e3
+    FROM ha JOIN hb ON ha.pair_id = hb.pair_id
+    """
+
+
+@register("q_traj_hausdorff", _hausdorff_oracle())
+def q_traj_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric Hausdorff distance between paired user trajectories on the
+    home-dwell fixture (directed maxima in both directions + the max):
+    the trajectory-similarity measure, pair-scoped cross product with
+    e3-mm fixed-point distances so the nested max-min is exact integer
+    arithmetic — bit-identical cross-engine."""
+    from gaia_spark.operators.trajectory import hausdorff_distance
+
+    e = load(spark, sf_dir, "events").where("user_id % 7 = 0")
+    pts = e.select(
+        F.col("user_id").alias("traj_id"),
+        F.col("event_id").alias("pt_id"),
+        F.expr(_STAY_LAT).alias("lat"),
+        F.expr(_STAY_LON).alias("lon"),
+    )
+    pairs = (
+        e.where("user_id % 14 = 0")
+        .select(F.col("user_id").alias("pair_id"))
+        .distinct()
+        .select(
+            "pair_id",
+            F.col("pair_id").alias("a"),
+            (F.col("pair_id") + 7).alias("b"),
+        )
+    )
+    return hausdorff_distance(pts, pairs)

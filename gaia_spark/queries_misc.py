@@ -3030,3 +3030,69 @@ def q_destination_ellipsoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.floor_scaled_sql("_vd_lat2", 6)).alias("dest_lat_e6"),
         F.expr(P.floor_scaled_sql("_vd_lon2", 6)).alias("dest_lon_e6"),
     )
+
+
+# --- viewshed (line-of-sight visibility) --------------------------------------
+
+_VS_R0, _VS_C0, _VS_RAD, _VS_H = 250, 260, 40, 50000  # observer, radius, +5u
+
+
+def _viewshed_oracle() -> str:
+    from gaia_spark.operators.visibility import blocked_sql, round_frac_sql
+
+    n_t, px = 8, 64
+    r0, c0, rad, h = _VS_R0, _VS_C0, _VS_RAD, _VS_H
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    sr = f"{r0} + {round_frac_sql('k', 'dr', 'm', rad, P.DUCK)}"
+    sc = f"{c0} + {round_frac_sql('k', 'dc', 'm', rad, P.DUCK)}"
+    # grid restricted to the radius bounding box: line samples never leave
+    # the box spanned by observer and target, so visibility is unchanged
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series({r0 - rad}, {r0 + rad}) t1(r),
+                              generate_series({c0 - rad}, {c0 + rad}) t2(c)),
+    pxg AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                   {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM pxg),
+    pv AS (SELECT cast(r as bigint) AS r, cast(c as bigint) AS c,
+                  {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    obs AS (SELECT v_e4 + {h} AS e0 FROM pv WHERE r = {r0} AND c = {c0}),
+    t AS (SELECT r, c, v_e4, r - {r0} AS dr, c - {c0} AS dc,
+                 greatest(abs(r - {r0}), abs(c - {c0})) AS m
+          FROM pv
+          WHERE (r - {r0}) * (r - {r0}) + (c - {c0}) * (c - {c0}) <= {rad * rad}
+            AND NOT (r = {r0} AND c = {c0})),
+    s AS (SELECT r, c, dr, dc, m, v_e4, unnest(generate_series(1, m - 1)) AS k
+          FROM t WHERE m >= 2),
+    sp AS (SELECT r, c, dr, dc, m, v_e4, k, {sr} AS sr, {sc} AS sc FROM s),
+    j AS (SELECT sp.r, sp.c, sp.v_e4 - obs.e0 AS et, pv.v_e4 - obs.e0 AS es,
+                 (sp.sr - {r0}) * (sp.sr - {r0})
+                   + (sp.sc - {c0}) * (sp.sc - {c0}) AS ds2,
+                 sp.dr * sp.dr + sp.dc * sp.dc AS dt2
+          FROM sp JOIN pv ON pv.r = sp.sr AND pv.c = sp.sc CROSS JOIN obs),
+    b AS (SELECT r, c,
+                 max(CASE WHEN {blocked_sql('es', 'et', 'ds2', 'dt2')}
+                     THEN 1 ELSE 0 END) AS blk
+          FROM j GROUP BY r, c)
+    SELECT r, c, (blk = 0) AS visible FROM b
+    UNION ALL
+    SELECT r, c, true AS visible FROM t WHERE m <= 1
+    """
+
+
+@register("q_viewshed", _viewshed_oracle())
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed from an observer 5 units above the zoom-3 analytic surface,
+    radius 40 cells: R3 line-of-sight with nearest-cell sampling, every
+    visibility comparison exact integer arithmetic (squared e4 elevation
+    deltas cross-multiplied against squared grid distances). The explode
+    is radius-bounded, elevation lookup is one cell-key equi-join, the
+    verdict one combinable agg."""
+    from gaia_spark.operators.visibility import decoded_grid, viewshed
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0,))
+    px = decoded_grid(raster, zoom=3, band=0)
+    return viewshed(
+        px, r0=_VS_R0, c0=_VS_C0, radius=_VS_RAD, obs_height_e4=_VS_H
+    )

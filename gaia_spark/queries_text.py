@@ -1670,3 +1670,189 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     w = logreg_train(docs, _LRQ_Y, n_buckets=_LRQ_B, n_rounds=_LRQ_R)
     return logreg_score(docs, w, n_buckets=_LRQ_B)
+
+
+# --- URL canonicalization (crawl-dedup normalization key) ---------------------
+
+# messy-URL fixture: consecutive doc_id pairs (2k, 2k+1) spell the same
+# resource differently — scheme/host case, default :443 port, scrambled
+# query-param order, trailing slash, fragment — so canonicalization
+# genuinely collapses variants (n_urls = 2 groups) and the kept :8443
+# port / missing-query cases stay distinct. One shared SQL string.
+_PAIR_ID = P.idiv_sql("doc_id", 2)
+_MESSY_URL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END, "
+    f"{_PAIR_ID} % 500, "
+    "CASE WHEN doc_id % 3 = 0 THEN '.EXAMPLE' ELSE '.example' END, "
+    "CASE WHEN doc_id % 4 = 1 THEN ':443' "
+    "WHEN doc_id % 10 = 6 THEN ':8443' ELSE '' END, "
+    f"'/p/', {_PAIR_ID}, "
+    "CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END, "
+    f"CASE WHEN doc_id % 4 = 0 THEN concat('?z=9&a=', {_PAIR_ID} % 9) "
+    f"WHEN doc_id % 4 = 1 THEN concat('?a=', {_PAIR_ID} % 9, '&z=9') "
+    f"WHEN doc_id % 4 = 3 THEN concat('?a=', {_PAIR_ID} % 9, '&z=9') "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)"
+)
+
+
+def _url_canonical_oracle() -> str:
+    from gaia_spark.functions import web as W
+
+    return f"""
+    WITH u AS (SELECT {_MESSY_URL} AS url FROM documents),
+    c AS (SELECT url, {W.canonical_url_sql('url', W.DUCK)} AS canon_url FROM u)
+    SELECT canon_url, count(*) AS n_urls, min(url) AS first_url
+    FROM c GROUP BY canon_url
+    """
+
+
+@register("q_url_canonical", _url_canonical_oracle())
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + variant-collapse rollup: lowercase
+    scheme/authority, default-port strip, fragment drop, query-param sort,
+    trailing-slash trim — the normalization key that runs BEFORE exact
+    dedup so trivially distinct spellings join. Map-only JVM regex/array
+    chain feeding one hash agg; the driver hash-checks the canonical
+    STRINGS themselves."""
+    from gaia_spark.functions import web as W
+
+    d = load(spark, sf_dir, "documents")
+    u = d.select(F.expr(_MESSY_URL).alias("url"))
+    c = u.withColumn("canon_url", F.expr(W.canonical_url_sql("url", W.SPARK)))
+    return c.groupBy("canon_url").agg(
+        F.count("*").alias("n_urls"), F.min("url").alias("first_url")
+    )
+
+
+# --- redirect-chain resolution (crawl frontier normalization) ------------------
+
+# redirect fixture: within each 64-doc block, doc p=0 is the terminal landing
+# page, docs p=1..8 chain straight down to it, and p=9/10 form a 2-cycle that
+# docs p=11..63 drain into — so the resolver sees short chains (resolved),
+# a genuine loop (never resolves), and long chains capped at 16 hops.
+_RURL_SELF = "concat('https://h', doc_id % 40, '.example/r/', doc_id)"
+_RURL_DST = (
+    "concat('https://h', (CASE WHEN doc_id % 64 = 9 THEN doc_id + 1 "
+    "ELSE doc_id - 1 END) % 40, '.example/r/', "
+    "CASE WHEN doc_id % 64 = 9 THEN doc_id + 1 ELSE doc_id - 1 END)"
+)
+
+
+def _redirects_oracle() -> str:
+    return f"""
+    WITH RECURSIVE e AS (SELECT {_RURL_SELF} AS src, {_RURL_DST} AS dst
+                         FROM documents WHERE doc_id % 64 != 0),
+    walk AS (SELECT src, dst AS cur, 1 AS hops FROM e
+             UNION ALL
+             SELECT w.src, e2.dst, w.hops + 1
+             FROM walk w JOIN e e2 ON e2.src = w.cur WHERE w.hops < 16),
+    last AS (SELECT src, cur, hops,
+                    row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+             FROM walk)
+    SELECT l.src, l.cur AS final, cast(l.hops as bigint) AS n_hops,
+           (e3.src IS NULL) AS resolved
+    FROM last l LEFT JOIN e e3 ON e3.src = l.cur
+    WHERE l.rn = 1
+    """
+
+
+@register("q_redirects", _redirects_oracle())
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over a synthetic 301-graph with straight
+    chains, a 2-cycle, and chains draining into the cycle: every source
+    resolves to its landing URL, exact hop count, and a resolved/give-up
+    verdict at the 16-hop cap. The engine pointer-doubles the jump table
+    (4 self-joins for 16 hops); the oracle walks ONE hop at a time as a
+    recursive CTE — derivation disagreement, one answer."""
+    from gaia_spark.operators.graph import resolve_redirects
+
+    d = load(spark, sf_dir, "documents").where("doc_id % 64 != 0")
+    edges = d.select(
+        F.expr(_RURL_SELF).alias("src"), F.expr(_RURL_DST).alias("dst")
+    )
+    return resolve_redirects(edges, max_hops_log2=4)
+
+
+# --- robots.txt evaluation (crawl-politeness gate) -----------------------------
+
+# rules fixture from the 25-row nation table: each nation n hosts rules on
+# h<n>.example — disallow /r/<n%10> with a longer allow carve-out
+# /r/<n%10>1, and every 5th nation a blanket disallow / — so verdicts
+# exercise longest-match, the disallow-on-tie default, carve-out overrides,
+# and hosts 25..39 with no rules at all (default allow).
+_ROBOTS_RULES = """
+    SELECT concat('h', n_nationkey, '.example') AS host,
+           'disallow' AS rule_type,
+           concat('/r/', n_nationkey % 10) AS path_prefix FROM nation
+    UNION ALL
+    SELECT concat('h', n_nationkey, '.example'),
+           'allow', concat('/r/', n_nationkey % 10, '1') FROM nation
+    UNION ALL
+    SELECT concat('h', n_nationkey, '.example'), 'disallow', '/'
+    FROM nation WHERE n_nationkey % 5 = 0
+"""
+
+
+def _robots_oracle() -> str:
+    host = W.host_sql("url")
+    path = W.path_of_sql("url")
+    return f"""
+    WITH u AS (SELECT DISTINCT {_RURL_SELF} AS url FROM documents),
+    p AS (SELECT url, {host} AS host, {path} AS path FROM u),
+    r AS ({_ROBOTS_RULES}),
+    m AS (SELECT p.url, r.rule_type, r.path_prefix,
+                 row_number() OVER (
+                   PARTITION BY p.url
+                   ORDER BY length(r.path_prefix) DESC,
+                            CASE WHEN r.rule_type = 'disallow' THEN 0 ELSE 1 END,
+                            r.path_prefix) AS rn
+          FROM p JOIN r ON r.host = p.host
+          AND substr(p.path, 1, length(r.path_prefix)) = r.path_prefix)
+    SELECT u.url, coalesce(m.rule_type, 'allow') AS verdict,
+           m.path_prefix AS matched_rule
+    FROM u LEFT JOIN m ON m.url = u.url AND m.rn = 1
+    """
+
+
+@register("q_robots", _robots_oracle())
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation with Google longest-match semantics over the
+    synthetic crawl URLs: longest matching path prefix wins, disallow
+    beats allow on ties, no-rule hosts default to allow. The engine picks
+    the winner with ONE combinable min(struct) aggregate on a sortable
+    key; the oracle ranks with a window — derivation disagreement, one
+    answer, verdict strings hash-checked per URL."""
+    from gaia_spark.functions.web import robots_verdicts
+
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(F.expr(_RURL_SELF).alias("url")).distinct()
+    n = load(spark, sf_dir, "nation")
+    hostc = F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example"))
+    r1 = n.select(
+        hostc.alias("host"),
+        F.lit("disallow").alias("rule_type"),
+        F.concat(F.lit("/r/"), (F.col("n_nationkey") % 10).cast("string")).alias(
+            "path_prefix"
+        ),
+    )
+    r2 = n.select(
+        hostc.alias("host"),
+        F.lit("allow").alias("rule_type"),
+        F.concat(
+            F.lit("/r/"), (F.col("n_nationkey") % 10).cast("string"), F.lit("1")
+        ).alias(
+            "path_prefix"
+        ),
+    )
+    r3 = (
+        n.where(F.col("n_nationkey") % 5 == 0)
+        .select(
+            hostc.alias("host"),
+            F.lit("disallow").alias("rule_type"),
+            F.lit("/").alias("path_prefix"),
+        )
+    )
+    return robots_verdicts(urls, r1.unionByName(r2).unionByName(r3))

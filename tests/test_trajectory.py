@@ -57,3 +57,45 @@ def test_trip_stats_single_exchange(spark):
     df = _events(spark, [(1, "2025-01-01 00:00:00", 1, 0.0, 0.0)])
     plan = trip_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stay_points_closed_form(spark):
+    from gaia_spark.operators.trajectory import stay_points
+
+    # user 5: 3-event dwell at ~(10, 10) spanning 20 min, then a far jump
+    # and a second 2-event dwell (dropped: < 3 points); user 6: all legs
+    # long (no stays)
+    rows = [
+        (5, "2025-01-01 00:00:00", 1, 10.000, 10.000),
+        (5, "2025-01-01 00:10:00", 2, 10.010, 10.010),
+        (5, "2025-01-01 00:20:00", 3, 10.020, 9.990),
+        (5, "2025-01-01 01:00:00", 4, 50.000, 50.000),
+        (5, "2025-01-01 02:00:00", 5, 50.001, 50.001),
+        (6, "2025-01-01 00:00:00", 6, 0.0, 0.0),
+        (6, "2025-01-01 01:00:00", 7, 0.0, 90.0),
+    ]
+    out = stay_points(
+        _events(spark, rows), dist_m=10000.0, min_points=3, min_dur_s=600
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 5 and r.n_points == 3 and r.dur_s == 1200
+    # exact bigint centroid: mean of offset-e4 floors, offset removed
+    lat_e4 = (100000 + 100100 + 100200 + 3 * 900000) // 3 - 900000
+    lon_e4 = (100000 + 100100 + 99900 + 3 * 1800000) // 3 - 1800000
+    assert (r.clat_e4, r.clon_e4) == (lat_e4, lon_e4)
+
+
+def test_stay_points_min_duration_gate(spark):
+    from gaia_spark.operators.trajectory import stay_points
+
+    # 3 points but only 2 minutes -> dropped by min_dur_s
+    rows = [
+        (7, "2025-01-01 00:00:00", 1, 0.0, 0.0),
+        (7, "2025-01-01 00:01:00", 2, 0.001, 0.001),
+        (7, "2025-01-01 00:02:00", 3, 0.002, 0.002),
+    ]
+    out = stay_points(
+        _events(spark, rows), dist_m=10000.0, min_points=3, min_dur_s=600
+    ).collect()
+    assert out == []
