@@ -1067,3 +1067,109 @@ def ehs_category_sql() -> str:
         "WHEN trend = 'decreasing' THEN 'emerging cold' "
         "ELSE 'no pattern' END"
     )
+
+
+def knox_test(
+    points: DataFrame,
+    delta_d_m: float,
+    delta_t_s: int,
+    key_col: str = "pid",
+    ts_us_col: str = "t_us",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Knox space-time interaction test (`[R] SURVEY.md §2.I
+    AutocorrelationProcess` family — the epidemiology/crime-analysis
+    companion of emerging-hotspots): over all unordered point pairs,
+    count those close in space (haversine ≤ delta_d_m), close in time
+    (|Δt| ≤ delta_t_s), and close in BOTH (the Knox statistic X), and
+    compare X against its expectation under the permutation null
+    ns·nt/C(n,2) — X/E > 1 means events cluster in space *and* time
+    together (outbreaks), not merely in each margin.
+
+    Scale shape (10^12 events): space pairs come from the distributed
+    cell-cover near join (cell equi-join, never all-pairs); time pairs
+    from a Δt-width bucket join covering buckets {b−1, b, b+1} (each
+    true pair appears in exactly the cover its ends span — cost is
+    proportional to the real time-pair density, no global sort, no
+    single-partition window); X filters the already-materialized space
+    pairs by one bigint comparison. Three combinable count aggregates,
+    one broadcast-sized scalar combine.
+
+    Engine-determinism: timestamps are exact epoch micros, all counts
+    exact bigints, and the expectation/ratio derive by composed exact
+    bigint floor-divisions (division-first composition keeps every
+    intermediate < 2^63; the composed floor is the documented semantic —
+    both engines evaluate the identical expression text). Returns ONE row
+    (n, ns, nt, x_obs, expected_e6, ratio_e6) — counts of UNORDERED
+    pairs; ratio_e6 is NULL when the expectation is zero."""
+    from gaia_spark.operators.knn import near_join_cells
+
+    dt_us = int(delta_t_s) * 1_000_000
+    pts = points.select(
+        F.col(key_col).alias("pid"),
+        F.col(ts_us_col).cast("long").alias("t_us"),
+        lat,
+        lon,
+    )
+    sites = pts.select(
+        F.col("pid").alias("site_id"), "lat", "lon"
+    )
+    tvals = pts.select(F.col("pid").alias("site_id"), F.col("t_us").alias("t2"))
+    sp = (
+        near_join_cells(
+            pts, sites, float(delta_d_m), point_key="pid", site_key="site_id"
+        )
+        .where(F.col("pid") != F.col("site_id"))
+        .join(tvals, "site_id")
+    )
+    space_agg = sp.agg(
+        F.count("*").cast("long").alias("ns2"),
+        F.sum(
+            F.when(F.abs(F.col("t_us") - F.col("t2")) <= dt_us, 1).otherwise(0)
+        ).cast("long").alias("x2"),
+    )
+    b0 = F.floor(F.col("t_us") / dt_us).cast("long")
+    a = pts.select(
+        F.col("pid").alias("_pa"),
+        F.col("t_us").alias("_ta"),
+        F.explode(F.sequence(b0 - 1, b0 + 1)).alias("_b"),
+    )
+    b = pts.select(
+        F.col("pid").alias("_pb"),
+        F.col("t_us").alias("_tb"),
+        F.floor(F.col("t_us") / dt_us).cast("long").alias("_b"),
+    )
+    time_agg = (
+        a.join(b, "_b")
+        .where(
+            (F.col("_pa") != F.col("_pb"))
+            & (F.abs(F.col("_ta") - F.col("_tb")) <= dt_us)
+        )
+        .agg(F.count("*").cast("long").alias("nt2"))
+    )
+    n_agg = pts.agg(F.count("*").cast("long").alias("n"))
+    d = portable.SPARK
+    e1 = portable.bigint_div("ns2 * 1000000", "n * (n - 1)", d)
+    expected = portable.bigint_div(f"({e1}) * nt2", "2", d)
+    ratio = portable.bigint_div("x2 * 500000000000", "expected_e6", d)
+    return (
+        space_agg.crossJoin(F.broadcast(time_agg))
+        .crossJoin(F.broadcast(n_agg))
+        .select(
+            "n",
+            F.expr(f"{portable.bigint_div('ns2', '2', d)}").alias("ns"),
+            F.expr(f"{portable.bigint_div('nt2', '2', d)}").alias("nt"),
+            F.expr(f"{portable.bigint_div('x2', '2', d)}").alias("x_obs"),
+            F.expr(f"CASE WHEN n > 1 THEN {expected} ELSE NULL END").alias(
+                "expected_e6"
+            ),
+            "ns2", "nt2", "x2",
+        )
+        .select(
+            "n", "ns", "nt", "x_obs", "expected_e6",
+            F.when(F.col("expected_e6") > 0, F.expr(ratio))
+            .cast("long")
+            .alias("ratio_e6"),
+        )
+    )

@@ -479,7 +479,7 @@ def _knox_oracle() -> str:
     h = P.haversine_m_sql("a.lat", "a.lon", "b.lat", "b.lon")
     e1 = P.bigint_div("2 * ns * 1000000", "n * (n - 1)", P.DUCK)
     expected = P.bigint_div(f"({e1}) * 2 * nt", "2", P.DUCK)
-    ratio = P.bigint_div("2 * x * 500000000000", "expected_e6", P.DUCK)
+    ratio = P.bigint_div("2 * x_obs * 500000000000", "expected_e6", P.DUCK)
     return f"""
     WITH e AS (SELECT event_id, epoch_us(ts) AS t_us,
                       {_STAY_LAT} AS lat, {_STAY_LON} AS lon
@@ -488,16 +488,16 @@ def _knox_oracle() -> str:
           FROM e a JOIN e b ON a.event_id < b.event_id),
     c AS (SELECT (SELECT count(*) FROM e) AS n,
                  cast(sum(CASE WHEN dm <= {_KNOX_D} THEN 1 ELSE 0 END) as bigint) AS ns,
-                 cast(sum(CASE WHEN dt <= {_KNOX_T} * 1000000 THEN 1 ELSE 0 END) as bigint) AS nt,
+                 cast(sum(CASE WHEN dt <= cast({_KNOX_T} as bigint) * 1000000 THEN 1 ELSE 0 END) as bigint) AS nt,
                  cast(sum(CASE WHEN dm <= {_KNOX_D}
-                          AND dt <= {_KNOX_T} * 1000000 THEN 1 ELSE 0 END) as bigint) AS x
+                          AND dt <= cast({_KNOX_T} as bigint) * 1000000 THEN 1 ELSE 0 END) as bigint) AS x
           FROM p),
     w AS (SELECT cast(n as bigint) AS n, ns, nt, x AS x_obs,
                  CASE WHEN n > 1 THEN {expected} ELSE NULL END AS expected_e6
           FROM c)
     SELECT n, ns, nt, x_obs, expected_e6,
            CASE WHEN expected_e6 > 0
-                THEN {ratio.replace('x', 'x_obs')} ELSE NULL END AS ratio_e6
+                THEN {ratio} ELSE NULL END AS ratio_e6
     FROM w
     """
 

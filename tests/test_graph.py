@@ -78,3 +78,43 @@ def test_triangle_count_dedup_and_direction(spark):
     )
     out = {r.node: r.n_tri for r in triangle_count(df).collect()}
     assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_resolve_redirects_chain_cycle_cap(spark):
+    from gaia_spark.operators.graph import resolve_redirects
+
+    # a->b->c (c terminal), d<->e cycle, f->d drains into the cycle,
+    # g has two snapshot edges (min(dst) wins: g->b, not g->z)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("e", "d"), ("f", "d"),
+         ("g", "z"), ("g", "b")],
+        "src string, dst string",
+    )
+    out = {r.src: r for r in resolve_redirects(edges, max_hops_log2=4).collect()}
+    assert (out["a"].final, out["a"].n_hops, out["a"].resolved) == ("c", 2, True)
+    assert (out["b"].final, out["b"].n_hops, out["b"].resolved) == ("c", 1, True)
+    # cycle: position after exactly 16 hops, unresolved
+    assert out["d"].resolved is False and out["d"].n_hops == 16
+    assert out["d"].final == "d"  # 16 hops around a 2-cycle lands home
+    assert out["e"].final == "e" and out["e"].resolved is False
+    # f: 1 hop to d, then 15 more around the cycle -> at e, unresolved
+    assert out["f"].final == "e" and out["f"].n_hops == 16
+    assert not out["f"].resolved
+    # snapshot conflict resolves to min(dst) deterministically
+    assert (out["g"].final, out["g"].n_hops, out["g"].resolved) == ("c", 2, True)
+    assert "c" not in out and "z" not in out  # terminals have no row
+
+
+def test_resolve_redirects_exact_cap_chain(spark):
+    from gaia_spark.operators.graph import resolve_redirects
+
+    # straight chain of 20 hops: n0->n1->...->n20; sources >16 hops from the
+    # end stay unresolved at exactly the 16-hop position
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(20)], "src string, dst string"
+    )
+    out = {r.src: r for r in resolve_redirects(edges, max_hops_log2=4).collect()}
+    assert (out["n4"].final, out["n4"].n_hops, out["n4"].resolved) == ("n20", 16, True)
+    assert (out["n0"].final, out["n0"].n_hops, out["n0"].resolved) == ("n16", 16, False)
+    assert (out["n10"].final, out["n10"].resolved) == ("n20", True)
+    assert out["n10"].n_hops == 10

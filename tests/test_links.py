@@ -137,3 +137,25 @@ def test_host_suffixes_sql_both_dialects():
         f"SELECT {W.host_suffixes_sql(chr(39) + 'a.b.c' + chr(39), P.DUCK)} AS s"
     ).fetchone()[0]
     assert got == ["a.b.c", "b.c", "c"]
+
+
+def test_robots_longest_match_semantics(spark):
+    from gaia_spark.functions.web import robots_verdicts
+
+    urls = spark.createDataFrame(
+        [("https://a.ex/r/3x",), ("https://a.ex/r/31",), ("https://a.ex/ok",),
+         ("https://b.ex/r/3",), ("https://a.ex/r/31/deep",)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("a.ex", "disallow", "/r/3"), ("a.ex", "allow", "/r/31"),
+         ("a.ex", "allow", "/r/3")],  # tie with disallow /r/3 -> disallow wins
+        "host string, rule_type string, path_prefix string",
+    )
+    out = {r.url: (r.verdict, r.matched_rule) for r in
+           robots_verdicts(urls, rules).collect()}
+    assert out["https://a.ex/r/3x"] == ("disallow", "/r/3")     # tie -> disallow
+    assert out["https://a.ex/r/31"] == ("allow", "/r/31")        # longer allow
+    assert out["https://a.ex/r/31/deep"] == ("allow", "/r/31")
+    assert out["https://a.ex/ok"] == ("allow", None)             # no match
+    assert out["https://b.ex/r/3"] == ("allow", None)            # no rules host

@@ -99,3 +99,61 @@ def test_stay_points_min_duration_gate(spark):
         _events(spark, rows), dist_m=10000.0, min_points=3, min_dur_s=600
     ).collect()
     assert out == []
+
+
+def test_hausdorff_closed_form(spark):
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.trajectory import hausdorff_distance
+
+    # A = two equator points, B = one point 1 deg east of A's east end:
+    # h(A,B) = dist(a1, b1) = 2 deg of longitude; h(B,A) = 1 deg
+    pts = spark.createDataFrame(
+        [("A", 1, 0.0, 0.0), ("A", 2, 0.0, 1.0), ("B", 3, 0.0, 2.0)],
+        "traj_id string, pt_id long, lat double, lon double",
+    )
+    pairs = spark.createDataFrame([("p1", "A", "B")], "pair_id string, a string, b string")
+    r = hausdorff_distance(pts, pairs).collect()[0]
+    one_deg = spark.sql(
+        f"SELECT {P.floor_scaled_sql(P.haversine_m_sql('0.0','0.0','0.0','1.0'), 3)} AS d"
+    ).collect()[0].d
+    two_deg = spark.sql(
+        f"SELECT {P.floor_scaled_sql(P.haversine_m_sql('0.0','0.0','0.0','2.0'), 3)} AS d"
+    ).collect()[0].d
+    assert r.h_ba_m_e3 == one_deg
+    assert r.h_ab_m_e3 == two_deg
+    assert r.hausdorff_m_e3 == two_deg
+
+
+def test_knox_brute_parity(spark):
+    from gaia_spark.operators.stats import knox_test
+    from math import asin, cos, radians, sin, sqrt
+
+    # deterministic scatter: 40 points, 2 loose clusters x 2 time bands
+    rows = []
+    for i in range(40):
+        lat = 10.0 + (i % 2) * 3.0 + ((i * 7) % 5) * 0.01
+        lon = 20.0 + (i % 2) * 3.0 + ((i * 11) % 7) * 0.01
+        t_us = (i % 4) * 3_600_000_000 + i * 1_000_000
+        rows.append((i, t_us, lat, lon))
+    df = spark.createDataFrame(rows, "pid long, t_us long, lat double, lon double")
+    out = knox_test(df, delta_d_m=50_000.0, delta_t_s=3600).collect()[0]
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(radians, (p[2], p[3], q[2], q[3]))
+        a = sin((la2 - la1) / 2) ** 2 + cos(la1) * cos(la2) * sin((lo2 - lo1) / 2) ** 2
+        return 2 * 6371008.8 * asin(sqrt(a))
+
+    ns = nt = x = 0
+    for i in range(40):
+        for j in range(i + 1, 40):
+            s = hav(rows[i], rows[j]) <= 50_000.0
+            t = abs(rows[i][1] - rows[j][1]) <= 3600 * 1_000_000
+            ns += s
+            nt += t
+            x += s and t
+    assert (out.n, out.ns, out.nt, out.x_obs) == (40, ns, nt, x)
+    e1 = (2 * ns * 1_000_000) // (40 * 39)
+    expected = (e1 * 2 * nt) // 2
+    assert out.expected_e6 == expected
+    if expected > 0:
+        assert out.ratio_e6 == (2 * x * 500_000_000_000) // expected
