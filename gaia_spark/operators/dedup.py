@@ -544,6 +544,55 @@ def duplicate_passages(
     return out.distinct()
 
 
+def _bpe_parity_keep(m: DataFrame) -> DataFrame:
+    """Left-to-right non-overlapping subset of matched merge positions
+    (``m`` = (w, pos)): within each run of CONSECUTIVE matches only even
+    offsets merge — the classic 'aaaa' -> ['aa','aa'] BPE semantics.
+    Windows run per WORD (vocabulary-sized state, never corpus-sized)."""
+    win = Window.partitionBy("w").orderBy("pos")
+    return (
+        m.withColumn("_rk", F.row_number().over(win))
+        .withColumn("_grp", F.col("pos") - F.col("_rk"))
+        .withColumn(
+            "_off",
+            F.row_number().over(Window.partitionBy("w", "_grp").orderBy("pos")),
+        )
+        .where((F.col("_off") % 2) == 1)
+        .select("w", F.col("pos").alias("mpos"))
+    )
+
+
+def _bpe_rebuild(vocab: DataFrame, keep: DataFrame) -> DataFrame:
+    """Apply the kept merge positions to every word's symbol sequence:
+    position mpos absorbs its right neighbor (concat), mpos+1 disappears.
+    One posexplode + three positional left joins + one per-word rebuild
+    aggregate — all vocabulary-sized."""
+    sym_rows = vocab.select("w", "wc", F.posexplode("syms").alias("pos", "sym"))
+    started = keep.select("w", F.col("mpos").alias("pos"), F.lit(1).alias("_st"))
+    consumed = keep.select(
+        "w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("_cn")
+    )
+    # lead_sym: the symbol at pos+1 (the merge partner)
+    nxt = sym_rows.select(
+        "w", (F.col("pos") - 1).alias("pos"), F.col("sym").alias("lead_sym")
+    )
+    return (
+        sym_rows.join(started, ["w", "pos"], "left")
+        .join(consumed, ["w", "pos"], "left")
+        .join(nxt, ["w", "pos"], "left")
+        .where(F.col("_cn").isNull())
+        .groupBy("w")
+        .agg(
+            F.first("wc").alias("wc"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, "
+                "CASE WHEN _st = 1 THEN concat(sym, lead_sym) ELSE sym END as s))),"
+                " x -> x.s)"
+            ).alias("syms"),
+        )
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 4,
@@ -618,44 +667,93 @@ def bpe_train(
             pairs.join(F.broadcast(top.select("pa", "pb")), ["pa", "pb"])
             .select("w", "pos")
         )
-        win = Window.partitionBy("w").orderBy("pos")
-        keep = (
-            m.withColumn("_rk", F.row_number().over(win))
-            .withColumn("_grp", F.col("pos") - F.col("_rk"))
-            .withColumn(
-                "_off",
-                F.row_number().over(Window.partitionBy("w", "_grp").orderBy("pos")),
-            )
-            .where((F.col("_off") % 2) == 1)
-            .select("w", F.col("pos").alias("mpos"))
-        )
-        sym_rows = vocab.select(
-            "w", "wc", F.posexplode("syms").alias("pos", "sym")
-        )
-        started = keep.select("w", F.col("mpos").alias("pos"), F.lit(1).alias("_st"))
-        consumed = keep.select(
-            "w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("_cn")
-        )
-        # lead_sym: the symbol at pos+1 (the merge partner)
-        nxt = sym_rows.select(
-            "w", (F.col("pos") - 1).alias("pos"), F.col("sym").alias("lead_sym")
-        )
-        rebuilt = (
-            sym_rows.join(started, ["w", "pos"], "left")
-            .join(consumed, ["w", "pos"], "left")
-            .join(nxt, ["w", "pos"], "left")
-            .where(F.col("_cn").isNull())
-            .groupBy("w")
-            .agg(
-                F.first("wc").alias("wc"),
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, "
-                    "CASE WHEN _st = 1 THEN concat(sym, lead_sym) ELSE sym END as s))),"
-                    " x -> x.s)"
-                ).alias("syms"),
-            )
-        )
+        rebuilt = _bpe_rebuild(vocab, _bpe_parity_keep(m))
         vocab = iter_checkpoint(
             rebuilt.select("w", "wc", "syms"), False, release=vocab
         )
     return merges.select("round", "pa", "pb", "pair_count")
+
+
+def bpe_apply(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a FIXED merge-rule list (the trained tokenizer, in round
+    order) to a vocabulary of distinct words: the encoding half of BPE
+    (:func:`bpe_train` is the learning half). ``words`` = (w); returns
+    (w, syms) with the fully merged symbol sequence per word.
+
+    Scale shape: identical to one training round minus the pair-count
+    aggregate — per rule ONE positional filter (the pair is a plan
+    literal, no join) + the run-parity window + the rebuild, all on the
+    VOCABULARY (distinct words), never the corpus. The corpus-sized step
+    is only the final word→tokens equi-join done by the caller.
+
+    Run-parity semantics make each rule exactly equivalent to a
+    left-to-right non-overlapping string replace of pa||pb by a fresh
+    placeholder — which is how the DuckDB oracle replays encoding as a
+    chained replace()/length() expression."""
+    from gaia_spark.session import iter_checkpoint
+
+    vocab = iter_checkpoint(
+        words.select(
+            "w",
+            F.lit(1).cast("long").alias("wc"),
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+            ).alias("syms"),
+        ),
+        False,
+    )
+    for pa, pb in merges:
+        m = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "w",
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] as pa, syms[i + 1] as pb))"
+                    )
+                ).alias("pos", "pr"),
+            )
+            .where((F.col("pr.pa") == pa) & (F.col("pr.pb") == pb))
+            .select("w", "pos")
+        )
+        rebuilt = _bpe_rebuild(vocab, _bpe_parity_keep(m))
+        vocab = iter_checkpoint(
+            rebuilt.select("w", "wc", "syms"), False, release=vocab
+        )
+    return vocab.select("w", "syms")
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize every document with a fixed BPE merge list and return
+    (id, n_words, n_tokens) — the cost accounting step of an LLM data
+    pipeline (sequence packing and sampling budgets run on n_tokens).
+
+    The encode work factors through the vocabulary: each DISTINCT word is
+    merged once (:func:`bpe_apply`), then one corpus-sized equi-join maps
+    word occurrences to token counts and ONE combinable agg rolls up per
+    document. Exact integers end to end."""
+    doc_words = (
+        df.select(
+            F.col(id_col), F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    vocab = bpe_apply(doc_words.select("w").distinct(), merges).select(
+        "w", F.size("syms").cast("long").alias("n_syms")
+    )
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("long").alias("n_tokens"),
+        )
+    )

@@ -1173,3 +1173,70 @@ def knox_test(
             .alias("ratio_e6"),
         )
     )
+
+
+def morans_i_bivariate(
+    values: DataFrame,
+    weights: DataFrame,
+    cell_col: str = "cell",
+    x_col: str = "x_int",
+    y_col: str = "y_int",
+) -> DataFrame:
+    """Global bivariate Moran's I (GeoDa's I_xy; `[R] SURVEY.md §2.I
+    AutocorrelationProcess` family): spatial cross-correlation between
+    variable x at a cell and variable y at its NEIGHBORS —
+    I_xy = Σ w_ij·z_x,i·z_y,j / (S0 · sd_x · sd_y), the lead indicator
+    for "does density here predict quality next door".
+
+    Both value columns must be INTEGER-valued (e.g. per-cell counts).
+    Like :func:`gearys_c`, no float mean enters a distributed sum: the
+    centered numerator expands by the moment identity
+    n²·Σw z_x,i z_y,j = n²·Σw x_i y_j − n·Sx·Σw y_j − n·Sy·Σw x_i
+    + S0·Sx·Sy (exact bigint), the variance terms use n·Σ(v−v̄)² =
+    n·Σv² − Sv² (exact bigint), and I_xy = NUM / (S0·sqrt(Dx·Dy))
+    is ONE IEEE expression over exact integers — bit-identical under any
+    partitioning or engine. Plan: one adjacency self-join + two
+    combinable aggregations. Returns (n_cells, n_links, moran_bv_e6)."""
+    v = values.select(
+        F.col(cell_col),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    vj = v.select(
+        F.col(cell_col).alias("neighbor"), F.col("y").alias("y_j")
+    )
+    link = (
+        weights.join(v.withColumnRenamed("x", "x_i"), cell_col)
+        .join(vj, "neighbor")
+        .agg(
+            F.sum(F.col("x_i") * F.col("y_j")).cast("long").alias("_sxy"),
+            F.sum("x_i").cast("long").alias("_swx"),
+            F.sum("y_j").cast("long").alias("_swy"),
+            F.count("*").cast("long").alias("n_links"),
+        )
+    )
+    mom = v.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_syy"),
+    )
+    num = (
+        "(n_cells * n_cells * _sxy - n_cells * _sx * _swy"
+        " - n_cells * _sy * _swx + n_links * _sx * _sy)"
+    )
+    dx = "(n_cells * _sxx - _sx * _sx)"
+    dy = "(n_cells * _syy - _sy * _sy)"
+    ratio = (
+        f"cast({num} as double) / "
+        f"(cast(n_links as double) * sqrt(cast({dx} as double) * cast({dy} as double)))"
+    )
+    return link.crossJoin(mom).select(
+        "n_cells",
+        "n_links",
+        F.expr(
+            f"CASE WHEN n_links > 0 AND {dx} > 0 AND {dy} > 0 THEN "
+            f"{portable.floor_scaled_sql(ratio, 6)} ELSE NULL END"
+        ).alias("moran_bv_e6"),
+    )

@@ -3096,3 +3096,68 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewshed(
         px, r0=_VS_R0, c0=_VS_C0, radius=_VS_RAD, obs_height_e4=_VS_H
     )
+
+
+# --- bivariate Moran's I (spatial cross-correlation) --------------------------
+
+
+def _moran_bv_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    cell = P.cell_id_sql("lat", "lon", 5)
+    cy = P.idiv_sql("cell", 32)
+    num = (
+        "(n_cells * n_cells * _sxy - n_cells * _sx * _swy"
+        " - n_cells * _sy * _swx + n_links * _sx * _sy)"
+    )
+    dx = "(n_cells * _sxx - _sx * _sx)"
+    dy = "(n_cells * _syy - _sy * _sy)"
+    ratio = (
+        f"cast({num} as double) / "
+        f"(cast(n_links as double) * sqrt(cast({dx} as double) * cast({dy} as double)))"
+    )
+    return f"""
+    WITH {PTS_CTE},
+    cells AS (SELECT {cell} AS cell, cast(count(*) as bigint) AS x,
+                     cast(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) as bigint) AS y
+              FROM pts GROUP BY 1),
+    d2 AS (SELECT cell, cell % 32 AS cx, {cy} AS cy, x, y FROM cells),
+    link AS (SELECT cast(sum(a.x * b.y) as bigint) AS _sxy,
+                    cast(sum(a.x) as bigint) AS _swx,
+                    cast(sum(b.y) as bigint) AS _swy,
+                    cast(count(*) as bigint) AS n_links
+             FROM d2 a JOIN d2 b
+             ON (b.cy = a.cy AND b.cx = (a.cx + 1) % 32)
+             OR (b.cy = a.cy AND b.cx = (a.cx + 31) % 32)
+             OR (b.cx = a.cx AND b.cy = a.cy + 1)
+             OR (b.cx = a.cx AND b.cy = a.cy - 1)),
+    mom AS (SELECT cast(count(*) as bigint) AS n_cells,
+                   cast(sum(x) as bigint) AS _sx, cast(sum(y) as bigint) AS _sy,
+                   cast(sum(x * x) as bigint) AS _sxx,
+                   cast(sum(y * y) as bigint) AS _syy FROM cells)
+    SELECT n_cells, n_links,
+           CASE WHEN n_links > 0 AND {dx} > 0 AND {dy} > 0 THEN
+           {P.floor_scaled_sql(ratio, 6)} ELSE NULL END AS moran_bv_e6
+    FROM link, mom
+    """
+
+
+@register("q_moran_bv", _moran_bv_oracle())
+def q_moran_bv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global bivariate Moran's I between per-cell customer density and
+    per-cell high-balance density under rook weights — spatial
+    cross-correlation. Centered numerator and both variance terms expand
+    to exact-bigint moment identities; the statistic is ONE IEEE division
+    over exact integers, hash-airtight at any partitioning."""
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.operators.stats import cell_rook_weights, morans_i_bivariate
+
+    pts = with_cell(customer_points(spark, sf_dir), 5, out="cell")
+    cells = pts.groupBy("cell").agg(
+        F.count("*").cast("long").alias("x_int"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("y_int"),
+    )
+    w = cell_rook_weights(cells, 5)
+    return morans_i_bivariate(cells, w)

@@ -1817,18 +1817,8 @@ def _robots_oracle() -> str:
     """
 
 
-@register("q_robots", _robots_oracle())
-def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt evaluation with Google longest-match semantics over the
-    synthetic crawl URLs: longest matching path prefix wins, disallow
-    beats allow on ties, no-rule hosts default to allow. The engine picks
-    the winner with ONE combinable min(struct) aggregate on a sortable
-    key; the oracle ranks with a window — derivation disagreement, one
-    answer, verdict strings hash-checked per URL."""
-    from gaia_spark.functions.web import robots_verdicts
-
-    d = load(spark, sf_dir, "documents")
-    urls = d.select(F.expr(_RURL_SELF).alias("url")).distinct()
+def _robots_rules_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _ROBOTS_RULES fixture as a DataFrame (Spark twin of the CTE)."""
     n = load(spark, sf_dir, "nation")
     hostc = F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example"))
     r1 = n.select(
@@ -1843,16 +1833,147 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("allow").alias("rule_type"),
         F.concat(
             F.lit("/r/"), (F.col("n_nationkey") % 10).cast("string"), F.lit("1")
-        ).alias(
-            "path_prefix"
-        ),
+        ).alias("path_prefix"),
     )
-    r3 = (
-        n.where(F.col("n_nationkey") % 5 == 0)
-        .select(
-            hostc.alias("host"),
-            F.lit("disallow").alias("rule_type"),
-            F.lit("/").alias("path_prefix"),
-        )
+    r3 = n.where(F.col("n_nationkey") % 5 == 0).select(
+        hostc.alias("host"),
+        F.lit("disallow").alias("rule_type"),
+        F.lit("/").alias("path_prefix"),
     )
-    return robots_verdicts(urls, r1.unionByName(r2).unionByName(r3))
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@register("q_robots", _robots_oracle())
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation with Google longest-match semantics over the
+    synthetic crawl URLs: longest matching path prefix wins, disallow
+    beats allow on ties, no-rule hosts default to allow. The engine picks
+    the winner with ONE combinable min(struct) aggregate on a sortable
+    key; the oracle ranks with a window — derivation disagreement, one
+    answer, verdict strings hash-checked per URL."""
+    from gaia_spark.functions.web import robots_verdicts
+
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(F.expr(_RURL_SELF).alias("url")).distinct()
+    return robots_verdicts(urls, _robots_rules_df(spark, sf_dir))
+
+
+# --- composed crawl-ingest pipeline (gate -> resolve -> collapse) --------------
+
+
+def _crawl_pipeline_oracle() -> str:
+    host = W.host_sql("url")
+    path = W.path_of_sql("url")
+    return f"""
+    WITH RECURSIVE e AS (SELECT {_RURL_SELF} AS src, {_RURL_DST} AS dst
+                         FROM documents WHERE doc_id % 64 != 0),
+    walk AS (SELECT src, dst AS cur, 1 AS hops FROM e
+             UNION ALL
+             SELECT w.src, e2.dst, w.hops + 1
+             FROM walk w JOIN e e2 ON e2.src = w.cur WHERE w.hops < 16),
+    last AS (SELECT src, cur, hops,
+                    row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+             FROM walk),
+    res AS (SELECT l.src, l.cur AS final, (e3.src IS NULL) AS resolved
+            FROM last l LEFT JOIN e e3 ON e3.src = l.cur WHERE l.rn = 1),
+    u AS (SELECT {_RURL_SELF} AS url FROM documents),
+    p AS (SELECT DISTINCT url, {host} AS host, {path} AS path FROM u),
+    r AS ({_ROBOTS_RULES}),
+    m AS (SELECT p.url, r.rule_type,
+                 row_number() OVER (
+                   PARTITION BY p.url
+                   ORDER BY length(r.path_prefix) DESC,
+                            CASE WHEN r.rule_type = 'disallow' THEN 0 ELSE 1 END,
+                            r.path_prefix) AS rn
+          FROM p JOIN r ON r.host = p.host
+          AND substr(p.path, 1, length(r.path_prefix)) = r.path_prefix),
+    verd AS (SELECT p.url, coalesce(m.rule_type, 'allow') AS verdict
+             FROM p LEFT JOIN m ON m.url = p.url AND m.rn = 1),
+    kept AS (SELECT u.url, coalesce(res.final, u.url) AS landing,
+                    coalesce(res.resolved, true) AS ok
+             FROM u JOIN verd ON verd.url = u.url
+             LEFT JOIN res ON res.src = u.url
+             WHERE verd.verdict = 'allow')
+    SELECT landing, cast(count(*) as bigint) AS n_docs
+    FROM kept WHERE ok GROUP BY landing
+    """
+
+
+@register("q_crawl_pipeline", _crawl_pipeline_oracle())
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-ingest pipeline — the three web gates chained the way
+    a real frontier runs them: robots.txt verdict on the fetch URL
+    (longest-match), redirect-chain resolution to the landing page
+    (pointer-doubled; give-ups dropped), then collapse to landing-URL
+    groups (the exact-dedup key). Every stage is the already-proven
+    operator; the oracle chains the same stages as CTEs (recursive walk
+    for redirects, window rank for robots)."""
+    from gaia_spark.functions.web import robots_verdicts
+    from gaia_spark.operators.graph import resolve_redirects
+
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(F.expr(_RURL_SELF).alias("url"))
+    v = robots_verdicts(urls.distinct(), _robots_rules_df(spark, sf_dir))
+    edges = d.where("doc_id % 64 != 0").select(
+        F.expr(_RURL_SELF).alias("src"), F.expr(_RURL_DST).alias("dst")
+    )
+    r = resolve_redirects(edges, max_hops_log2=4).select(
+        F.col("src").alias("url"), "final", "resolved"
+    )
+    kept = (
+        urls.join(v, "url")
+        .where(F.col("verdict") == "allow")
+        .join(r, "url", "left")
+        .where(F.coalesce(F.col("resolved"), F.lit(True)))
+        .select(F.coalesce(F.col("final"), F.col("url")).alias("landing"))
+    )
+    return kept.groupBy("landing").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# --- BPE encoding (apply a fixed tokenizer) ------------------------------------
+
+# the fixed tokenizer: 4 merge rules in round order, rule 3 merging two
+# PLACEHOLDER symbols (a merge of merges) so multi-round composition is
+# exercised, not just independent digraphs
+_BPE_MERGES = [("e", "r"), ("t", "h"), ("th", "er"), ("o", "n")]
+
+
+def _bpe_encode_oracle() -> str:
+    # run-parity merge == left-to-right non-overlapping replace of pa||pb
+    # by a fresh placeholder char (chr(k) never occurs in the corpus), so
+    # the whole 4-round encode is one chained replace and n_syms is the
+    # final character count
+    enc = "w"
+    enc = f"replace({enc}, 'er', chr(1))"
+    enc = f"replace({enc}, 'th', chr(2))"
+    enc = f"replace({enc}, chr(2) || chr(1), chr(3))"
+    enc = f"replace({enc}, 'on', chr(4))"
+    return f"""
+    WITH dw AS (SELECT doc_id, w, cast(count(*) as bigint) AS cnt
+                FROM (SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents)
+                WHERE length(w) > 0 GROUP BY doc_id, w),
+    enc AS (SELECT w, cast(length({enc}) as bigint) AS n_syms
+            FROM (SELECT DISTINCT w FROM dw))
+    SELECT doc_id, cast(sum(cnt) as bigint) AS n_words,
+           cast(sum(cnt * n_syms) as bigint) AS n_tokens
+    FROM dw JOIN enc USING (w) GROUP BY doc_id
+    """
+
+
+@register("q_bpe_encode", _bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with a fixed 4-rule tokenizer (the application half of
+    q_bpe_merges' training): per-document word and token counts. The
+    engine applies the rules positionally on the vocabulary (run-parity
+    windows + rebuild, distinct words only) and maps the corpus by one
+    equi-join; the oracle exploits run-parity == greedy non-overlapping
+    string replace and encodes each word as a chained replace() with
+    placeholder chars — derivation disagreement, one answer, exact
+    integer counts."""
+    from gaia_spark.operators.dedup import bpe_encode_counts
+
+    d = load(spark, sf_dir, "documents")
+    out = bpe_encode_counts(d, _BPE_MERGES)
+    return out.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"), "n_tokens"
+    )

@@ -133,3 +133,34 @@ def test_two_passages_same_diagonal(spark):
     out = duplicate_passages(df, k=4, min_run=12).collect()
     passages = {r.passage for r in out}
     assert p1 in passages and p2 in passages, passages
+
+
+def test_bpe_apply_hand_computed(spark):
+    from gaia_spark.operators.dedup import bpe_apply
+
+    words = spark.createDataFrame(
+        [("ther",), ("thon",), ("aaaa",), ("aaa",), ("er",), ("x",)],
+        "w string",
+    )
+    merges = [("e", "r"), ("t", "h"), ("th", "er"), ("a", "a"), ("o", "n")]
+    out = {r.w: r.syms for r in bpe_apply(words, merges).collect()}
+    assert out["ther"] == ["ther"]          # merge of merges composes
+    assert out["thon"] == ["th", "on"]
+    assert out["aaaa"] == ["aa", "aa"]      # run parity: even offsets only
+    assert out["aaa"] == ["aa", "a"]
+    assert out["er"] == ["er"]
+    assert out["x"] == ["x"]                # single-symbol word inert
+
+
+def test_bpe_encode_counts_rollup(spark):
+    from gaia_spark.operators.dedup import bpe_encode_counts
+
+    df = spark.createDataFrame(
+        [(1, "ther ther thon"), (2, "x er")],
+        "doc_id long, text string",
+    )
+    merges = [("e", "r"), ("t", "h"), ("th", "er"), ("o", "n")]
+    out = {r.doc_id: (r.n_words, r.n_tokens) for r in
+           bpe_encode_counts(df, merges).collect()}
+    assert out[1] == (3, 1 + 1 + 2)   # ther=1 tok (x2), thon=2
+    assert out[2] == (2, 1 + 1)
