@@ -498,3 +498,61 @@ def bm25_scores(
             F.sum("_s_e4").cast("long").alias("score_e4"),
         )
     )
+
+
+def collocations(
+    df,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """PMI-style collocation mining: adjacent word pairs whose observed
+    corpus frequency beats the independence expectation —
+    lift = c_ab · N / (c_a · c_b) (monotone with PMI = log lift), kept
+    when the pair occurs ≥ ``min_count`` times. The classic phrase-
+    detection pass (Mikolov et al. 2013 phrase scoring is this minus the
+    discount) before vocabulary building.
+
+    Plan: ONE explode builds positional bigrams JVM-side (struct
+    transform over the word array, no self-join), unigram and bigram
+    counts are combinable hash aggs, and component frequencies attach by
+    two vocabulary-sized equi-joins. The lift is ONE shared IEEE
+    expression over exact bigint counts floored to e6 — bit-identical
+    cross-engine (no log, no float accumulation).
+
+    Returns (w1, w2, c_ab, c_a, c_b, lift_e6)."""
+    import pyspark.sql.functions as F
+
+    w = P.split_ws(text_col, P.SPARK)
+    words = df.select(F.explode(F.expr(w)).alias("wd")).where(F.length("wd") > 0)
+    uni = words.groupBy("wd").agg(F.count("*").cast("long").alias("c"))
+    n_uni = words.agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        df.where(F.expr(f"size({w}) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size({w}) - 2), "
+                    f"i -> struct({w}[i] as a, {w}[i + 1] as b))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("w1"), F.col("pr.b").alias("w2"))
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    out = (
+        pairs.join(uni.select(F.col("wd").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("wd").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+    )
+    lift = (
+        "cast(c_ab as double) * cast(n as double)"
+        " / (cast(c_a as double) * cast(c_b as double))"
+    )
+    return out.select(
+        "w1", "w2", "c_ab", "c_a", "c_b",
+        F.expr(P.floor_scaled_sql(lift, 6)).alias("lift_e6"),
+    )

@@ -406,3 +406,58 @@ def resolve_redirects(
         F.least(F.col("hops"), F.lit(h).cast("long")).alias("n_hops"),
         F.col("done").alias("resolved"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over every directed realization of
+    the undirected edge set — positive when hubs link to hubs (social
+    graphs), negative when hubs link to leaves (the classic web shape).
+
+    Plan: undirected dedup (one hash agg) + one degree aggregate + two
+    key equi-joins to attach endpoint degrees + ONE combinable moment
+    aggregate; both orientations contribute by symmetry (Σx = Σy), so
+    no second pass. All moments are exact bigints and the coefficient is
+    ONE shared IEEE expression over them — bit-identical cross-engine.
+    Returns (n_nodes, n_edges, assortativity_e6; NULL when degenerate —
+    fewer than 2 edges or zero degree variance)."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    mom = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("_sx"),
+        F.sum(
+            F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+        ).cast("long").alias("_sxx"),
+        F.sum(F.lit(2) * F.col("du") * F.col("dv")).cast("long").alias("_sxy"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    # M = 2m directed pairs; var term V = M*Sxx - Sx^2 (x and y symmetric)
+    v = "(2 * m * _sxx - _sx * _sx)"
+    r = f"cast(2 * m * _sxy - _sx * _sx as double) / cast({v} as double)"
+    return mom.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        F.expr(
+            f"CASE WHEN m >= 2 AND {v} > 0 THEN "
+            f"{P.floor_scaled_sql(r, 6)} ELSE NULL END"
+        ).alias("assortativity_e6"),
+    )

@@ -584,3 +584,88 @@ def q_traj_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hausdorff_distance(pts, pairs)
+
+
+# --- discrete Fréchet distance ---------------------------------------------------
+
+
+def _frechet_oracle() -> str:
+    h = P.floor_scaled_sql(
+        P.haversine_m_sql("alat", "alon", "blat", "blon"), 3
+    )
+    return f"""
+    WITH RECURSIVE ev AS (SELECT user_id, event_id,
+                                 {_STAY_LAT} AS lat, {_STAY_LON} AS lon
+                          FROM events WHERE user_id % 7 = 0),
+    pr AS (SELECT DISTINCT user_id AS pair_id, user_id AS a, user_id + 7 AS b
+           FROM ev WHERE user_id % 14 = 0),
+    pa AS (SELECT pr.pair_id,
+                  row_number() OVER (PARTITION BY pr.pair_id ORDER BY e.event_id)
+                    - 1 AS ra,
+                  e.lat AS alat, e.lon AS alon
+           FROM pr JOIN ev e ON e.user_id = pr.a),
+    pb AS (SELECT pr.pair_id,
+                  row_number() OVER (PARTITION BY pr.pair_id ORDER BY e.event_id)
+                    - 1 AS rb,
+                  e.lat AS blat, e.lon AS blon
+           FROM pr JOIN ev e ON e.user_id = pr.b),
+    d AS (SELECT pa.pair_id, ra, rb, {h} AS d_e3
+          FROM pa JOIN pb ON pa.pair_id = pb.pair_id),
+    dp AS (
+      SELECT pair_id, ra AS i, rb AS j, d_e3 AS c, 0 AS age
+      FROM d WHERE ra = 0 AND rb = 0
+      UNION ALL
+      SELECT g.pair_id, g.ti AS i, g.tj AS j,
+             CASE WHEN g.keep_c IS NOT NULL THEN g.keep_c
+                  ELSE greatest(dd.d_e3, g.pred_min) END AS c,
+             CASE WHEN g.keep_c IS NOT NULL THEN 1 ELSE 0 END AS age
+      FROM (
+        SELECT pair_id, u.ti AS ti, u.tj AS tj,
+               min(CASE WHEN u.k = 1 THEN u.pc END) AS keep_c,
+               min(CASE WHEN u.k = 0 THEN u.pc END) AS pred_min
+        FROM dp, UNNEST(CASE WHEN age = 0 THEN [
+            {{'ti': i, 'tj': j, 'pc': c, 'k': 1}},
+            {{'ti': i + 1, 'tj': j, 'pc': c, 'k': 0}},
+            {{'ti': i, 'tj': j + 1, 'pc': c, 'k': 0}}
+          ] ELSE [ {{'ti': i + 1, 'tj': j + 1, 'pc': c, 'k': 0}} ] END) AS t(u)
+        GROUP BY pair_id, u.ti, u.tj
+      ) g JOIN d dd ON dd.pair_id = g.pair_id AND dd.ra = g.ti AND dd.rb = g.tj
+    ),
+    bnd AS (SELECT pair_id, max(ra) AS mi, max(rb) AS mj FROM d GROUP BY 1)
+    SELECT dp.pair_id, cast(bnd.mi + 1 as bigint) AS n_a,
+           cast(bnd.mj + 1 as bigint) AS n_b, cast(dp.c as bigint) AS frechet_m_e3
+    FROM dp JOIN bnd ON bnd.pair_id = dp.pair_id
+    AND dp.i = bnd.mi AND dp.j = bnd.mj
+    WHERE dp.age = 0
+    """
+
+
+@register("q_frechet", _frechet_oracle())
+def q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance between the paired user trajectories —
+    the order-aware leash metric. The engine runs the Eiter-Mannila DP
+    as one Arrow task per pair over e3-quantized integer distances; the
+    oracle replays the SAME integer DP as an antidiagonal recursive CTE
+    (each working row lives two rounds so the diagonal-k+1 cells see
+    both k and k-1) — a Python-kernel operator that is still
+    hash-checked, not rows-only."""
+    from gaia_spark.operators.trajectory import frechet_distance
+
+    e = load(spark, sf_dir, "events").where("user_id % 7 = 0")
+    pts = e.select(
+        F.col("user_id").alias("traj_id"),
+        F.col("event_id").alias("seq"),
+        F.expr(_STAY_LAT).alias("lat"),
+        F.expr(_STAY_LON).alias("lon"),
+    )
+    pairs = (
+        e.where("user_id % 14 = 0")
+        .select(F.col("user_id").alias("pair_id"))
+        .distinct()
+        .select(
+            "pair_id",
+            F.col("pair_id").alias("a"),
+            (F.col("pair_id") + 7).alias("b"),
+        )
+    )
+    return frechet_distance(pts, pairs)

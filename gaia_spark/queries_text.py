@@ -1977,3 +1977,98 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("n_words").cast("long").alias("n_words"), "n_tokens"
     )
+
+
+# --- PMI collocations (phrase mining) -------------------------------------------
+
+_COLL_MIN = 5
+
+
+def _collocations_oracle() -> str:
+    lift = (
+        "cast(c_ab as double) * cast(n as double)"
+        " / (cast(c_a as double) * cast(c_b as double))"
+    )
+    return f"""
+    WITH wl AS (SELECT {DUCK_WORDS} AS ws FROM documents),
+    w0 AS (SELECT unnest(ws) AS wd FROM wl),
+    wx AS (SELECT wd FROM w0 WHERE length(wd) > 0),
+    uni AS (SELECT wd, cast(count(*) as bigint) AS c FROM wx GROUP BY wd),
+    nn AS (SELECT cast(count(*) as bigint) AS n FROM wx),
+    bp AS (SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> {{'a': ws[i], 'b': ws[i + 1]}})) AS pr
+           FROM wl WHERE len(ws) >= 2),
+    pw AS (SELECT pr.a AS w1, pr.b AS w2 FROM bp
+           WHERE length(pr.a) > 0 AND length(pr.b) > 0),
+    cab AS (SELECT w1, w2, cast(count(*) as bigint) AS c_ab FROM pw
+            GROUP BY w1, w2 HAVING count(*) >= {_COLL_MIN})
+    SELECT cab.w1, cab.w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+           {P.floor_scaled_sql(lift, 6)} AS lift_e6
+    FROM cab JOIN uni ua ON ua.wd = cab.w1
+    JOIN uni ub ON ub.wd = cab.w2 CROSS JOIN nn
+    """
+
+
+@register("q_collocations", _collocations_oracle())
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocations over the corpus: adjacent word pairs seen
+    >= 5 times with their independence lift c_ab·N/(c_a·c_b) floored to
+    e6 — one positional-bigram explode (no self-join), combinable hash
+    aggs, two vocabulary-sized joins, one shared IEEE expression over
+    exact bigint counts."""
+    from gaia_spark.functions.text import collocations
+
+    return collocations(load(spark, sf_dir, "documents"), min_count=_COLL_MIN)
+
+
+# --- degree assortativity of the host graph --------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    v = "(2 * m * _sxx - _sx * _sx)"
+    r = f"cast(2 * m * _sxy - _sx * _sx as double) / cast({v} as double)"
+    return f"""
+    WITH {_PR_EDGES_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges WHERE src != dst),
+    deg AS (SELECT node, cast(count(*) as bigint) AS deg
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    ed AS (SELECT a.deg AS du, b.deg AS dv FROM und
+           JOIN deg a ON a.node = und.u JOIN deg b ON b.node = und.v),
+    mom AS (SELECT cast(count(*) as bigint) AS m,
+                   cast(sum(du + dv) as bigint) AS _sx,
+                   cast(sum(du * du + dv * dv) as bigint) AS _sxx,
+                   cast(sum(2 * du * dv) as bigint) AS _sxy FROM ed),
+    nn AS (SELECT cast(count(*) as bigint) AS n_nodes FROM deg)
+    SELECT n_nodes, m AS n_edges,
+           CASE WHEN m >= 2 AND {v} > 0 THEN {P.floor_scaled_sql(r, 6)}
+                ELSE NULL END AS assortativity_e6
+    FROM mom, nn
+    """
+
+
+@register("q_assortativity", _assortativity_oracle())
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the deterministic host link graph — do hub
+    hosts link to hubs or to leaves? Exact-bigint degree moments, one
+    shared IEEE expression for the Pearson coefficient, e6-floored."""
+    from gaia_spark.operators.graph import degree_assortativity
+
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).alias("h"))
+        .distinct()
+        .where("h % 10 != 0")
+    )
+    edges = (
+        hosts.select(
+            "h",
+            F.explode(
+                F.expr("array((h * 3 + 1) % 97, (h * 5 + 2) % 97, (h * 7 + 3) % 97)")
+            ).alias("dst"),
+        )
+        .select(F.col("h").alias("src"), "dst")
+        .distinct()
+    )
+    return degree_assortativity(edges)

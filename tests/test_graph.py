@@ -118,3 +118,25 @@ def test_resolve_redirects_exact_cap_chain(spark):
     assert (out["n0"].final, out["n0"].n_hops, out["n0"].resolved) == ("n16", 16, False)
     assert (out["n10"].final, out["n10"].resolved) == ("n20", True)
     assert out["n10"].n_hops == 10
+
+
+def test_assortativity_star_is_negative_one(spark):
+    from gaia_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "src string, dst string"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (6, 5)
+    assert r.assortativity_e6 == -1_000_000  # star graph: exactly -1
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    from gaia_spark.operators.graph import degree_assortativity
+
+    # 4-cycle: all degrees equal -> zero variance -> NULL
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "src string, dst string"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r.assortativity_e6 is None and r.n_edges == 4

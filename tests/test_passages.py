@@ -164,3 +164,20 @@ def test_bpe_encode_counts_rollup(spark):
            bpe_encode_counts(df, merges).collect()}
     assert out[1] == (3, 1 + 1 + 2)   # ther=1 tok (x2), thon=2
     assert out[2] == (2, 1 + 1)
+
+
+def test_collocations_hand_computed(spark):
+    from gaia_spark.functions.text import collocations
+
+    # "new york" appears 3x; unigrams: new=4, york=4, N=12
+    df = spark.createDataFrame(
+        [(1, "new york new york"), (2, "new york is new here"),
+         (3, "york of the")],
+        "doc_id long, text string",
+    )
+    out = {(r.w1, r.w2): r for r in collocations(df, min_count=3).collect()}
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    assert (r.c_ab, r.c_a, r.c_b) == (3, 4, 4)
+    # lift = 3*12/(4*4) = 2.25
+    assert r.lift_e6 == 2_250_000

@@ -157,3 +157,61 @@ def test_knox_brute_parity(spark):
     assert out.expected_e6 == expected
     if expected > 0:
         assert out.ratio_e6 == (2 * x * 500_000_000_000) // expected
+
+
+def test_frechet_brute_parity_and_vs_hausdorff(spark):
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.trajectory import frechet_distance
+
+    # out-and-back A vs straight B: Hausdorff ~0 but Fréchet must pay the
+    # return leg; plus a second pair with reversed order sensitivity
+    pts = [
+        ("A", 0, 0.0, 0.0), ("A", 1, 0.0, 1.0), ("A", 2, 0.0, 2.0),
+        ("A", 3, 0.0, 1.0), ("A", 4, 0.0, 0.0),
+        ("B", 0, 0.0, 0.0), ("B", 1, 0.0, 2.0),
+        ("C", 0, 10.0, 10.0), ("C", 1, 10.0, 11.0), ("C", 2, 10.0, 12.0),
+        ("D", 0, 10.0, 12.0), ("D", 1, 10.0, 11.0), ("D", 2, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(pts, "traj_id string, seq long, lat double, lon double")
+    pairs = spark.createDataFrame(
+        [("p1", "A", "B"), ("p2", "C", "D")], "pair_id string, a string, b string"
+    )
+    out = {r.pair_id: r for r in frechet_distance(df, pairs).collect()}
+
+    # python reference on the same e3 integer distances
+    import math
+
+    def hav_e3(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[0], p[1], q[0], q[1]))
+        a = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+        return math.floor(2 * 6371008.8 * math.asin(math.sqrt(a)) * 1000 + 0.5)
+
+    def ref(A, B):
+        D = [[hav_e3(a, b) for b in B] for a in A]
+        n, m = len(A), len(B)
+        c = [[0] * m for _ in range(n)]
+        c[0][0] = D[0][0]
+        for i in range(1, n):
+            c[i][0] = max(c[i - 1][0], D[i][0])
+        for j in range(1, m):
+            c[0][j] = max(c[0][j - 1], D[0][j])
+        for i in range(1, n):
+            for j in range(1, m):
+                c[i][j] = max(min(c[i - 1][j], c[i][j - 1], c[i - 1][j - 1]), D[i][j])
+        return c[n - 1][m - 1]
+
+    A = [(0.0, 0.0), (0.0, 1.0), (0.0, 2.0), (0.0, 1.0), (0.0, 0.0)]
+    B = [(0.0, 0.0), (0.0, 2.0)]
+    C = [(10.0, 10.0), (10.0, 11.0), (10.0, 12.0)]
+    Dd = [(10.0, 12.0), (10.0, 11.0), (10.0, 10.0)]
+    assert out["p1"].frechet_m_e3 == ref(A, B)
+    assert out["p2"].frechet_m_e3 == ref(C, Dd)
+    assert (out["p1"].n_a, out["p1"].n_b) == (5, 2)
+    # the leash must pay the return leg: >= 1 degree of longitude
+    one_deg = spark.sql(
+        f"SELECT {P.floor_scaled_sql(P.haversine_m_sql('0.0','0.0','0.0','1.0'), 3)} AS d"
+    ).collect()[0].d
+    assert out["p1"].frechet_m_e3 >= one_deg
+    # reversed C/D: order-aware metric spans the full 2-degree sweep
+    assert out["p2"].frechet_m_e3 > 0
