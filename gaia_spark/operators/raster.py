@@ -917,3 +917,105 @@ def polygonize(
             F.max("c").cast("long").alias("max_c"),
         )
     )
+
+
+def zt_curvature_sqls() -> tuple[str, str, str]:
+    """The shared (Spark == DuckDB) Zevenbergen-Thorne curvature
+    expressions over the five exact-bigint kernel sums ``d4`` (2(z4+z6) −
+    4z5), ``e4x`` (2(z2+z8) − 4z5), ``f4`` (−z1+z3+z7−z9), ``g2`` (z6−z4),
+    ``h2`` (z2−z8), all in e4 elevation units, pixel-unit cell size:
+    (profile, plan, general), each in elevation-units per pixel²
+    (flat-gradient cells where g2 = h2 = 0 yield 0 by convention)."""
+    den = "cast(g2 * g2 + h2 * h2 as double)"
+    prof = (
+        f"CASE WHEN g2 = 0 AND h2 = 0 THEN cast(0 as double) ELSE "
+        f"-cast(d4 * g2 * g2 + e4x * h2 * h2 + f4 * g2 * h2 as double)"
+        f" / (cast(2 as double) * {den} * cast(10000 as double)) END"
+    )
+    plan = (
+        f"CASE WHEN g2 = 0 AND h2 = 0 THEN cast(0 as double) ELSE "
+        f"cast(d4 * h2 * h2 + e4x * g2 * g2 - f4 * g2 * h2 as double)"
+        f" / (cast(2 as double) * {den} * cast(10000 as double)) END"
+    )
+    gen = "-cast(d4 + e4x as double) / (cast(2 as double) * cast(10000 as double))"
+    return prof, plan, gen
+
+
+def zt_curvature(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
+    """Zevenbergen-Thorne surface curvature over the global pixel grid of
+    one zoom level — the second-derivative member of the terrain family
+    (gdaldem-adjacent; ArcGIS Curvature role): profile curvature (along
+    the slope line — flow acceleration), plan curvature (across it —
+    flow convergence) and general curvature (the unweighted Laplacian
+    term), from the 9-term quadratic fit of Zevenbergen & Thorne 1987.
+
+    Same ONE-scatter shape as :func:`slope_aspect`: each pixel emits 9
+    weighted contributions (closed-form integer weights of the relative
+    offset), ONE combinable groupBy sums the five kernel terms as exact
+    bigints, interior cells only. The three curvatures derive by one
+    shared IEEE expression each — bit-identical cross-engine.
+
+    Returns (r, c, d4, e4x, f4, g2, h2, prof_e6, plan_e6, gen_e6) —
+    curvatures e6-floored, elevation-units per pixel²."""
+    n_px = TILE_PX * (1 << zoom)
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == zoom) & (F.col("band") == band)))
+    t = portable.idiv_sql("pixel_id", pp)
+    decoded = px.select(
+        F.expr(
+            f"(({t}) % 65536) * {TILE_PX} + {portable.idiv_sql(f'pixel_id % {pp}', TILE_PX)}"
+        ).alias("r"),
+        F.expr(
+            f"(({portable.idiv_sql(t, 65536)}) % 65536) * {TILE_PX} + pixel_id % {TILE_PX}"
+        ).alias("c"),
+        F.expr(portable.floor_scaled_sql("v", 4)).alias("v_e4"),
+    )
+    # source position relative to TARGET is (pr, pc) = (-_dr, -_dc)
+    scat = (
+        decoded.withColumn("_dr", F.explode(F.expr("array(-1, 0, 1)")))
+        .withColumn("_dc", F.explode(F.expr("array(-1, 0, 1)")))
+        .select(
+            (F.col("r") + F.col("_dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("_dc"), F.lit(n_px)).alias("tc"),
+            F.expr(zt_weight_sql("v_e4", "(-_dr)", "(-_dc)", "d")).alias("wd"),
+            F.expr(zt_weight_sql("v_e4", "(-_dr)", "(-_dc)", "e")).alias("we"),
+            F.expr(zt_weight_sql("v_e4", "(-_dr)", "(-_dc)", "f")).alias("wf"),
+            F.expr(zt_weight_sql("v_e4", "(-_dr)", "(-_dc)", "g")).alias("wg"),
+            F.expr(zt_weight_sql("v_e4", "(-_dr)", "(-_dc)", "h")).alias("wh"),
+        )
+        .where((F.col("tr") >= 0) & (F.col("tr") < n_px))
+    )
+    prof, plan, gen = zt_curvature_sqls()
+    return (
+        scat.groupBy(F.col("tr").alias("r"), F.col("tc").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("_n_nb"),
+            F.sum("wd").cast("long").alias("d4"),
+            F.sum("we").cast("long").alias("e4x"),
+            F.sum("wf").cast("long").alias("f4"),
+            F.sum("wg").cast("long").alias("g2"),
+            F.sum("wh").cast("long").alias("h2"),
+        )
+        .where(F.col("_n_nb") == 9)
+        .select(
+            "r", "c", "d4", "e4x", "f4", "g2", "h2",
+            F.expr(portable.floor_scaled_sql(prof, 6)).alias("prof_e6"),
+            F.expr(portable.floor_scaled_sql(plan, 6)).alias("plan_e6"),
+            F.expr(portable.floor_scaled_sql(gen, 6)).alias("gen_e6"),
+        )
+    )
+
+
+def zt_weight_sql(v: str, pr: str, pc: str, term: str) -> str:
+    """Integer ZT kernel weight of a source at relative offset (pr, pc)
+    from the target, for kernel term d/e/f/g/h — shared verbatim with the
+    oracle. d4 = 2(z4+z6)−4z5, e4 = 2(z2+z8)−4z5, f4 = −z1+z3+z7−z9,
+    g2 = z6−z4, h2 = z2−z8 (z2 north = pr −1, z6 east = pc +1)."""
+    w = {
+        "d": f"(1 - abs({pr})) * (6 * abs({pc}) - 4)",
+        "e": f"(1 - abs({pc})) * (6 * abs({pr}) - 4)",
+        "f": f"(-({pr}) * ({pc}))",
+        "g": f"(({pc}) * (1 - abs({pr})))",
+        "h": f"(-({pr}) * (1 - abs({pc})))",
+    }[term]
+    return f"({v}) * ({w})"

@@ -1240,3 +1240,95 @@ def morans_i_bivariate(
             f"{portable.floor_scaled_sql(ratio, 6)} ELSE NULL END"
         ).alias("moran_bv_e6"),
     )
+
+
+def theil_sen(
+    values: DataFrame,
+    n_buckets: int,
+    key_col: str = "cell",
+    bucket_col: str = "b",
+    value_col: str = "x",
+) -> DataFrame:
+    """Per-key Theil–Sen trend slope over a regular time-bucket series —
+    the robust (median-of-pairwise-slopes) companion of
+    :func:`mann_kendall`: MK answers "is there a trend", Theil–Sen
+    answers "how steep", immune to outlier buckets.
+
+    Same densified pairwise sweep as MK (missing buckets = 0; exactly
+    C(n_buckets, 2) rows per key, a bounded constant factor on the key
+    table). Exactness: bucket gaps are integers in 1..n_buckets−1, so
+    every slope (x_j−x_i)/(j−i) scales to an EXACT bigint by
+    L = lcm(1..n_buckets−1); the median is exact integer selection on the
+    scaled slopes (row_number ranks — ties are interchangeable equal
+    values, so both middle VALUES are partitioning-independent), and the
+    reported slope derives by one exact floor division. Returns
+    (key, n_pairs, med2_scaled, slope_e6) where med2_scaled = lower +
+    upper middle of the L-scaled slopes and slope_e6 =
+    floor(med2·10⁶ / (2L)) in value-units per bucket."""
+    import math
+
+    n = n_buckets
+    lcm = math.lcm(*range(1, n))
+    grid = (
+        values.select(key_col).distinct()
+        .select(F.col(key_col), F.explode(F.expr(f"sequence(0, {n - 1})")).alias("_b"))
+    )
+    x = values.select(
+        F.col(key_col),
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    dense = grid.join(x, [key_col, "_b"], "left").select(
+        key_col, "_b", F.coalesce("_x", F.lit(0)).cast("long").alias("_x")
+    )
+    a = dense.select(key_col, F.col("_b").alias("_i"), F.col("_x").alias("_xi"))
+    bb = dense.select(key_col, F.col("_b").alias("_j"), F.col("_x").alias("_xj"))
+    slopes = (
+        a.join(bb, key_col)
+        .where(F.col("_j") > F.col("_i"))
+        .select(
+            key_col,
+            (
+                (F.col("_xj") - F.col("_xi"))
+                * F.expr(f"{lcm} div (_j - _i)")
+            ).cast("long").alias("_s"),
+        )
+    )
+    m = n * (n - 1) // 2
+    lo, hi = (m + 1) // 2, m // 2 + 1
+    w = Window.partitionBy(key_col).orderBy(F.col("_s").asc())
+    ranked = slopes.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.where(F.col("_rk").isin(lo, hi))
+        .groupBy(key_col)
+        .agg(
+            F.lit(m).cast("long").alias("n_pairs"),
+            # lo == hi for odd m: count the single middle twice
+            F.when(F.lit(lo == hi), F.sum("_s") * 2)
+            .otherwise(F.sum("_s"))
+            .cast("long")
+            .alias("med2_scaled"),
+        )
+        .select(
+            key_col,
+            "n_pairs",
+            "med2_scaled",
+            # bigint_div floors only for non-negative numerators; offset by
+            # K·2L (K = 10^13 covers per-bucket |x| up to ~10^6 without
+            # overflowing int64) so negative slopes floor identically
+            # cross-engine
+            F.expr(
+                theil_sen_slope_sql("med2_scaled", lcm, portable.SPARK)
+            ).alias("slope_e6"),
+        )
+    )
+
+
+def theil_sen_slope_sql(med2: str, lcm: int, dialect: str) -> str:
+    """slope_e6 = floor(med2·10⁶ / (2·lcm)) for possibly-NEGATIVE med2 —
+    shared verbatim with the oracle (offset floor-division)."""
+    k = 10_000_000_000_000
+    return (
+        f"({portable.bigint_div(f'({med2}) * 1000000 + {k} * {2 * lcm}', str(2 * lcm), dialect)}"
+        f" - {k})"
+    )

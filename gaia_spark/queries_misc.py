@@ -3161,3 +3161,115 @@ def q_moran_bv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = cell_rook_weights(cells, 5)
     return morans_i_bivariate(cells, w)
+
+
+# --- Theil-Sen robust trend slope ----------------------------------------------
+
+
+def _theil_sen_oracle() -> str:
+    import math
+
+    from gaia_spark.operators.stats import theil_sen_slope_sql
+
+    lat, lon = P.key_lat_sql("user_id"), P.key_lon_sql("user_id")
+    day = "date_diff('day', DATE '2024-01-01', cast(ts as date))"
+    n = _MK_N
+    lcm = math.lcm(*range(1, n))
+    m = n * (n - 1) // 2
+    lo, hi = (m + 1) // 2, m // 2 + 1
+    med2 = "sum(_s) * 2" if lo == hi else "sum(_s)"
+    return f"""
+    WITH up AS (SELECT {P.cell_id_sql(lat, lon, 4)} AS cell,
+                       {P.idiv_sql(day, 3)} AS b FROM events),
+    x AS (SELECT cell, b, cast(count(*) as bigint) AS x FROM up GROUP BY 1, 2),
+    grid AS (SELECT cell, gs.b FROM (SELECT DISTINCT cell FROM x)
+             CROSS JOIN generate_series(0, {n - 1}) gs(b)),
+    dense AS (SELECT g.cell, g.b, coalesce(x.x, 0) AS x
+              FROM grid g LEFT JOIN x ON g.cell = x.cell AND g.b = x.b),
+    slopes AS (SELECT a.cell, (j.x - a.x) * ({lcm} // (j.b - a.b)) AS _s
+               FROM dense a JOIN dense j ON a.cell = j.cell AND a.b < j.b),
+    ranked AS (SELECT cell, _s,
+                      row_number() OVER (PARTITION BY cell ORDER BY _s) AS _rk
+               FROM slopes),
+    med AS (SELECT cell, cast({med2} as bigint) AS med2_scaled
+            FROM ranked WHERE _rk IN ({lo}, {hi}) GROUP BY cell)
+    SELECT cell, cast({m} as bigint) AS n_pairs, med2_scaled,
+           {theil_sen_slope_sql('med2_scaled', lcm, P.DUCK)} AS slope_e6
+    FROM med
+    """
+
+
+@register("q_theil_sen", _theil_sen_oracle())
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per res-4 cell over the same ten 3-day
+    event buckets as q_mann_kendall — median of pairwise slopes, every
+    slope an EXACT bigint via the lcm(1..9) scaling, median by exact
+    integer selection, final slope by offset floor-division. The 'how
+    steep' companion of MK's 'is there a trend'."""
+    from gaia_spark.operators.stats import theil_sen
+
+    e = load(spark, sf_dir, "events")
+    day = "datediff(cast(ts as date), date'2024-01-01')"
+    up = e.select(
+        F.expr(
+            P.cell_id_sql(P.key_lat_sql("user_id"), P.key_lon_sql("user_id"), 4)
+        ).alias("cell"),
+        F.expr(P.idiv_sql(day, 3)).alias("b"),
+    )
+    x = up.groupBy("cell", "b").agg(F.count("*").cast("long").alias("x"))
+    return theil_sen(x, n_buckets=_MK_N)
+
+
+# --- Zevenbergen-Thorne curvature ----------------------------------------------
+
+
+def _curvature_oracle() -> str:
+    from gaia_spark.operators.raster import zt_curvature_sqls, zt_weight_sql
+
+    n_t, px = 8, 64
+    n_px = n_t * px
+    c_lat, c_lon = _tile_px_center_sql(n_t, px)
+    v = _band_f32_sql(0)
+    prof, plan, gen = zt_curvature_sqls()
+    w = {k: zt_weight_sql("v_e4", "(-dr)", "(-dc)", k) for k in "defgh"}
+    return f"""
+    WITH g AS (SELECT r, c FROM generate_series(0, {n_px - 1}) t1(r),
+                            generate_series(0, {n_px - 1}) t2(c)),
+    px AS (SELECT r, c, {P.idiv_sql('r', px)} AS ty, r % {px} AS i,
+                  {P.idiv_sql('c', px)} AS tx, c % {px} AS j FROM g),
+    pc AS (SELECT r, c, {c_lat} AS plat, {c_lon} AS plon FROM px),
+    pv AS (SELECT r, c, {P.floor_scaled_sql(v, 4)} AS v_e4 FROM pc),
+    offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+    scat AS (SELECT r + dr AS tr, (c + dc + {n_px}) % {n_px} AS tc,
+                    {w['d']} AS wd, {w['e']} AS we, {w['f']} AS wf,
+                    {w['g']} AS wg, {w['h']} AS wh
+             FROM pv CROSS JOIN offs
+             WHERE r + dr >= 0 AND r + dr < {n_px}),
+    agg AS (SELECT tr AS r, tc AS c, count(*) AS n_nb,
+                   cast(sum(wd) as bigint) AS d4, cast(sum(we) as bigint) AS e4x,
+                   cast(sum(wf) as bigint) AS f4, cast(sum(wg) as bigint) AS g2,
+                   cast(sum(wh) as bigint) AS h2
+            FROM scat GROUP BY tr, tc)
+    SELECT cast(r as bigint) AS r, cast(c as bigint) AS c, d4, e4x, f4, g2, h2,
+           {P.floor_scaled_sql(prof, 6)} AS prof_e6,
+           {P.floor_scaled_sql(plan, 6)} AS plan_e6,
+           {P.floor_scaled_sql(gen, 6)} AS gen_e6
+    FROM agg WHERE n_nb = 9
+    """
+
+
+@register("q_curvature", _curvature_oracle())
+def q_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen-Thorne profile/plan/general curvature over the zoom-3
+    analytic surface — the second-derivative terrain tier beside
+    slope/aspect/TPI. One scatter + one combinable agg; five kernel sums
+    exact bigints; each curvature ONE shared IEEE expression."""
+    from gaia_spark.operators.raster import zt_curvature
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(3,), bands=(0,))
+    out = zt_curvature(raster, zoom=3, band=0)
+    return out.select(
+        F.col("r").cast("long").alias("r"), F.col("c").cast("long").alias("c"),
+        "d4", "e4x", "f4", "g2", "h2", "prof_e6", "plan_e6", "gen_e6",
+    )

@@ -244,3 +244,30 @@ def test_emerging_hotspots_partitioning_invariance(spark):
     a = sorted(map(tuple, emerging_hotspots(df, w, 10).collect()))
     b = sorted(map(tuple, emerging_hotspots(df.repartition(9), w, 10).collect()))
     assert a == b
+
+
+def test_theil_sen_linear_and_outlier(spark):
+    from gaia_spark.operators.stats import theil_sen
+
+    # key 1: exact line x = 3b + 2 -> slope 3; key 2: same line with one
+    # wild outlier bucket -> Theil-Sen still 3 (robustness), key 3: flat
+    rows = [(1, b, 3 * b + 2) for b in range(10)]
+    rows += [(2, b, 3 * b + 2 if b != 4 else 1000) for b in range(10)]
+    rows += [(3, b, 7) for b in range(10)]
+    df = spark.createDataFrame(rows, "cell long, b long, x long")
+    out = {r.cell: r for r in theil_sen(df, n_buckets=10).collect()}
+    assert out[1].slope_e6 == 3_000_000
+    assert out[2].slope_e6 == 3_000_000
+    assert out[3].slope_e6 == 0
+    assert out[1].n_pairs == 45
+
+
+def test_theil_sen_negative_slope_floor(spark):
+    from gaia_spark.operators.stats import theil_sen
+
+    # descending line x = -2b: slope exactly -2 (negative floor-division
+    # path must not truncate toward zero)
+    rows = [(9, b, -2 * b) for b in range(10)]
+    df = spark.createDataFrame(rows, "cell long, b long, x long")
+    r = theil_sen(df, n_buckets=10).collect()[0]
+    assert r.slope_e6 == -2_000_000

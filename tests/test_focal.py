@@ -146,3 +146,51 @@ def test_terrain_indices_vs_numpy_reference(spark):
         ssd = sum((v - x) ** 2 for x in nbr)
         assert row.tri_e4 == math.floor(math.sqrt(ssd) / 1e4 * 1e4 + 0.5)
         assert row.rough_e4 == max(nbr + [v]) - min(nbr + [v])
+
+
+def test_zt_curvature_numpy_reference(spark):
+    import numpy as np
+
+    from gaia_spark.operators.raster import zt_curvature
+    from gaia_spark.synth import synth_raster, TILE_PX
+
+    raster = synth_raster(spark, zooms=(2,), bands=(0,))
+    out = {(r.r, r.c): r for r in zt_curvature(raster, zoom=2, band=0).collect()}
+
+    # rebuild the global grid from the same decode the engine uses
+    from gaia_spark.operators.raster import pixels_of
+    import pyspark.sql.functions as F
+
+    pp = TILE_PX * TILE_PX
+    px = pixels_of(raster.where((F.col("zoom") == 2) & (F.col("band") == 0)))
+    rows = px.select("pixel_id", "v").collect()
+    n_px = TILE_PX * (1 << 2)
+    z = np.zeros((n_px, n_px), dtype=np.int64)
+    for row in rows:
+        t = row.pixel_id // pp
+        r = (t % 65536) * TILE_PX + (row.pixel_id % pp) // TILE_PX
+        c = (t // 65536 % 65536) * TILE_PX + row.pixel_id % TILE_PX
+        z[r, c] = int(np.floor(row.v * 10000 + 0.5))
+
+    # interior sample cells: ZT kernel sums + curvature formulas
+    checked = 0
+    for (r, c) in [(5, 5), (100, 37), (200, 200), (1, 1), (254, 254)]:
+        z5 = z[r, c]
+        z2, z8 = z[r - 1, c], z[(r + 1) % n_px, c]
+        z4, z6 = z[r, (c - 1) % n_px], z[r, (c + 1) % n_px]
+        z1, z3 = z[r - 1, (c - 1) % n_px], z[r - 1, (c + 1) % n_px]
+        z7, z9 = z[r + 1, (c - 1) % n_px], z[r + 1, (c + 1) % n_px]
+        d4 = 2 * (z4 + z6) - 4 * z5
+        e4x = 2 * (z2 + z8) - 4 * z5
+        f4 = -z1 + z3 + z7 - z9
+        g2, h2 = z6 - z4, z2 - z8
+        o = out[(r, c)]
+        assert (o.d4, o.e4x, o.f4, o.g2, o.h2) == (d4, e4x, f4, g2, h2)
+        if g2 or h2:
+            den = float(g2 * g2 + h2 * h2)
+            prof = -float(d4 * g2 * g2 + e4x * h2 * h2 + f4 * g2 * h2) / (2 * den * 1e4)
+            assert o.prof_e6 == int(np.floor(prof * 1e6 + 0.5))
+        checked += 1
+    assert checked == 5
+    # border rows never emit
+    assert all(0 < r < n_px - 1 for (r, _) in out)
