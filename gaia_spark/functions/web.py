@@ -407,3 +407,64 @@ def path_of_sql(url: str) -> str:
     component of an absolute URL."""
     rest = f"regexp_extract({url}, '{_REST_RE}', 1)"
     return f"regexp_extract({rest}, '^([^?#]*)', 1)"
+
+
+# --- host concentration diagnostics (corpus health report) ---------------------
+
+def host_concentration(
+    counts,
+    key_col: str = "host",
+    count_col: str = "n_docs",
+):
+    """Corpus concentration diagnostics over per-host document counts —
+    the dataset-report statistics (RefinedWeb/Dolma-style corpus health):
+    Gini coefficient (rank formula), Herfindahl-Hirschman index Σ share²,
+    and Shannon entropy, each derived from exact bigint aggregates.
+
+    Scale shape: input is the HOST table (one row per host — already
+    aggregated from the corpus), so the rank window is one bounded sort
+    shuffle; everything else is one combinable aggregate. Entropy terms
+    quantize to e4 BEFORE the sum (order-free bigint), the unigram-LM
+    lesson.
+
+    Returns ONE row (n_hosts, n_total, gini_e6, hhi_e6, entropy_e4)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gaia_spark.functions import portable as P
+
+    x = counts.select(
+        F.col(key_col).alias("_h"), F.col(count_col).cast("long").alias("_x")
+    ).where(F.col("_x") > 0)
+    w = Window.orderBy(F.col("_x").asc(), F.col("_h").asc())
+    ranked = x.withColumn("_i", F.row_number().over(w).cast("long"))
+    ent_term = P.floor_scaled_sql(
+        "cast(_x as double) * ln(cast(_x as double))", 4
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("_x").cast("long").alias("n_total"),
+        F.sum(F.col("_i") * F.col("_x")).cast("long").alias("_six"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.expr(ent_term)).cast("long").alias("_sent"),
+    )
+    gini = P.bigint_div(
+        "(2 * _six - (n_hosts + 1) * n_total) * 1000000",
+        "n_hosts * n_total",
+        P.SPARK,
+    )
+    hhi = P.bigint_div("_sxx * 1000000", "n_total * n_total", P.SPARK)
+    ent = (
+        "ln(cast(n_total as double)) - cast(_sent as double)"
+        " / (cast(10000 as double) * cast(n_total as double))"
+    )
+    return agg.select(
+        "n_hosts",
+        "n_total",
+        F.expr(f"CASE WHEN n_total > 0 THEN {gini} ELSE NULL END").alias("gini_e6"),
+        F.expr(f"CASE WHEN n_total > 0 THEN {hhi} ELSE NULL END").alias("hhi_e6"),
+        F.expr(
+            f"CASE WHEN n_total > 0 THEN {P.floor_scaled_sql(ent, 4)} "
+            "ELSE NULL END"
+        ).alias("entropy_e4"),
+    )

@@ -2072,3 +2072,57 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return degree_assortativity(edges)
+
+
+# --- host concentration (corpus health report) ----------------------------------
+
+# skewed host fixture: quadratic residue mapping gives a long-tailed host
+# size distribution (many residues collapse onto low host ids)
+_CONC_HOST = P.idiv_sql("(doc_id % 32) * (doc_id % 32)", 16)
+
+
+def _host_concentration_oracle() -> str:
+    ent_term = P.floor_scaled_sql("cast(_x as double) * ln(cast(_x as double))", 4)
+    gini = P.bigint_div(
+        "(2 * _six - (n_hosts + 1) * n_total) * 1000000", "n_hosts * n_total", P.DUCK
+    )
+    hhi = P.bigint_div("_sxx * 1000000", "n_total * n_total", P.DUCK)
+    ent = (
+        "ln(cast(n_total as double)) - cast(_sent as double)"
+        " / (cast(10000 as double) * cast(n_total as double))"
+    )
+    return f"""
+    WITH hc AS (SELECT {_CONC_HOST} AS _h, cast(count(*) as bigint) AS _x
+                FROM documents GROUP BY 1),
+    ranked AS (SELECT _h, _x,
+                      cast(row_number() OVER (ORDER BY _x ASC, _h ASC) as bigint) AS _i
+               FROM hc WHERE _x > 0),
+    agg AS (SELECT cast(count(*) as bigint) AS n_hosts,
+                   cast(sum(_x) as bigint) AS n_total,
+                   cast(sum(_i * _x) as bigint) AS _six,
+                   cast(sum(_x * _x) as bigint) AS _sxx,
+                   cast(sum({ent_term}) as bigint) AS _sent
+            FROM ranked)
+    SELECT n_hosts, n_total,
+           CASE WHEN n_total > 0 THEN {gini} ELSE NULL END AS gini_e6,
+           CASE WHEN n_total > 0 THEN {hhi} ELSE NULL END AS hhi_e6,
+           CASE WHEN n_total > 0 THEN {P.floor_scaled_sql(ent, 4)}
+                ELSE NULL END AS entropy_e4
+    FROM agg
+    """
+
+
+@register("q_host_concentration", _host_concentration_oracle())
+def q_host_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus host-concentration report over a long-tailed synthetic host
+    distribution: Gini (rank formula, exact bigint numerator + floor
+    division), HHI (exact Σx²/(Σx)²) and Shannon entropy (e4-pre-sum
+    quantized terms) — ONE bounded host-table sort + ONE combinable
+    aggregate."""
+    from gaia_spark.functions.web import host_concentration
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy(F.expr(_CONC_HOST).alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return host_concentration(counts)

@@ -159,3 +159,30 @@ def test_robots_longest_match_semantics(spark):
     assert out["https://a.ex/r/31/deep"] == ("allow", "/r/31")
     assert out["https://a.ex/ok"] == ("allow", None)             # no match
     assert out["https://b.ex/r/3"] == ("allow", None)            # no rules host
+
+
+def test_host_concentration_closed_forms(spark):
+    import math
+
+    from gaia_spark.functions.web import host_concentration
+
+    # perfectly equal: 4 hosts x 10 docs -> Gini = (2*(1+2+3+4)*10 - 5*40)
+    # / (4*40) = (200-200)/160 = 0; HHI = 4*100/1600 = 0.25; H = ln 4
+    eq = spark.createDataFrame(
+        [(f"h{i}", 10) for i in range(4)], "host string, n_docs long"
+    )
+    r = host_concentration(eq).collect()[0]
+    assert (r.n_hosts, r.n_total, r.gini_e6) == (4, 40, 0)
+    assert r.hhi_e6 == 250_000
+    ent = math.log(40) - (4 * math.floor(10 * math.log(10) * 1e4 + 0.5)) / (1e4 * 40)
+    assert r.entropy_e4 == math.floor(ent * 1e4 + 0.5)
+
+    # total concentration: one host owns everything -> HHI = 1, H = 0
+    one = spark.createDataFrame([("h", 50)], "host string, n_docs long")
+    r1 = host_concentration(one).collect()[0]
+    assert (r1.gini_e6, r1.hhi_e6, r1.entropy_e4) == (0, 1_000_000, 0)
+
+    # skewed two hosts 1 + 99: Gini = (2*(1*1 + 2*99) - 3*100)/(2*100)
+    sk = spark.createDataFrame([("a", 1), ("b", 99)], "host string, n_docs long")
+    r2 = host_concentration(sk).collect()[0]
+    assert r2.gini_e6 == ((2 * (1 + 198) - 300) * 1_000_000) // 200
