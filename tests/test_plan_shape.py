@@ -343,3 +343,78 @@ def test_logreg_training_round_broadcasts_weights(spark):
     plan = plan_of(logreg_score(docs, w, n_buckets=8))
     assert "BroadcastHashJoin" in plan          # n_buckets-row weight table
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_stay_points_single_window_exchange(spark):
+    """stay_points: one user-partitioned exchange feeds the window AND the
+    per-stay aggregation (AQE/planner reuse — no second hash shuffle on a
+    different key); no Python anywhere."""
+    from gaia_spark.operators.trajectory import stay_points
+
+    df = spark.createDataFrame(
+        [(1, "2025-01-01 00:00:00", 1, 0.0, 0.0)],
+        "user_id long, ts string, event_id long, lat double, lon double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = plan_of(stay_points(df, dist_m=1000.0))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_knox_no_cartesian_no_global_sort(spark):
+    """knox_test: space pairs via the cell equi-join, time pairs via the
+    bucket cover join — no cartesian on any DATA path (the final 1x1x1
+    scalar combine is allowed), and no unpartitioned window sort."""
+    from gaia_spark.operators.stats import knox_test
+
+    pts = spark.createDataFrame(
+        [(i, i * 600_000_000, (i % 5) * 0.01, (i % 7) * 0.01) for i in range(40)],
+        "pid long, t_us long, lat double, lon double",
+    )
+    plan = plan_of(knox_test(pts, 50_000.0, 3600))
+    assert "Window" not in plan                  # nt never global-sorts
+    # the only nested-loop joins are the scalar-row combines at the top
+    data_section = plan.split("Aggregate")[-1]
+    assert "CartesianProduct" not in data_section
+    assert "Python" not in plan
+
+
+def test_robots_single_combinable_agg_no_window(spark):
+    """robots_verdicts: the longest-match winner is a combinable
+    min(struct) aggregate, NOT a per-url window rank."""
+    from gaia_spark.functions.web import robots_verdicts
+
+    urls = spark.createDataFrame([("https://a.ex/p",)], "url string")
+    rules = spark.createDataFrame(
+        [("a.ex", "disallow", "/p")], "host string, rule_type string, path_prefix string"
+    )
+    plan = plan_of(robots_verdicts(urls, rules))
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "Python" not in plan
+
+
+def test_collocations_no_self_join_python_free(spark):
+    """collocations: bigrams come from ONE in-plan Generate over the word
+    array — never a positional self-join — and every agg partials."""
+    from gaia_spark.functions.text import collocations
+
+    df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    plan = plan_of(collocations(df, min_count=1))
+    assert "Generate" in plan
+    assert "partial_count" in plan
+    assert "Python" not in plan
+
+
+def test_resolve_redirects_join_count_is_logarithmic(spark):
+    """resolve_redirects: a 16-hop cap costs exactly 4 composition joins
+    (pointer doubling), not 16 walk joins. localCheckpoint eagerly
+    materializes each round, so count the joins the LAST round adds."""
+    from gaia_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src string, dst string"
+    )
+    plan = plan_of(resolve_redirects(edges, max_hops_log2=4))
+    # the final plan reads the round-3 checkpoint and composes ONCE
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
+    assert "Python" not in plan
