@@ -556,3 +556,50 @@ def collocations(
         "w1", "w2", "c_ab", "c_a", "c_b",
         F.expr(P.floor_scaled_sql(lift, 6)).alias("lift_e6"),
     )
+
+
+def top_phrase_occurrences(
+    df,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Positional phrase search: find the most frequent word k-gram in the
+    corpus (ties broken lexicographically) and list every occurrence as
+    (doc, position) — the positional-inverted-index capability behind
+    exact-phrase retrieval, demonstrated end to end (index build → phrase
+    selection → posting lookup).
+
+    Plan: ONE positional explode builds (doc, pos, gram) JVM-side (struct
+    transform over the word array — the same no-self-join shape as
+    :func:`collocations`), the argmax gram is a combinable count agg +
+    a 1-row deterministic orderBy/limit, and the posting lookup is a
+    broadcast semi-join of that 1-row phrase back onto the SAME exploded
+    relation. Exact integers and strings throughout.
+
+    Returns (doc_id, pos, phrase, n_total) — pos is the 0-based word
+    offset; n_total the corpus-wide occurrence count."""
+    import pyspark.sql.functions as F
+
+    w = P.split_ws(text_col, P.SPARK)
+    grams = (
+        df.where(F.expr(f"size({w}) >= {k}"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size({w}) - {k}), "
+                    f"i -> concat_ws(' ', slice({w}, i + 1, {k})))"
+                )
+            ).alias("pos", "phrase"),
+        )
+    )
+    top = (
+        grams.groupBy("phrase")
+        .agg(F.count("*").cast("long").alias("n_total"))
+        .orderBy(F.col("n_total").desc(), F.col("phrase").asc())
+        .limit(1)
+    )
+    return grams.join(F.broadcast(top), "phrase").select(
+        id_col, F.col("pos").cast("long").alias("pos"), "phrase", "n_total"
+    )

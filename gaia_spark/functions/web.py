@@ -468,3 +468,54 @@ def host_concentration(
             "ELSE NULL END"
         ).alias("entropy_e4"),
     )
+
+
+# --- registered-domain (eTLD+1) extraction -------------------------------------
+
+def registered_domain(
+    hosts,
+    suffixes,
+    host_col: str = "host",
+):
+    """Registered-domain (eTLD+1) extraction against a public-suffix rule
+    table — the grouping key for domain-level dedup, quotas, and
+    concentration stats (host-level grouping over-splits: www./m./cdn.
+    subdomains are one publisher). Longest matching public suffix wins
+    ('co.uk' beats 'uk'); the eTLD+1 is the suffix one label longer than
+    the winner; hosts that EQUAL a public suffix or match none yield NULL
+    (unregistrable).
+
+    Scale shape: the :func:`host_suffixes_sql` trick — each host explodes
+    to its ≤ ~6 dot-suffixes in-plan, ONE broadcast equi-join against the
+    (small, public) suffix table, one combinable max(struct) picks the
+    longest match, and the eTLD+1 is recovered from the SAME suffix array
+    by label count (pure JVM, no second pass over the corpus).
+
+    ``suffixes`` holds one column ``suffix``. Returns (host, public_suffix,
+    etld1)."""
+    import pyspark.sql.functions as F
+
+    h = hosts.select(F.col(host_col).alias("host")).distinct()
+    sfx = h.select(
+        "host",
+        F.posexplode(F.expr(host_suffixes_sql("host", SPARK))).alias("_i", "_sfx"),
+    )
+    s = suffixes.select(F.col("suffix").alias("_sfx"))
+    # _i = index of the suffix in the per-host array (0 = whole host);
+    # larger label count == smaller _i, so the longest match is min(_i)
+    hits = (
+        sfx.join(F.broadcast(s), "_sfx")
+        .groupBy("host")
+        .agg(F.min(F.expr("struct(_i as i, _sfx as sfx)")).alias("_w"))
+    )
+    parts = "split(host, '[.]')"
+    etld1 = (
+        f"CASE WHEN _w.i >= 1 THEN "
+        f"array_join(slice({parts}, _w.i, size({parts}) - _w.i + 1), '.') "
+        "ELSE NULL END"
+    )
+    return h.join(hits, "host", "left").select(
+        "host",
+        F.col("_w.sfx").alias("public_suffix"),
+        F.expr(etld1).alias("etld1"),
+    )

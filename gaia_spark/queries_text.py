@@ -2126,3 +2126,83 @@ def q_host_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs")
     )
     return host_concentration(counts)
+
+
+# --- registered-domain (eTLD+1) extraction ---------------------------------------
+
+# host fixture: subdomain depth x TLD matrix incl. multi-label public
+# suffixes ('co.uk' must beat 'uk'), bare-suffix hosts (unregistrable ->
+# NULL) and an off-list TLD (no match -> NULL)
+_ETLD_HOST = (
+    "CASE WHEN doc_id % 50 = 0 THEN 'com' ELSE concat("
+    "CASE WHEN doc_id % 3 = 1 THEN 'www.' WHEN doc_id % 3 = 2 THEN 'a.b.' ELSE '' END, "
+    "'site', doc_id % 20, "
+    "CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.org' "
+    "WHEN doc_id % 4 = 2 THEN '.co.uk' ELSE '.internal' END) END"
+)
+_ETLD_SUFFIXES = ("com", "org", "co.uk", "uk")
+
+
+def _etld1_oracle() -> str:
+    sfx_vals = ", ".join(f"('{s}')" for s in sorted(_ETLD_SUFFIXES))
+    return f"""
+    WITH h AS (SELECT DISTINCT {_ETLD_HOST} AS host FROM documents),
+    p AS (SELECT host, string_split(host, '.') AS parts FROM h),
+    sx AS (SELECT host, parts, i,
+                  array_to_string(parts[i:], '.') AS sfx
+           FROM p, unnest(generate_series(1, len(parts))) AS t(i)),
+    rules(suffix) AS (VALUES {sfx_vals}),
+    m AS (SELECT host, min(i) AS w FROM sx JOIN rules ON rules.suffix = sx.sfx
+          GROUP BY host)
+    SELECT h2.host,
+           CASE WHEN m.w IS NOT NULL
+                THEN array_to_string(p2.parts[m.w:], '.') END AS public_suffix,
+           CASE WHEN m.w >= 2
+                THEN array_to_string(p2.parts[(m.w - 1):], '.') END AS etld1
+    FROM h h2 LEFT JOIN m ON m.host = h2.host
+    JOIN p p2 ON p2.host = h2.host
+    """
+
+
+@register("q_etld1", _etld1_oracle())
+def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction against a public-suffix rule
+    table: longest suffix wins (co.uk beats uk), the eTLD+1 is one label
+    longer, bare-suffix and off-list hosts are NULL. Suffix explode +
+    ONE broadcast equi-join + combinable min(struct) — the domain-level
+    grouping key for dedup quotas and concentration stats."""
+    from gaia_spark.functions.web import registered_domain
+
+    d = load(spark, sf_dir, "documents")
+    hosts = d.select(F.expr(_ETLD_HOST).alias("host"))
+    sfx = spark.createDataFrame(
+        [(s,) for s in sorted(_ETLD_SUFFIXES)], "suffix string"
+    )
+    return registered_domain(hosts, sfx)
+
+
+# --- positional phrase search (top trigram postings) -----------------------------
+
+
+def _phrase_oracle() -> str:
+    return f"""
+    WITH wl AS (SELECT doc_id, {DUCK_WORDS} AS ws FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS phrase
+          FROM wl, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3),
+    top AS (SELECT phrase, cast(count(*) as bigint) AS n_total FROM g
+            GROUP BY phrase ORDER BY n_total DESC, phrase ASC LIMIT 1)
+    SELECT g.doc_id, cast(g.pos as bigint) AS pos, g.phrase, top.n_total
+    FROM g JOIN top ON top.phrase = g.phrase
+    """
+
+
+@register("q_phrase_search", _phrase_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval end to end: build the positional
+    trigram index, pick the corpus-wide top phrase (count desc, text
+    asc — deterministic), and list every (doc, word-offset) posting of
+    it via a broadcast join back onto the same exploded relation."""
+    from gaia_spark.functions.text import top_phrase_occurrences
+
+    return top_phrase_occurrences(load(spark, sf_dir, "documents"), k=3)

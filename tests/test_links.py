@@ -186,3 +186,23 @@ def test_host_concentration_closed_forms(spark):
     sk = spark.createDataFrame([("a", 1), ("b", 99)], "host string, n_docs long")
     r2 = host_concentration(sk).collect()[0]
     assert r2.gini_e6 == ((2 * (1 + 198) - 300) * 1_000_000) // 200
+
+
+def test_registered_domain_semantics(spark):
+    from gaia_spark.functions.web import registered_domain
+
+    hosts = spark.createDataFrame(
+        [("www.site.co.uk",), ("a.b.site.com",), ("site.uk",), ("com",),
+         ("x.internal",)],
+        "host string",
+    )
+    sfx = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",)], "suffix string"
+    )
+    out = {r.host: (r.public_suffix, r.etld1) for r in
+           registered_domain(hosts, sfx).collect()}
+    assert out["www.site.co.uk"] == ("co.uk", "site.co.uk")  # longest wins
+    assert out["a.b.site.com"] == ("com", "site.com")
+    assert out["site.uk"] == ("uk", "site.uk")
+    assert out["com"] == ("com", None)          # bare suffix unregistrable
+    assert out["x.internal"] == (None, None)    # off-list

@@ -181,3 +181,16 @@ def test_collocations_hand_computed(spark):
     assert (r.c_ab, r.c_a, r.c_b) == (3, 4, 4)
     # lift = 3*12/(4*4) = 2.25
     assert r.lift_e6 == 2_250_000
+
+
+def test_top_phrase_occurrences(spark):
+    from gaia_spark.functions.text import top_phrase_occurrences
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox and the quick fox ran"),
+         (2, "a the quick fox b"), (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = top_phrase_occurrences(df, k=3).collect()
+    assert all(r.phrase == "the quick fox" and r.n_total == 3 for r in out)
+    assert {(r.doc_id, r.pos) for r in out} == {(1, 0), (1, 4), (2, 1)}
