@@ -326,3 +326,81 @@ def frechet_distance(
         )
 
     return d.groupBy("pair_id").applyInPandas(dp, schema)
+
+
+def ipf_step_sql(m_e12: str, target: str, s_e12: str) -> str:
+    """One IPF scaling of an e12 fixed-point flow: value·target/rowsum,
+    re-quantized to e12 — shared verbatim with the oracle. ``target`` is
+    a natural-units double, ``m_e12``/``s_e12`` exact e12 bigints; the
+    whole step is one fixed IEEE operation tree over exact integers, so
+    both engines produce the identical bigint."""
+    return (
+        f"cast(floor(cast({m_e12} as double) * ({target})"
+        f" * cast(1000000000000 as double) / cast({s_e12} as double)"
+        f" + cast(0.5 as double)) as bigint)"
+    )
+
+
+def ipf_balance(
+    od: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = 3,
+    from_col: str = "cell_from",
+    to_col: str = "cell_to",
+    flow_col: str = "n_trips",
+) -> DataFrame:
+    """Iterative proportional fitting (Furness balancing) of an OD matrix
+    to target margins — the trip-distribution workhorse (gravity-model
+    calibration, census raking): alternately scale rows to
+    ``row_targets`` (from_key, r) and columns to ``col_targets``
+    (to_key, c) for ``rounds`` rounds.
+
+    Scale shape (10^12-cell OD matrices): each half-round is ONE
+    combinable margin aggregate + ONE key equi-join (margins broadcast —
+    they are zone-sized, the matrix is zone²-sized); lineage is cut per
+    round. The classic pagerank shape, alternating axes.
+
+    Engine-determinism: flows live as e12 fixed-point BIGINTS between
+    half-rounds — margin sums are exact integer aggregation
+    (order-independent), and each scaling is one fixed IEEE expression
+    over exact ints (:func:`ipf_step_sql`), so every intermediate matrix
+    is bit-identical cross-engine. Returns (from, to, flow_e6)."""
+    from gaia_spark.session import iter_checkpoint
+
+    m = od.select(
+        F.col(from_col).alias("_f"),
+        F.col(to_col).alias("_t"),
+        (F.col(flow_col).cast("double") * 1_000_000_000_000)
+        .cast("long")
+        .alias("m_e12"),
+    )
+    rt = row_targets.select(
+        F.col(from_col).alias("_f"), F.col("r").cast("double").alias("_r")
+    )
+    ct = col_targets.select(
+        F.col(to_col).alias("_t"), F.col("c").cast("double").alias("_c")
+    )
+    for _ in range(rounds):
+        s = m.groupBy("_f").agg(F.sum("m_e12").cast("long").alias("s_e12"))
+        m = (
+            m.join(s, "_f")
+            .join(F.broadcast(rt), "_f")
+            .select(
+                "_f", "_t", F.expr(ipf_step_sql("m_e12", "_r", "s_e12")).alias("m_e12")
+            )
+        )
+        s2 = m.groupBy("_t").agg(F.sum("m_e12").cast("long").alias("s_e12"))
+        m = (
+            m.join(s2, "_t")
+            .join(F.broadcast(ct), "_t")
+            .select(
+                "_f", "_t", F.expr(ipf_step_sql("m_e12", "_c", "s_e12")).alias("m_e12")
+            )
+        )
+        m = iter_checkpoint(m)
+    return m.select(
+        F.col("_f").alias(from_col),
+        F.col("_t").alias(to_col),
+        F.expr(P.bigint_div("m_e12", "1000000", P.SPARK)).alias("flow_e6"),
+    )

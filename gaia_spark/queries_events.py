@@ -669,3 +669,86 @@ def q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return frechet_distance(pts, pairs)
+
+
+# --- IPF (Furness) balancing of the OD matrix -----------------------------------
+
+_IPF_ROUNDS = 3
+
+
+def _ipf_oracle() -> str:
+    from gaia_spark.operators.trajectory import ipf_step_sql
+
+    ctes = []
+    prev = "m0"
+    for k in range(1, _IPF_ROUNDS + 1):
+        step_r = ipf_step_sql("m.m_e12", "rt.r", "rs.s_e12")
+        step_c = ipf_step_sql("m.m_e12", "ct.c", "cs.s_e12")
+        ctes.append(
+            f"rs{k} AS (SELECT cell_from, cast(sum(m_e12) as bigint) AS s_e12 "
+            f"FROM {prev} GROUP BY cell_from)"
+        )
+        ctes.append(
+            f"mr{k} AS (SELECT m.cell_from, m.cell_to, {step_r} AS m_e12 "
+            f"FROM {prev} m JOIN rs{k} rs ON rs.cell_from = m.cell_from "
+            "CROSS JOIN rt)"
+        )
+        ctes.append(
+            f"cs{k} AS (SELECT cell_to, cast(sum(m_e12) as bigint) AS s_e12 "
+            f"FROM mr{k} GROUP BY cell_to)"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT m.cell_from, m.cell_to, {step_c} AS m_e12 "
+            f"FROM mr{k} m JOIN cs{k} cs ON cs.cell_to = m.cell_to "
+            "JOIN ct ON ct.cell_to = m.cell_to)"
+        )
+        prev = f"m{k}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EV_PTS}, {_EV_PREV},
+    od AS (SELECT {P.cell_id_sql('prev_lat', 'prev_lon', 4)} AS cell_from,
+                  {P.cell_id_sql('lat', 'lon', 4)} AS cell_to,
+                  count(*) AS n_trips
+           FROM p WHERE prev_lat IS NOT NULL GROUP BY 1, 2),
+    rt AS (SELECT cast(sum(n_trips) as double)
+             / cast(count(distinct cell_from) as double) AS r FROM od),
+    ct AS (SELECT cell_to, cast(sum(n_trips) as double) AS c FROM od GROUP BY 1),
+    m0 AS (SELECT cell_from, cell_to,
+                  cast(n_trips as bigint) * 1000000000000 AS m_e12 FROM od),
+    {chain}
+    SELECT cell_from, cell_to,
+           {P.bigint_div('m_e12', '1000000', P.DUCK)} AS flow_e6
+    FROM {prev}
+    """
+
+
+@register("q_ipf", _ipf_oracle())
+def q_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting of the OD flow matrix to a uniform
+    row target and the observed column totals (3 Furness rounds) — the
+    trip-distribution / raking workhorse. Flows live as e12 fixed-point
+    bigints between half-rounds (exact margin sums, one fixed IEEE
+    scaling expression), so every intermediate matrix is bit-identical
+    cross-engine; the oracle chains the same six half-round CTEs."""
+    from gaia_spark.operators.trajectory import ipf_balance, od_flows
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(P.key_lat_sql("event_id")).alias("lat"),
+        F.expr(P.key_lon_sql("event_id")).alias("lon"),
+    )
+    od = od_flows(e, res=4)
+    tot = od.agg(
+        (
+            F.sum("n_trips").cast("double")
+            / F.countDistinct("cell_from").cast("double")
+        ).alias("r")
+    )
+    rt = od.select("cell_from").distinct().crossJoin(F.broadcast(tot))
+    ct = od.groupBy("cell_to").agg(F.sum("n_trips").cast("double").alias("c"))
+    out = ipf_balance(od, rt, ct, rounds=_IPF_ROUNDS)
+    return out.select(
+        F.col("cell_from").cast("long").alias("cell_from"),
+        F.col("cell_to").cast("long").alias("cell_to"),
+        "flow_e6",
+    )

@@ -215,3 +215,35 @@ def test_frechet_brute_parity_and_vs_hausdorff(spark):
     assert out["p1"].frechet_m_e3 >= one_deg
     # reversed C/D: order-aware metric spans the full 2-degree sweep
     assert out["p2"].frechet_m_e3 > 0
+
+
+def test_ipf_balance_python_replica_and_margins(spark):
+    import math
+
+    from gaia_spark.operators.trajectory import ipf_balance
+
+    od = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 30), (1, 0, 20), (1, 1, 40)],
+        "cell_from long, cell_to long, n_trips long",
+    )
+    rt = spark.createDataFrame([(0, 50.0), (1, 50.0)], "cell_from long, r double")
+    ct = spark.createDataFrame([(0, 40.0), (1, 60.0)], "cell_to long, c double")
+    out = {(r.cell_from, r.cell_to): r.flow_e6 for r in
+           ipf_balance(od, rt, ct, rounds=3).collect()}
+
+    # bit-exact python replica of the integer half-rounds
+    m = {(0, 0): 10 * 10**12, (0, 1): 30 * 10**12,
+         (1, 0): 20 * 10**12, (1, 1): 40 * 10**12}
+    rtm, ctm = {0: 50.0, 1: 50.0}, {0: 40.0, 1: 60.0}
+    for _ in range(3):
+        rs = {i: m[(i, 0)] + m[(i, 1)] for i in (0, 1)}
+        m = {k: math.floor(float(v) * rtm[k[0]] * 1e12 / float(rs[k[0]]) + 0.5)
+             for k, v in m.items()}
+        cs = {j: m[(0, j)] + m[(1, j)] for j in (0, 1)}
+        m = {k: math.floor(float(v) * ctm[k[1]] * 1e12 / float(cs[k[1]]) + 0.5)
+             for k, v in m.items()}
+    assert out == {k: v // 10**6 for k, v in m.items()}
+    # and the balanced matrix actually honors the column margins
+    for j in (0, 1):
+        got = (out[(0, j)] + out[(1, j)]) / 1e6
+        assert abs(got - ctm[j]) < 0.01
