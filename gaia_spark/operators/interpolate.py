@@ -156,3 +156,61 @@ def kde_grid(
         F.count("*").alias("n_src"),
         F.sum(F.expr(kde_weight_sql("dist_m", bandwidth_m))).alias("density"),
     )
+
+
+def huff_shares(
+    demand: DataFrame,
+    sites: DataFrame,
+    beta: float = 2.0,
+    demand_key: str = "pid",
+    site_key: str = "site_id",
+    attract_col: str = "attract",
+) -> DataFrame:
+    """Huff gravity model of market capture: demand point i patronizes
+    site j with probability A_j·d_ij^−β / Σ_k A_k·d_ik^−β — the classic
+    retail/catchment-share model (`[R] SURVEY.md §2.C DistanceProcess`
+    family composed with attractiveness weights).
+
+    ``demand`` = (pid, lat, lon[, weight ignored]); ``sites`` =
+    (site_id, lat, lon, attract). Plan: ONE broadcast join (the site
+    layer is dimension-sized — the same broadcast-side assumption as
+    every zone join here) + a per-point combinable sum for the
+    denominator + one join back; per-site capture totals quantize each
+    share to e6 BEFORE the final sum, so the rollup is exact bigint
+    aggregation (order-free).
+
+    Returns per-site capture: (site_id, n_points, captured_e6) where
+    captured_e6/1e6 = expected number of demand points captured."""
+    d = demand.select(
+        F.col(demand_key).alias("_p"),
+        F.col("lat").alias("_plat"),
+        F.col("lon").alias("_plon"),
+    )
+    s = sites.select(
+        F.col(site_key).alias("_s"),
+        F.col("lat").alias("_slat"),
+        F.col("lon").alias("_slon"),
+        F.col(attract_col).cast("double").alias("_a"),
+    )
+    dist = portable.haversine_m_sql("_plat", "_plon", "_slat", "_slon")
+    util = f"(_a * power(greatest({dist}, cast(1 as double)), {-float(beta)}))"
+    # utilities quantize to e12 bigints BEFORE the denominator sum — float
+    # summation is order-dependent, exact integer aggregation is not (the
+    # BM25 pre-sum lesson); sub-1e-12 utilities floor to 0 (documented)
+    pairs = d.join(F.broadcast(s)).select(
+        "_p", "_s", F.expr(portable.floor_scaled_sql(util, 12)).alias("_u")
+    )
+    den = pairs.groupBy("_p").agg(F.sum("_u").cast("long").alias("_den"))
+    share_e6 = portable.floor_scaled_sql(
+        "cast(_u as double) / cast(_den as double)", 6
+    )
+    return (
+        pairs.join(den, "_p")
+        .where(F.col("_den") > 0)
+        .select("_s", F.expr(share_e6).alias("_sh"))
+        .groupBy(F.col("_s").alias(site_key))
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("_sh").cast("long").alias("captured_e6"),
+        )
+    )

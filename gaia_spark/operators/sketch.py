@@ -229,3 +229,98 @@ def bloom_contains(
         .agg(F.sum(hit).cast("long").alias("n_hits"))
         .withColumn("member", (F.col("n_hits") == k).cast("int"))
     )
+
+
+def kmv_mins(df: DataFrame, k: int, key_sql: str) -> DataFrame:
+    """The KMV (k-minimum-values) sketch of a key expression: the k
+    smallest DISTINCT md5-int60 hash values. ONE distinct-agg + an exact
+    distributed top-k (TakeOrdered — never a full sort); output is k
+    rows, broadcast-sized."""
+    h = df.select(F.expr(P.md5_int60(key_sql, P.SPARK)).alias("h")).distinct()
+    return h.orderBy(F.col("h").asc()).limit(k)
+
+
+def kmv_overlap(mins_a: DataFrame, mins_b: DataFrame, k: int) -> DataFrame:
+    """Distinct-cardinality and overlap estimation from two KMV sketches —
+    the cross-shard dedup-rate estimator (how many documents do two
+    corpus shards share?) that never joins the corpora: |D| ≈ (k−1)/θ
+    with θ = k-th min / 2^60, the union sketch is the k smallest of the
+    merged sketches, ρ = union-sketch members present in BOTH sketches,
+    |A∩B| ≈ (ρ/k)·|A∪B| (Beyer et al. 2007).
+
+    Everything derives from exact int60 hash values: θ picks are exact
+    rank selections, ρ is an exact count, and each estimate is one
+    shared IEEE expression floored to integers — hash-checkable. Sketches
+    smaller than k fall back to their exact distinct count. Returns ONE
+    row (k, n_a, n_b, est_a, est_b, est_union, rho, jaccard_e6,
+    est_inter)."""
+    a = mins_a.select(F.col("h").alias("ha"))
+    b = mins_b.select(F.col("h").alias("hb"))
+    u = (
+        a.select(F.col("ha").alias("h"))
+        .unionByName(b.select(F.col("hb").alias("h")))
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )
+    marked = (
+        u.join(F.broadcast(a), u["h"] == a["ha"], "left")
+        .join(F.broadcast(b), u["h"] == b["hb"], "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull())
+            .cast("int")
+            .alias("_both"),
+        )
+    )
+    est = kmv_est_sql(k)
+
+    def shard_est(mins, name):
+        return mins.agg(
+            F.count("*").cast("long").alias(f"n_{name}"),
+            F.max("h").cast("long").alias("_kth"),
+        ).select(
+            f"n_{name}",
+            F.expr(
+                f"CASE WHEN n_{name} < {k} THEN cast(n_{name} as bigint) "
+                f"ELSE cast({est} as bigint) END"
+            ).alias(f"est_{name}"),
+        )
+    ua = shard_est(a.select(F.col("ha").alias("h")), "a")
+    ub = shard_est(b.select(F.col("hb").alias("h")), "b")
+    uu = marked.agg(
+        F.count("*").cast("long").alias("n_u"),
+        F.max("h").cast("long").alias("_kth"),
+        F.sum("_both").cast("long").alias("rho"),
+    ).select(
+        "n_u", "rho",
+        F.expr(
+            f"CASE WHEN n_u < {k} THEN cast(n_u as bigint) "
+            f"ELSE cast({est} as bigint) END"
+        ).alias("est_union"),
+    )
+    jac = P.bigint_div("rho * 1000000", "n_u", P.SPARK)
+    inter = P.bigint_div("rho * est_union", "n_u", P.SPARK)
+    return (
+        ua.crossJoin(F.broadcast(ub))
+        .crossJoin(F.broadcast(uu))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_a", "n_b", "est_a", "est_b", "est_union", "rho",
+            F.expr(f"CASE WHEN n_u > 0 THEN {jac} ELSE NULL END").alias(
+                "jaccard_e6"
+            ),
+            F.expr(f"CASE WHEN n_u > 0 THEN {inter} ELSE NULL END").alias(
+                "est_inter"
+            ),
+        )
+    )
+
+
+def kmv_est_sql(k: int) -> str:
+    """(k−1)/θ distinct-count estimate over the exact bigint k-th minimum
+    ``_kth`` — shared verbatim with the oracle."""
+    return (
+        f"floor(cast({k} - 1 as double) * cast({float(1 << 60)} as double)"
+        " / cast(_kth as double))"
+    )

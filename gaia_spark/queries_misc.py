@@ -3273,3 +3273,52 @@ def q_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("r"), F.col("c").cast("long").alias("c"),
         "d4", "e4x", "f4", "g2", "h2", "prof_e6", "plan_e6", "gen_e6",
     )
+
+
+# --- Huff gravity market shares ---------------------------------------------------
+
+
+def _huff_oracle() -> str:
+    from gaia_spark.queries import PTS_CTE
+
+    dist = P.haversine_m_sql("d.lat", "d.lon", "s.slat", "s.slon")
+    util = f"(s._a * power(greatest({dist}, cast(1 as double)), -2.0))"
+    share = P.floor_scaled_sql("cast(_u as double) / cast(_den as double)", 6)
+    return f"""
+    WITH {PTS_CTE},
+    d AS (SELECT c_custkey AS _p, lat, lon FROM pts),
+    s AS (SELECT s_suppkey AS _s, {P.key_lat_sql('s_suppkey')} AS slat,
+                 {P.key_lon_sql('s_suppkey')} AS slon,
+                 cast(1 + s_suppkey % 9 as double) AS _a
+          FROM supplier WHERE s_suppkey % 4 = 1),
+    pairs AS (SELECT d._p, s._s, {P.floor_scaled_sql(util, 12)} AS _u
+              FROM d CROSS JOIN s),
+    den AS (SELECT _p, cast(sum(_u) as bigint) AS _den FROM pairs GROUP BY 1)
+    SELECT _s AS site_id, cast(count(*) as bigint) AS n_points,
+           cast(sum({share}) as bigint) AS captured_e6
+    FROM pairs JOIN den ON den._p = pairs._p
+    WHERE _den > 0 GROUP BY _s
+    """
+
+
+@register("q_huff", _huff_oracle())
+def q_huff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huff gravity market capture: every customer point splits its
+    patronage over the attractiveness-weighted inverse-square utilities
+    of the supplier site layer; per-site expected capture. Utilities
+    quantize to e12 bigints BEFORE the denominator sum and shares to e6
+    before the capture rollup — exact integer aggregation end to end,
+    one broadcast join, no float-order sensitivity."""
+    from gaia_spark.operators.interpolate import huff_shares
+
+    pts = customer_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("pid"), "lat", "lon"
+    )
+    sup = load(spark, sf_dir, "supplier").where("s_suppkey % 4 = 1")
+    sites = sup.select(
+        F.col("s_suppkey").alias("site_id"),
+        F.expr(P.key_lat_sql("s_suppkey")).alias("lat"),
+        F.expr(P.key_lon_sql("s_suppkey")).alias("lon"),
+        (1 + F.col("s_suppkey") % 9).cast("double").alias("attract"),
+    )
+    return huff_shares(pts, sites, beta=2.0)

@@ -2206,3 +2206,65 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.functions.text import top_phrase_occurrences
 
     return top_phrase_occurrences(load(spark, sf_dir, "documents"), k=3)
+
+
+# --- KMV cross-shard overlap estimation -------------------------------------------
+
+_KMV_K = 64
+_KMV_A = "concat('k', doc_id % 350)"
+_KMV_B = "concat('k', 150 + doc_id % 350)"
+
+
+def _kmv_oracle() -> str:
+    from gaia_spark.operators.sketch import kmv_est_sql
+
+    k = _KMV_K
+    est = kmv_est_sql(k)
+    jac = P.bigint_div("rho * 1000000", "n_u", P.DUCK)
+    inter = P.bigint_div("rho * est_union", "n_u", P.DUCK)
+    return f"""
+    WITH ha AS (SELECT DISTINCT {P.md5_int60(_KMV_A, P.DUCK)} AS h FROM documents),
+    hb AS (SELECT DISTINCT {P.md5_int60(_KMV_B, P.DUCK)} AS h FROM documents),
+    ma AS (SELECT h FROM ha ORDER BY h ASC LIMIT {k}),
+    mb AS (SELECT h FROM hb ORDER BY h ASC LIMIT {k}),
+    mu AS (SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
+           ORDER BY h ASC LIMIT {k}),
+    marked AS (SELECT mu.h,
+                      CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL
+                           THEN 1 ELSE 0 END AS _both
+               FROM mu LEFT JOIN ma ON ma.h = mu.h LEFT JOIN mb ON mb.h = mu.h),
+    ea AS (SELECT cast(count(*) as bigint) AS n_a, max(h) AS _kth FROM ma),
+    eb AS (SELECT cast(count(*) as bigint) AS n_b, max(h) AS _kth FROM mb),
+    eu AS (SELECT cast(count(*) as bigint) AS n_u, max(h) AS _kth,
+                  cast(sum(_both) as bigint) AS rho FROM marked),
+    est AS (SELECT
+      ea.n_a, eb.n_b,
+      CASE WHEN ea.n_a < {k} THEN ea.n_a ELSE
+        cast((SELECT {est} FROM (SELECT ea._kth AS _kth)) as bigint) END AS est_a,
+      CASE WHEN eb.n_b < {k} THEN eb.n_b ELSE
+        cast((SELECT {est} FROM (SELECT eb._kth AS _kth)) as bigint) END AS est_b,
+      CASE WHEN eu.n_u < {k} THEN eu.n_u ELSE
+        cast((SELECT {est} FROM (SELECT eu._kth AS _kth)) as bigint) END AS est_union,
+      eu.n_u, eu.rho
+      FROM ea, eb, eu)
+    SELECT cast({k} as bigint) AS k, n_a, n_b, est_a, est_b, est_union, rho,
+           CASE WHEN n_u > 0 THEN {jac} ELSE NULL END AS jaccard_e6,
+           CASE WHEN n_u > 0 THEN {inter} ELSE NULL END AS est_inter
+    FROM est
+    """
+
+
+@register("q_kmv_overlap", _kmv_oracle())
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cross-shard overlap estimation over two key universes with
+    designed 40% Jaccard overlap: per-shard k-minimum-value sketches
+    (distinct md5 + exact distributed top-k), union sketch, ρ coincidence
+    count, and (k−1)/θ estimates — every input to every estimate an
+    exact bigint, the cross-shard dedup-rate answer without ever joining
+    the corpora."""
+    from gaia_spark.operators.sketch import kmv_mins, kmv_overlap
+
+    d = load(spark, sf_dir, "documents")
+    ma = kmv_mins(d, _KMV_K, _KMV_A)
+    mb = kmv_mins(d, _KMV_K, _KMV_B)
+    return kmv_overlap(ma, mb, _KMV_K)

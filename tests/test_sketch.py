@@ -87,3 +87,40 @@ def test_hll_partitioning_invariance(spark):
     a = hll_estimate(hll_registers(df, "w")).collect()[0]
     b = hll_estimate(hll_registers(df.repartition(17), "w")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_kmv_overlap_estimates_known_universes(spark):
+    from gaia_spark.operators.sketch import kmv_mins, kmv_overlap
+
+    # A = {0..499}, B = {250..749}: |A∩B| = 250, union 750, J = 1/3
+    df = spark.range(500).selectExpr("id")
+    ma = kmv_mins(df, 64, "concat('u', id)")
+    mb = kmv_mins(df, 64, "concat('u', id + 250)")
+    r = kmv_overlap(ma, mb, 64).collect()[0]
+    assert r.n_a == 64 and r.n_b == 64 and r.rho <= 64
+    # KMV with k=64: relative error ~ 1/sqrt(k) ≈ 12.5%; allow 3 sigma
+    assert abs(r.est_a - 500) < 200
+    assert abs(r.est_union - 750) < 300
+    assert abs(r.jaccard_e6 / 1e6 - 1 / 3) < 0.2
+    # small shards fall back to exact counts
+    tiny = spark.range(10)
+    r2 = kmv_overlap(
+        kmv_mins(tiny, 64, "concat('u', id)"),
+        kmv_mins(tiny, 64, "concat('u', id)"), 64
+    ).collect()[0]
+    assert (r2.est_a, r2.est_union, r2.jaccard_e6) == (10, 10, 1_000_000)
+
+
+def test_kmv_partitioning_invariance(spark):
+    from gaia_spark.operators.sketch import kmv_mins, kmv_overlap
+
+    df = spark.range(300)
+    a = kmv_overlap(
+        kmv_mins(df, 32, "concat('x', id)"),
+        kmv_mins(df, 32, "concat('x', id + 100)"), 32
+    ).collect()
+    b = kmv_overlap(
+        kmv_mins(df.repartition(13), 32, "concat('x', id)"),
+        kmv_mins(df.repartition(7), 32, "concat('x', id + 100)"), 32
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
