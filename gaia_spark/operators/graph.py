@@ -461,3 +461,65 @@ def degree_assortativity(
             f"{P.floor_scaled_sql(r, 6)} ELSE NULL END"
         ).alias("assortativity_e6"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where every
+    node keeps degree ≥ k — the classic link-spam / hub-community filter
+    (a page farm's periphery peels away; the dense core survives).
+    Computed by iterative peeling: drop all nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint.
+
+    Scale shape: each round is ONE combinable degree aggregate + two
+    semi-joins filtering the edge list; lineage is cut per round; a
+    scan-based convergence check (edge count stable) ends the loop.
+    Rounds are bounded by the peel depth — raises RuntimeError past
+    ``max_rounds`` (the loud-bound convention of flow_accumulation_peel).
+
+    Engine-determinism: pure integer degree thresholds on exact keys —
+    the DuckDB oracle replays the peel as a fixed-round recursive CTE
+    (extra rounds after convergence are no-ops, so any round count ≥ the
+    peel depth yields the identical set). Returns (node, core_deg)."""
+    from gaia_spark.session import iter_checkpoint
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = iter_checkpoint(e, False)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        e2 = iter_checkpoint(e2, False, release=e)
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    else:
+        raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )

@@ -404,3 +404,57 @@ def ipf_balance(
         F.col("_t").alias(to_col),
         F.expr(P.bigint_div("m_e12", "1000000", P.SPARK)).alias("flow_e6"),
     )
+
+
+def directional_mean(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-user directional mean of movement bearings (circular statistics;
+    the ArcGIS Linear Directional Mean role): mean azimuth
+    atan2(Σsin θ, Σcos θ) over each user's consecutive-event legs, plus
+    the resultant length R = |Σe^{iθ}|/n in [0,1] (1 = perfectly aligned
+    travel, 0 = directionless).
+
+    Same ONE-window shape as :func:`trip_stats`. The sin/cos components
+    quantize to e6 bigints BEFORE the per-user sums (float summation is
+    order-dependent; exact integer aggregation is not), and the mean
+    bearing / R derive from the two exact sums by one shared IEEE
+    expression each. Returns (user, n_legs, mean_bearing_e4, r_e6);
+    users with no legs are dropped, legs of zero length contribute
+    bearing 0 (the shared formula's atan2(0, cos0) branch)."""
+    d = with_prev_point(df, user_col, ts_col, tiebreak_col, lat, lon)
+    theta = (
+        f"radians({P.bearing_deg_sql('prev_lat', 'prev_lon', lat, lon)})"
+    )
+    legs = d.where(F.col("prev_lat").isNotNull()).select(
+        F.col(user_col),
+        F.expr(P.floor_scaled_sql(f"sin({theta})", 6)).alias("_s"),
+        F.expr(P.floor_scaled_sql(f"cos({theta})", 6)).alias("_c"),
+    )
+    mean_b = P.pos_mod_sql(
+        "degrees(atan2(cast(_ss as double), cast(_sc as double)))", 360.0
+    )
+    r = (
+        "sqrt(cast(_ss as double) * cast(_ss as double)"
+        " + cast(_sc as double) * cast(_sc as double))"
+        " / (cast(1000000 as double) * cast(n_legs as double))"
+    )
+    return (
+        legs.groupBy(user_col)
+        .agg(
+            F.count("*").cast("long").alias("n_legs"),
+            F.sum("_s").cast("long").alias("_ss"),
+            F.sum("_c").cast("long").alias("_sc"),
+        )
+        .select(
+            user_col,
+            "n_legs",
+            F.expr(P.floor_scaled_sql(mean_b, 4)).alias("mean_bearing_e4"),
+            F.expr(P.floor_scaled_sql(r, 6)).alias("r_e6"),
+        )
+    )

@@ -752,3 +752,49 @@ def q_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_to").cast("long").alias("cell_to"),
         "flow_e6",
     )
+
+
+# --- linear directional mean (circular statistics) --------------------------------
+
+
+def _dir_mean_oracle() -> str:
+    theta = f"radians({P.bearing_deg_sql('prev_lat', 'prev_lon', 'lat', 'lon')})"
+    mean_b = P.pos_mod_sql(
+        "degrees(atan2(cast(_ss as double), cast(_sc as double)))", 360.0
+    )
+    r = (
+        "sqrt(cast(_ss as double) * cast(_ss as double)"
+        " + cast(_sc as double) * cast(_sc as double))"
+        " / (cast(1000000 as double) * cast(n_legs as double))"
+    )
+    return f"""
+    WITH {_EV_PTS}, {_EV_PREV},
+    legs AS (SELECT user_id,
+                    {P.floor_scaled_sql(f'sin({theta})', 6)} AS _s,
+                    {P.floor_scaled_sql(f'cos({theta})', 6)} AS _c
+             FROM p WHERE prev_lat IS NOT NULL),
+    agg AS (SELECT user_id, cast(count(*) as bigint) AS n_legs,
+                   cast(sum(_s) as bigint) AS _ss,
+                   cast(sum(_c) as bigint) AS _sc
+            FROM legs GROUP BY user_id)
+    SELECT user_id, n_legs,
+           {P.floor_scaled_sql(mean_b, 4)} AS mean_bearing_e4,
+           {P.floor_scaled_sql(r, 6)} AS r_e6
+    FROM agg
+    """
+
+
+@register("q_directional_mean", _dir_mean_oracle())
+def q_directional_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear directional mean + resultant length of each user's movement
+    legs (circular statistics over forward azimuths): sin/cos components
+    e6-quantized BEFORE the per-user sums, mean bearing and R from the
+    two exact bigints by shared IEEE expressions."""
+    from gaia_spark.operators.trajectory import directional_mean
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(P.key_lat_sql("event_id")).alias("lat"),
+        F.expr(P.key_lon_sql("event_id")).alias("lon"),
+    )
+    return directional_mean(e)

@@ -2268,3 +2268,57 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = kmv_mins(d, _KMV_K, _KMV_A)
     mb = kmv_mins(d, _KMV_K, _KMV_B)
     return kmv_overlap(ma, mb, _KMV_K)
+
+
+# --- k-core of the host graph -------------------------------------------------------
+
+_KCORE_K, _KCORE_R = 4, 12
+
+
+def _kcore_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_PR_EDGES_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges WHERE src != dst),
+    peel AS (
+      SELECT 0 AS rnd, u, v FROM und
+      UNION ALL
+      SELECT rnd + 1 AS rnd, u, v FROM (
+        SELECT rnd, u, v, count(*) OVER (PARTITION BY rnd, node) AS deg
+        FROM (SELECT rnd, u, v, unnest([u, v]) AS node FROM peel
+              WHERE rnd < {_KCORE_R})
+      ) GROUP BY rnd, u, v HAVING min(deg) >= {_KCORE_K}
+    )
+    SELECT node, cast(count(*) as bigint) AS core_deg
+    FROM (SELECT unnest([u, v]) AS node FROM peel WHERE rnd = {_KCORE_R})
+    GROUP BY node
+    """
+
+
+@register("q_kcore", _kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the deterministic host link graph — iterative peeling to
+    the maximal subgraph of minimum degree 4 (the link-spam / dense-
+    community filter). The engine peels with a scan-based convergence
+    check; the oracle replays a FIXED 12 rounds as a recursive CTE
+    (post-convergence rounds are no-ops) — derivation disagreement, one
+    answer, pure integer degree thresholds."""
+    from gaia_spark.operators.graph import k_core
+
+    hosts = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).alias("h"))
+        .distinct()
+        .where("h % 10 != 0")
+    )
+    edges = (
+        hosts.select(
+            "h",
+            F.explode(
+                F.expr("array((h * 3 + 1) % 97, (h * 5 + 2) % 97, (h * 7 + 3) % 97)")
+            ).alias("dst"),
+        )
+        .select(F.col("h").alias("src"), "dst")
+        .distinct()
+    )
+    return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_R)

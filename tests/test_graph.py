@@ -140,3 +140,28 @@ def test_assortativity_regular_graph_degenerate(spark):
     )
     r = degree_assortativity(edges).collect()[0]
     assert r.assortativity_e6 is None and r.n_edges == 4
+
+
+def test_k_core_triangle_with_tail(spark):
+    from gaia_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = {r.node: r.core_deg for r in k_core(edges, k=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}   # two-round tail peel
+    assert k_core(edges, k=3).count() == 0   # no 3-core anywhere
+
+
+def test_k_core_unconverged_raises(spark):
+    import pytest
+
+    from gaia_spark.operators.graph import k_core
+
+    # a 12-edge chain needs ~11 peel rounds at k=2; cap at 3 must raise
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(12)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(edges, k=2, max_rounds=3)

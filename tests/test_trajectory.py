@@ -247,3 +247,26 @@ def test_ipf_balance_python_replica_and_margins(spark):
     for j in (0, 1):
         got = (out[(0, j)] + out[(1, j)]) / 1e6
         assert abs(got - ctm[j]) < 0.01
+
+
+def test_directional_mean_closed_form(spark):
+    from gaia_spark.operators.trajectory import directional_mean
+
+    # user 1: two due-east legs on the equator -> bearing 90, R = 1
+    # user 2: east then west -> opposite bearings cancel, R ~ 0
+    rows = [
+        (1, "2025-01-01 00:00:00", 1, 0.0, 0.0),
+        (1, "2025-01-01 00:10:00", 2, 0.0, 1.0),
+        (1, "2025-01-01 00:20:00", 3, 0.0, 2.0),
+        (2, "2025-01-01 00:00:00", 4, 0.0, 0.0),
+        (2, "2025-01-01 00:10:00", 5, 0.0, 1.0),
+        (2, "2025-01-01 00:20:00", 6, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, lat double, lon double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in directional_mean(df).collect()}
+    assert out[1].n_legs == 2
+    assert out[1].mean_bearing_e4 == 900000          # due east
+    assert out[1].r_e6 == 1_000_000
+    assert out[2].r_e6 < 5                            # cancellation
