@@ -240,6 +240,9 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         # explode onto reachable res-8 cells, one groupBy(cell); measures
         # the IDW/KDE operator family at page scale
         "pages_kde_grid": lambda: _kde(),
+        # movement tier (round-5): dwell-episode detection over the events
+        # timeline — one user window shuffle + reused-partitioning agg
+        "q_staypoints": lambda: REGISTRY["q_staypoints"].spark(spark, sf_dir),
         # driver-table headliners (same code paths the oracle checks)
         "q_within_join": lambda: REGISTRY["q_within_join"].spark(spark, sf_dir),
         "q_zonal_stats": lambda: REGISTRY["q_zonal_stats"].spark(spark, sf_dir),

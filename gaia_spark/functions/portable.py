@@ -831,3 +831,42 @@ def vincenty_inverse_subquery_sql(
     ):
         sql = f"(SELECT *, {expr} AS {name} FROM {sql})"
     return sql
+
+
+# --- cross-track / along-track distance (route deviation) --------------------
+
+def cross_track_sqls(
+    lat: str, lon: str, lat1: str, lon1: str, lat2: str, lon2: str
+) -> tuple[str, str]:
+    """Spherical cross-track and along-track distance (metres) of point P
+    relative to the great circle through route A(lat1,lon1) → B(lat2,lon2).
+
+    The ST_LineLocatePoint / route-deviation analog of the reference's
+    DistanceProcess family (``[R] SURVEY.md §2.C DistanceProcess``) for a
+    great-circle route. Standard navigation formulas:
+
+        dxt = asin(sin(d13/R) * sin(theta13 - theta12)) * R
+        dat = acos(cos(d13/R) / cos(dxt/R)) * R, signed by cos(theta13-theta12)
+
+    dxt is signed (negative = left/port of the route looking A→B, positive
+    = right/starboard — the standard navigation convention); dat is the
+    distance from A to the foot of the perpendicular, negative when the
+    foot lies behind A. acos/asin inputs are clamped with the shared
+    least/greatest idiom so fp noise at the poles can't NaN either engine.
+    One string for both dialects — every literal is integer-safe or cast.
+    """
+    d13 = haversine_m_sql(lat1, lon1, lat, lon)
+    delta13 = f"(({d13}) / {EARTH_RADIUS_M})"
+    t13 = f"radians({bearing_deg_sql(lat1, lon1, lat, lon)})"
+    t12 = f"radians({bearing_deg_sql(lat1, lon1, lat2, lon2)})"
+    sxt = f"(sin({delta13}) * sin(({t13}) - ({t12})))"
+    sxt_c = f"least(cast(1 as double), greatest(cast(-1 as double), {sxt}))"
+    dxt = f"(asin({sxt_c}) * {EARTH_RADIUS_M})"
+    cat_ = f"(cos({delta13}) / cos(asin({sxt_c})))"
+    cat_c = f"least(cast(1 as double), greatest(cast(-1 as double), {cat_}))"
+    sgn = (
+        f"(CASE WHEN cos(({t13}) - ({t12})) < cast(0 as double) "
+        "THEN cast(-1 as double) ELSE cast(1 as double) END)"
+    )
+    dat = f"(acos({cat_c}) * {EARTH_RADIUS_M} * {sgn})"
+    return dxt, dat

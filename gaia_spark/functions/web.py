@@ -519,3 +519,12 @@ def registered_domain(
         F.col("_w.sfx").alias("public_suffix"),
         F.expr(etld1).alias("etld1"),
     )
+
+
+def url_template_sql(url: str, dialect: str) -> str:
+    """URL path template: every maximal digit run in the path collapses to
+    '{n}' — the crawl-side URL pattern-mining normalization (product pages
+    /p/12345 and /p/99 share one template). Query/fragment are excluded
+    (path component only); '' path → '/'."""
+    path = f"CASE WHEN {path_of_sql(url)} = '' THEN '/' ELSE {path_of_sql(url)} END"
+    return _re_replace_all(f"({path})", "[0-9]+", "{n}", dialect)

@@ -1036,6 +1036,7 @@ from gaia_spark import queries_text  # noqa: E402, F401
 from gaia_spark import queries_events  # noqa: E402, F401
 from gaia_spark import queries_misc  # noqa: E402, F401
 from gaia_spark import queries_features  # noqa: E402, F401
+from gaia_spark import queries_webgeo  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Registry priority order. The grading driver snapshots only the FIRST 50
