@@ -191,3 +191,150 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("host", "template", "n_urls", "n_paths", F.col("rk").cast("int"))
     )
+
+
+# --- toponym disambiguation family (web x geo entity linking) -------------------
+
+from gaia_spark.operators import geotext as G  # noqa: E402
+
+
+def _mentions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("word")
+    )
+    return toks.filter(F.length("word") >= 4).distinct()
+
+
+def _resolved_ctes() -> str:
+    """DuckDB CTE chain replaying the full two-stage disambiguation:
+    tokens → mentions → gazetteer → population prior → document anchor →
+    distance re-rank → resolved senses (the oracle twin of
+    geotext.disambiguate_toponyms, same exact-integer scores)."""
+    fs = P.floor_scaled_sql
+    alat = "(cast(alat_e4 as double) / cast(10000 as double) - 90.0)"
+    alon = "(cast(alon_e4 as double) / cast(10000 as double) - 180.0)"
+    return f"""
+    toks AS (SELECT doc_id, unnest({P.split_ws('text', P.DUCK)}) AS word
+             FROM documents),
+    m AS (SELECT DISTINCT doc_id, word FROM toks WHERE length(word) >= 4),
+    wv AS (SELECT DISTINCT word FROM m),
+    gaz AS (SELECT word, {G.cand_id_sql('word', 'i', P.DUCK)} AS cand
+            FROM wv CROSS JOIN (VALUES (0), (1), (2)) AS s(i)),
+    g2 AS (SELECT word, cand, {G.CAND_LAT} AS lat,
+                  {G.cand_lon_sql(P.DUCK)} AS lon, {G.CAND_POP} AS pop
+           FROM gaz),
+    p1 AS (SELECT word, lat, lon FROM
+             (SELECT *, row_number() OVER (PARTITION BY word
+                ORDER BY pop DESC, cand DESC) AS rk FROM g2) AS q1
+           WHERE rk = 1),
+    anc AS (SELECT doc_id,
+              {P.bigint_div(f"sum({fs('lat + 90.0', 4)})", 'count(*)', P.DUCK)}
+                AS alat_e4,
+              {P.bigint_div(f"sum({fs('lon + 180.0', 4)})", 'count(*)', P.DUCK)}
+                AS alon_e4
+            FROM m JOIN p1 USING (word) GROUP BY doc_id),
+    cnd AS (SELECT m.doc_id, m.word, g2.cand, g2.lat, g2.lon,
+              {fs(P.haversine_m_sql('lat', 'lon', alat, alon), 3)} AS d_mm
+            FROM m JOIN g2 USING (word) JOIN anc USING (doc_id)),
+    res AS (SELECT doc_id, word, cand AS cand_id,
+              {fs('lat + 90.0', 4)} - 900000 AS lat_e4,
+              {fs('lon + 180.0', 4)} - 1800000 AS lon_e4,
+              d_mm AS d_anchor_mm
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, word
+                    ORDER BY d_mm, cand) AS rk FROM cnd) AS q2
+            WHERE rk = 1)"""
+
+
+@register(
+    "q_geo_disambig",
+    f"""
+    WITH {_resolved_ctes()}
+    SELECT doc_id, word, cand_id, lat_e4, lon_e4, d_anchor_mm FROM res
+    """,
+)
+def q_geo_disambig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage toponym disambiguation of every place-name mention in the
+    corpus against the deterministic 3-sense gazetteer: population prior →
+    document anchor → great-circle re-rank (geotext module docstring for
+    the 100-TB shape: broadcast gazetteer, two doc-keyed shuffles, exact
+    bigint scores)."""
+    return G.disambiguate_toponyms(_mentions_spark(spark, sf_dir))
+
+
+@register(
+    "q_place_comentions",
+    f"""
+    WITH {_resolved_ctes()},
+    per AS (SELECT word, cand_id, cast(count(*) as bigint) AS n_docs_w
+            FROM res GROUP BY 1, 2),
+    pr AS (SELECT a.word AS word_a, a.cand_id AS cand_a,
+                  b.word AS word_b, b.cand_id AS cand_b,
+                  a.lat_e4 AS la, a.lon_e4 AS loa,
+                  b.lat_e4 AS lb, b.lon_e4 AS lob
+           FROM res a JOIN res b ON a.doc_id = b.doc_id AND a.word < b.word),
+    g AS (SELECT word_a, cand_a, word_b, cand_b,
+                 cast(count(*) as bigint) AS n_ab,
+                 min(la) AS la, min(loa) AS loa, min(lb) AS lb, min(lob) AS lob
+          FROM pr GROUP BY 1, 2, 3, 4),
+    j AS (SELECT g.*, pa.n_docs_w AS n_a, pb.n_docs_w AS n_b
+          FROM g JOIN per pa ON pa.word = g.word_a AND pa.cand_id = g.cand_a
+                 JOIN per pb ON pb.word = g.word_b AND pb.cand_id = g.cand_b
+          WHERE g.n_ab >= 2)
+    SELECT word_a, word_b, cand_a, cand_b, n_ab,
+      {P.floor_scaled_sql(
+          'cast(n_ab as double) * cast((SELECT count(distinct doc_id) FROM res) '
+          'as double) / (cast(n_a as double) * cast(n_b as double))', 6)}
+        AS lift_e6,
+      {P.floor_scaled_sql(P.haversine_m_sql(
+          '(cast(la as double) / cast(10000 as double))',
+          '(cast(loa as double) / cast(10000 as double))',
+          '(cast(lb as double) / cast(10000 as double))',
+          '(cast(lob as double) / cast(10000 as double))'), 0)} AS dist_m
+    FROM j
+    """,
+)
+def q_place_comentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Place co-mention network over the RESOLVED senses (chains the full
+    disambiguation): one edge per co-occurring sense pair with exact doc
+    counts, PMI-style lift, and the great-circle distance between the two
+    senses — the distance-decay covariate of text-based spatial
+    interaction. Pair fan-out is places-per-doc², never corpus²."""
+    resolved = G.disambiguate_toponyms(_mentions_spark(spark, sf_dir))
+    return G.place_comentions(resolved, min_pairs=2)
+
+
+@register(
+    "q_geo_focus",
+    f"""
+    WITH {_resolved_ctes()},
+    mom AS (SELECT doc_id, cast(count(*) as bigint) AS n_places,
+              sum(lat_e4 + 900000) AS sx,
+              sum((lat_e4 + 900000) * (lat_e4 + 900000)) AS sx2,
+              sum(lon_e4 + 1800000) AS sy,
+              sum((lon_e4 + 1800000) * (lon_e4 + 1800000)) AS sy2
+            FROM res GROUP BY 1),
+    r AS (SELECT doc_id, n_places,
+            cast({P.bigint_div('sx', 'n_places', P.DUCK)} - 900000 as bigint)
+              AS clat_e4,
+            cast({P.bigint_div('sy', 'n_places', P.DUCK)} - 1800000 as bigint)
+              AS clon_e4,
+            {P.floor_scaled_sql(
+                '(sqrt(cast((n_places * sx2 - sx * sx + n_places * sy2 - sy * sy) '
+                'as double)) / cast(n_places as double) / cast(10000 as double))',
+                6)} AS radius_deg_e6
+          FROM mom)
+    SELECT doc_id, n_places, clat_e4, clon_e4, radius_deg_e6,
+           CASE WHEN radius_deg_e6 < 5000000 THEN 'local'
+                WHEN radius_deg_e6 < 30000000 THEN 'regional'
+                ELSE 'global' END AS focus
+    FROM r
+    """,
+)
+def q_geo_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document geographic focus from the resolved places: exact-integer
+    mean center plus an RMS dispersion radius (bigint moments, one IEEE
+    sqrt), classified local/regional/global by comparing the QUANTIZED
+    radius so the label can never flip cross-engine."""
+    resolved = G.disambiguate_toponyms(_mentions_spark(spark, sf_dir))
+    return G.geo_focus(resolved)

@@ -95,3 +95,98 @@ def test_url_template_sql(spark):
     ).select(F.expr(tpl).alias("t"))
     got = [r["t"] for r in df.collect()]
     assert got == ["/p/{n}/view", "/p/{n}/view", "/"]
+
+
+# --- toponym disambiguation family -------------------------------------------
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, word string")
+
+
+def test_disambig_single_mention_takes_population_prior(spark):
+    # a document with ONE mention has its anchor AT the stage-1 pick, so
+    # stage 2 must return exactly the max-population sense (distance 0)
+    from gaia_spark.operators.geotext import disambiguate_toponyms, gazetteer
+
+    m = _mentions(spark, [(1, "alpha"), (2, "bravo")])
+    res = {r["word"]: r for r in disambiguate_toponyms(m).collect()}
+    gaz = gazetteer(m.select("word").distinct()).collect()
+    best = {}
+    for g in gaz:
+        k = g["word"]
+        if k not in best or (g["pop"], g["cand"]) > (best[k]["pop"], best[k]["cand"]):
+            best[k] = g
+    assert len(res) == 2
+    for w in ("alpha", "bravo"):
+        assert res[w]["cand_id"] == best[w]["cand"]
+        assert res[w]["d_anchor_mm"] == 0
+
+
+def test_disambig_resolves_to_a_registered_sense(spark):
+    from gaia_spark.operators.geotext import disambiguate_toponyms, gazetteer
+
+    m = _mentions(
+        spark,
+        [(d, w) for d in range(1, 4) for w in ("alpha", "bravo", "charlie", "delta")],
+    )
+    res = disambiguate_toponyms(m).collect()
+    senses = {
+        (g["word"], g["cand"])
+        for g in gazetteer(m.select("word").distinct()).collect()
+    }
+    assert len(res) == 12
+    for r in res:
+        assert (r["word"], r["cand_id"]) in senses
+
+
+def test_geo_focus_single_place_is_local_radius_zero(spark):
+    from gaia_spark.operators.geotext import disambiguate_toponyms, geo_focus
+
+    m = _mentions(spark, [(7, "alpha")])
+    out = geo_focus(disambiguate_toponyms(m)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_places"], r["radius_deg_e6"], r["focus"]) == (1, 0, "local")
+
+
+def test_place_comentions_counts(spark):
+    # brute-force replica: edges are SENSE-level (the same word can resolve
+    # to different senses in different docs), so derive the expected edge
+    # set from the resolved rows themselves and check counts + exact lift
+    import math
+    from collections import Counter
+
+    from gaia_spark.operators.geotext import disambiguate_toponyms, place_comentions
+
+    m = _mentions(
+        spark,
+        [(d, w) for d in range(1, 6) for w in ("alpha", "bravo", "charlie")]
+        + [(6, "alpha"), (7, "alpha"), (7, "bravo")],
+    )
+    resolved = disambiguate_toponyms(m)
+    rows = resolved.collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    per = Counter((r["word"], r["cand_id"]) for r in rows)
+    edges = Counter()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        for a in rs:
+            for b in rs:
+                if a["word"] < b["word"]:
+                    edges[(a["word"], a["cand_id"], b["word"], b["cand_id"])] += 1
+    expected = {
+        k: v for k, v in edges.items() if v >= 2
+    }
+    out = place_comentions(resolved, min_pairs=2).collect()
+    got = {(e["word_a"], e["cand_a"], e["word_b"], e["cand_b"]): e for e in out}
+    assert set(got) == set(expected)
+    for k, e in got.items():
+        n_ab = expected[k]
+        n_a, n_b = per[(k[0], k[1])], per[(k[2], k[3])]
+        lift = n_ab * n_docs / (n_a * n_b)
+        assert e["n_ab"] == n_ab
+        assert e["lift_e6"] == math.floor(lift * 1e6 + 0.5)
+        assert e["dist_m"] >= 0
