@@ -603,3 +603,24 @@ def top_phrase_occurrences(
     return grams.join(F.broadcast(top), "phrase").select(
         id_col, F.col("pos").cast("long").alias("pos"), "phrase", "n_total"
     )
+
+
+# --- readability (Flesch-Kincaid) --------------------------------------------
+
+def syllable_runs_sql(text: str, dialect: str) -> str:
+    """Total vowel-group runs ([aeiouy]+) in the text — runs never span a
+    whitespace boundary, so the text-level count equals the sum of the
+    per-word counts (one regex pass instead of an explode)."""
+    if dialect == P.SPARK:
+        return f"size(regexp_extract_all(lower({text}), '[aeiouy]+', 0))"
+    return f"len(regexp_extract_all(lower({text}), '[aeiouy]+'))"
+
+
+def novowel_words_sql(text: str, dialect: str) -> str:
+    """Words with no vowel at all — they still carry one spoken syllable,
+    so the FK syllable total is runs + novowel (the per-word max(1, runs)
+    identity, computed without exploding)."""
+    w = P.split_ws(text, dialect)
+    if dialect == P.SPARK:
+        return f"size(filter({w}, x -> lower(x) NOT RLIKE '[aeiouy]'))"
+    return f"len(list_filter({w}, x -> not regexp_matches(lower(x), '[aeiouy]')))"

@@ -757,3 +757,74 @@ def bpe_encode_counts(
             F.sum(F.col("cnt") * F.col("n_syms")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+    max_df: int = 8,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| for candidate pairs that
+    share at least one RARE k-shingle (2 ≤ df ≤ max_df).
+
+    Direction matters where Jaccard doesn't: a quoted excerpt has high
+    containment in its source but low Jaccard — the partial-inclusion
+    signal of dedup pipelines (Broder's containment, the one MinHash can't
+    estimate without the set sizes).
+
+    Scale shape (100 TB): candidate generation is scoped to rare shingles
+    (df-capped inverted index — the same rare-anchor discipline as
+    duplicate_passages), so the self-join fan-out per shingle is ≤ max_df²
+    and common-boilerplate shingles never explode; the exact intersection
+    is computed only for candidate pairs via two id-keyed semi-scoped
+    joins + one combinable count. Output has the full quadruple
+    (inter, |A|, |B|, both directions e6) so thresholds stay downstream.
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(shingles_sql(text_col, P.SPARK, k=k))).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    rare = dfreq.filter((F.col("df") >= min_df) & (F.col("df") <= max_df)).select("s")
+    r1 = sh.join(F.broadcast(rare), "s").select(
+        F.col("s"), F.col(id_col).alias("a")
+    )
+    r2 = sh.join(F.broadcast(rare), "s").select(
+        F.col("s"), F.col(id_col).alias("b")
+    )
+    cand = (
+        r1.join(r2, "s")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ia = sh.select(F.col(id_col).alias("a"), F.col("s"))
+    ib = sh.select(F.col(id_col).alias("b"), F.col("s"))
+    inter = (
+        cand.join(ia, "a")
+        .join(ib, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b")), "b")
+    )
+    c_ab = "(cast(inter as double) / cast(n_a as double))"
+    c_ba = "(cast(inter as double) / cast(n_b as double))"
+    return out.select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr(P.floor_scaled_sql(c_ab, 6)).alias("cont_ab_e6"),
+        F.expr(P.floor_scaled_sql(c_ba, 6)).alias("cont_ba_e6"),
+    )

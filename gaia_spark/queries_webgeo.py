@@ -338,3 +338,189 @@ def q_geo_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius so the label can never flip cross-engine."""
     resolved = G.disambiguate_toponyms(_mentions_spark(spark, sf_dir))
     return G.geo_focus(resolved)
+
+
+# --- readability scoring (Flesch-Kincaid) --------------------------------------
+
+from gaia_spark.functions import text as T  # noqa: E402
+
+
+def _readability_exprs(dialect: str) -> dict[str, str]:
+    """Exact-integer counts -> one IEEE chain per score, shared op order.
+    Sentences are length-derived (the synthetic corpus has no punctuation):
+    one pseudo-sentence per started run of 15 words, the documented
+    deterministic stand-in."""
+    n_words = f"cast({T.token_count_sql('text', dialect)} as bigint)"
+    n_syll = (
+        f"(cast({T.syllable_runs_sql('text', dialect)} as bigint) + "
+        f"cast({T.novowel_words_sql('text', dialect)} as bigint))"
+    )
+    n_sent = P.bigint_div(f"({n_words} + 14)", "15", dialect)
+    wps = f"(cast(n_words as double) / cast(n_sentences as double))"
+    spw = f"(cast(n_syllables as double) / cast(n_words as double))"
+    fk = (
+        f"((206835 / cast(1000 as double)) - (1015 / cast(1000 as double)) * {wps} "
+        f"- (846 / cast(10 as double)) * {spw})"
+    )
+    grade = (
+        f"((39 / cast(100 as double)) * {wps} + (118 / cast(10 as double)) * {spw} "
+        f"- (1559 / cast(100 as double)))"
+    )
+    return {
+        "n_words": n_words,
+        "n_syllables": n_syll,
+        "n_sentences": f"cast({n_sent} as bigint)",
+        "fk_ease_e3": P.floor_scaled_sql(fk, 3),
+        "fk_grade_e3": P.floor_scaled_sql(grade, 3),
+    }
+
+
+def _readability_oracle() -> str:
+    e = _readability_exprs(P.DUCK)
+    return f"""
+    WITH c AS (SELECT doc_id, {e['n_words']} AS n_words,
+                      {e['n_syllables']} AS n_syllables,
+                      {e['n_sentences']} AS n_sentences
+               FROM documents WHERE length(text) > 0)
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           {e['fk_ease_e3']} AS fk_ease_e3,
+           {e['fk_grade_e3']} AS fk_grade_e3
+    FROM c
+    """
+
+
+@register("q_readability", _readability_oracle())
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid reading ease + grade level per document, with a
+    deterministic vowel-run syllable counter (runs + vowelless words =
+    per-word max(1, runs), computed in ONE regex pass — no explode) and
+    length-derived pseudo-sentences. Map-only: counts are exact bigints,
+    each score is one shared IEEE chain, e3-quantized."""
+    e = _readability_exprs(P.SPARK)
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    c = d.select(
+        "doc_id",
+        F.expr(e["n_words"]).alias("n_words"),
+        F.expr(e["n_syllables"]).alias("n_syllables"),
+        F.expr(e["n_sentences"]).alias("n_sentences"),
+    )
+    return c.select(
+        "doc_id", "n_words", "n_syllables", "n_sentences",
+        F.expr(e["fk_ease_e3"]).alias("fk_ease_e3"),
+        F.expr(e["fk_grade_e3"]).alias("fk_grade_e3"),
+    )
+
+
+# --- Zipf law fit over the corpus frequency spectrum ---------------------------
+
+
+def _zipf_oracle() -> str:
+    fs = P.floor_scaled_sql
+    return f"""
+    WITH toks AS (SELECT unnest({P.split_ws('text', P.DUCK)}) AS word
+                  FROM documents WHERE length(text) > 0),
+    freq AS (SELECT word, cast(count(*) as bigint) AS n FROM toks
+             WHERE length(word) > 0 GROUP BY word),
+    rk AS (SELECT word, n,
+                  row_number() OVER (ORDER BY n DESC, word ASC) AS rank FROM freq),
+    q AS (SELECT {fs('ln(cast(rank as double))', 6)} AS x_e6,
+                 {fs('ln(cast(n as double))', 6)} AS y_e6 FROM rk),
+    s AS (SELECT cast(count(*) as bigint) AS m,
+                 cast(sum(x_e6) as bigint) AS sx, cast(sum(y_e6) as bigint) AS sy,
+                 cast(sum(x_e6 * y_e6) as bigint) AS sxy,
+                 cast(sum(x_e6 * x_e6) as bigint) AS sxx
+          FROM q)
+    SELECT m AS n_vocab,
+      {fs('(cast(m * sxy - sx * sy as double) / cast(m * sxx - sx * sx as double))', 6)}
+        AS slope_e6,
+      {fs('((cast(sy as double) / cast(m as double) '
+          '- (cast(m * sxy - sx * sy as double) / cast(m * sxx - sx * sx as double)) '
+          '* cast(sx as double) / cast(m as double)) / cast(1000000 as double))', 6)}
+        AS intercept_e6
+    FROM s
+    """
+
+
+@register("q_zipf", _zipf_oracle())
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency spectrum: exact word counts,
+    deterministic rank (count desc, word asc), ln(freq)-on-ln(rank) OLS
+    with e6-prequantized logs so every moment is an exact bigint and the
+    slope/intercept are single IEEE divisions. The rank window sorts the
+    VOCABULARY (bounded), never the corpus; intercept is reported on the
+    e6 log scale of the prequantized inputs."""
+    fs = P.floor_scaled_sql
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = d.select(F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("word"))
+    freq = (
+        toks.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = freq.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word")))
+    )
+    q = rk.select(
+        F.expr(fs("ln(cast(rank as double))", 6)).alias("x_e6"),
+        F.expr(fs("ln(cast(n as double))", 6)).alias("y_e6"),
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x_e6").alias("sx"),
+        F.sum("y_e6").alias("sy"),
+        F.sum(F.col("x_e6") * F.col("y_e6")).alias("sxy"),
+        F.sum(F.col("x_e6") * F.col("x_e6")).alias("sxx"),
+    )
+    slope = "(cast(m * sxy - sx * sy as double) / cast(m * sxx - sx * sx as double))"
+    intercept = (
+        f"((cast(sy as double) / cast(m as double) - {slope} "
+        "* cast(sx as double) / cast(m as double)) / cast(1000000 as double))"
+    )
+    return s.select(
+        F.col("m").alias("n_vocab"),
+        F.expr(fs(slope, 6)).alias("slope_e6"),
+        F.expr(fs(intercept, 6)).alias("intercept_e6"),
+    )
+
+
+# --- asymmetric shingle containment --------------------------------------------
+
+
+def _containment_oracle() -> str:
+    fs = P.floor_scaled_sql
+    sh = T.shingles_sql("text", P.DUCK, k=3)
+    return f"""
+    WITH sh0 AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+    sizes AS (SELECT doc_id, cast(count(*) as bigint) AS n_sh FROM sh GROUP BY 1),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT s FROM dfreq WHERE df >= 2 AND df <= 8),
+    cand AS (SELECT DISTINCT r1.doc_id AS a, r2.doc_id AS b
+             FROM sh r1 JOIN rare USING (s) JOIN sh r2 USING (s)
+             WHERE r1.doc_id < r2.doc_id),
+    inter AS (SELECT cand.a, cand.b, cast(count(*) as bigint) AS inter
+              FROM cand JOIN sh ia ON ia.doc_id = cand.a
+                        JOIN sh ib ON ib.doc_id = cand.b AND ib.s = ia.s
+              GROUP BY 1, 2)
+    SELECT inter.a AS doc_a, inter.b AS doc_b, inter.inter AS inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           {fs('(cast(inter as double) / cast(sa.n_sh as double))', 6)}
+             AS cont_ab_e6,
+           {fs('(cast(inter as double) / cast(sb.n_sh as double))', 6)}
+             AS cont_ba_e6
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+               JOIN sizes sb ON sb.doc_id = inter.b
+    """
+
+
+@register("q_containment", _containment_oracle())
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| over rare-shingle candidate
+    pairs — the partial-inclusion (quote/excerpt) signal Jaccard hides.
+    Candidate generation is a df-capped inverted index (2 ≤ df ≤ 8), so
+    boilerplate shingles never drive the self-join; exact intersection
+    only for candidates."""
+    from gaia_spark.operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return containment_pairs(d, k=3, min_df=2, max_df=8)

@@ -190,3 +190,86 @@ def test_place_comentions_counts(spark):
         assert e["n_ab"] == n_ab
         assert e["lift_e6"] == math.floor(lift * 1e6 + 0.5)
         assert e["dist_m"] >= 0
+
+
+# --- readability / zipf / containment -----------------------------------------
+
+
+def test_readability_hand_fixture(spark):
+    # "the cat runs" -> 3 words, syllables: the(1) cat(1) runs(1) = 3,
+    # 1 pseudo-sentence; wps=3, spw=1
+    import math
+
+    from gaia_spark.queries_webgeo import _readability_exprs
+
+    e = _readability_exprs("spark")
+    df = spark.createDataFrame([(1, "the cat runs"), (2, "zzz qqq")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.selectExpr(
+        "doc_id",
+        f"{e['n_words']} as n_words",
+        f"{e['n_syllables']} as n_syllables",
+        f"{e['n_sentences']} as n_sentences",
+        f"{e['fk_ease_e3']} as fk_ease_e3",
+    ).collect()}
+    assert (rows[1]["n_words"], rows[1]["n_syllables"], rows[1]["n_sentences"]) == (3, 3, 1)
+    fk = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert rows[1]["fk_ease_e3"] == math.floor(fk * 1e3 + 0.5)
+    # vowelless words still carry one syllable each
+    assert (rows[2]["n_words"], rows[2]["n_syllables"]) == (2, 2)
+
+
+def test_zipf_exact_power_law(spark):
+    # freq(rank r) = 1000 // r**2 sampled at ranks 1..5 -> slope approx -2
+    import math
+
+    from gaia_spark.queries_webgeo import q_zipf  # noqa: F401  (module import)
+    from gaia_spark.functions import portable as P
+
+    # replicate the moment algebra in python on the quantized logs
+    freqs = sorted([1000 // (r * r) for r in range(1, 6)], reverse=True)
+    xs = [math.floor(math.log(r) * 1e6 + 0.5) for r in range(1, 6)]
+    ys = [math.floor(math.log(f) * 1e6 + 0.5) for f in freqs]
+    m = 5
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert abs(slope + 2.0) < 0.1  # sanity of the fixture itself
+    # engine replay over a corpus that produces exactly these frequencies
+    words = []
+    for r, f in enumerate(freqs, start=1):
+        words += [f"w{r}"] * f
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    import gaia_spark.queries_webgeo as WG
+
+    toks = df.select(F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("word"))
+    freq = toks.groupBy("word").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as SWindow
+
+    rk = freq.withColumn(
+        "rank", F.row_number().over(SWindow.orderBy(F.desc("n"), F.asc("word")))
+    )
+    got = {r["rank"]: r["n"] for r in rk.collect()}
+    assert got == {r: f for r, f in enumerate(freqs, start=1)}
+
+
+def test_containment_excerpt_direction(spark):
+    # doc 2 is a strict excerpt of doc 1: containment(2 in 1 direction)
+    # must be 1.0 for the excerpt side and < 1.0 for the source side
+    from gaia_spark.operators.dedup import containment_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    excerpt = "charlie delta echo foxtrot golf"
+    df = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, "unrelated words only here nothing shared")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           containment_pairs(df, k=3, min_df=2, max_df=8).collect()}
+    assert set(out) == {(1, 2)}
+    e = out[(1, 2)]
+    # doc1 has 8 shingles, doc2 has 3, all 3 shared
+    assert (e["n_a"], e["n_b"], e["inter"]) == (8, 3, 3)
+    assert e["cont_ba_e6"] == 1_000_000      # excerpt fully contained
+    assert e["cont_ab_e6"] == 375_000        # 3/8
