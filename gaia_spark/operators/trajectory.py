@@ -531,3 +531,166 @@ def chaikin_smooth(df: DataFrame, rounds: int = 2, **kw) -> DataFrame:
     for _ in range(rounds):
         df = chaikin_round(df, **kw)
     return df
+
+
+def map_match(
+    points: DataFrame,
+    roads: DataFrame,
+    n_cand: int = 3,
+    switch_penalty_e3: int = 50_000_000,
+    user_col: str = "user_id",
+    seq_col: str = "seq",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """HMM map matching (Newson-Krumm shape, deterministic costs): snap
+    each noisy trajectory point to the road network by Viterbi decoding
+    over a per-point candidate lattice.
+
+    ``points``: (user, seq, lat, lon); ``roads``: (road_id, y1, x1, y2,
+    x2) single-segment polylines. Per point the ``n_cand`` nearest roads
+    (clamped snap projection, mm-quantized distance, road-id tie-break)
+    become lattice states; the path cost is
+
+        Σ emission  (point→candidate snap distance, e3 int)
+      + Σ transition (0 when the road is kept, else switch_penalty +
+                      gap between the consecutive PROJECTED points, e3
+                      int from the e6-quantized projections)
+
+    and the decoded path is the exact integer-cost argmin with a total
+    deterministic tie-break: every DP state carries (cost, zero-padded
+    path string) and minimizes the PAIR, so equal-cost paths resolve
+    identically in any engine or partition order.
+
+    Scale shape (100 TB): the road network is broadcast (candidate
+    generation = one broadcast join + a per-point top-k window; swap in
+    snap_to_lines' cell scatter when the network outgrows a broadcast);
+    the transition table is a lattice self-join bounded by n_cand² per
+    step; the Viterbi recurrence — sequential in seq by nature — runs as
+    ONE Arrow cogrouped task per trajectory over pure int64/str state
+    (the same (b)-tier shape as frechet_distance, with the same
+    ~10^3-points-per-task comfort bound). NO trig in Python: every
+    distance is pre-quantized by the shared SQL formulas.
+    """
+    t_sql = __import__(
+        "gaia_spark.operators.snap", fromlist=["snap_t_sql"]
+    ).snap_t_sql(lat, lon, "y1", "x1", "y2", "x2")
+    from gaia_spark.operators.snap import snap_point_sql
+
+    sy, sx = snap_point_sql("_t", "y1", "x1", "y2", "x2")
+    cand = (
+        points.crossJoin(F.broadcast(roads))
+        .withColumn("_t", F.expr(t_sql))
+        .withColumn("_sy", F.expr(sy))
+        .withColumn("_sx", F.expr(sx))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col(seq_col).alias("seq"),
+            "road_id",
+            F.expr(
+                P.floor_scaled_sql(P.haversine_m_sql(lat, lon, "_sy", "_sx"), 3)
+            ).alias("emis_e3"),
+            F.expr(P.floor_scaled_sql("_sy", 6)).alias("plat_e6"),
+            F.expr(P.floor_scaled_sql("_sx", 6)).alias("plon_e6"),
+        )
+    )
+    wk = Window.partitionBy("user_id", "seq").orderBy("emis_e3", "road_id")
+    lattice = cand.withColumn("k", F.row_number().over(wk)).filter(
+        F.col("k") <= n_cand
+    )
+
+    la = lattice.select(
+        "user_id",
+        F.col("seq"),
+        F.col("k").alias("ka"),
+        F.col("road_id").alias("road_a"),
+        F.col("plat_e6").alias("_pa"),
+        F.col("plon_e6").alias("_qa"),
+    )
+    # fully renamed right side: every column gets a fresh attribute id so
+    # the lattice self-join passes Spark's ambiguity check
+    lb = lattice.select(
+        F.col("user_id").alias("_ub"),
+        (F.col("seq") - 1).alias("_sb"),
+        F.col("k").alias("kb"),
+        F.col("road_id").alias("road_b"),
+        F.col("plat_e6").alias("_pb"),
+        F.col("plon_e6").alias("_qb"),
+    )
+    gap = P.haversine_m_sql(
+        "(cast(_pa as double) / cast(1000000 as double))",
+        "(cast(_qa as double) / cast(1000000 as double))",
+        "(cast(_pb as double) / cast(1000000 as double))",
+        "(cast(_qb as double) / cast(1000000 as double))",
+    )
+    trans = la.join(
+        lb,
+        (F.col("user_id") == F.col("_ub")) & (F.col("seq") == F.col("_sb")),
+    ).select(
+        # keys re-aliased off the right (fresh-id) side so the cogroup of
+        # two frames derived from the same lattice stays unambiguous
+        F.col("_ub").alias("user_id"),
+        F.col("_sb").alias("seq"),
+        "ka",
+        "kb",
+        F.expr(
+            f"CASE WHEN road_a = road_b THEN cast(0 as bigint) "
+            f"ELSE {switch_penalty_e3} + {P.floor_scaled_sql(gap, 3)} END"
+        ).alias("trans_e3"),
+    )
+
+    utype = lattice.schema["user_id"].dataType.simpleString()
+    schema = (
+        f"user_id {utype}, seq long, road_id long, emis_e3 long, "
+        "total_cost_e3 long"
+    )
+
+    def dp(key, lat_pdfs, tr_pdfs):
+        import pandas as pd
+
+        lat_pdf = pd.concat(list(lat_pdfs)) if not isinstance(lat_pdfs, pd.DataFrame) else lat_pdfs
+        tr_pdf = pd.concat(list(tr_pdfs)) if not isinstance(tr_pdfs, pd.DataFrame) else tr_pdfs
+        seqs = sorted(lat_pdf["seq"].unique())
+        by_step = {
+            s: g.sort_values("k") for s, g in lat_pdf.groupby("seq")
+        }
+        tr = {
+            (r.seq, r.ka, r.kb): int(r.trans_e3)
+            for r in tr_pdf.itertuples()
+        }
+        emis = {
+            (r.seq, int(r.road_id)): int(r.emis_e3) for r in lat_pdf.itertuples()
+        }
+        # state per k: (cost, path string of zero-padded road ids)
+        s0 = seqs[0]
+        state = {
+            int(r.k): (int(r.emis_e3), f"{int(r.road_id):03d}")
+            for r in by_step[s0].itertuples()
+        }
+        for prev_s, s in zip(seqs, seqs[1:]):
+            nxt = {}
+            for r in by_step[s].itertuples():
+                kb, road_b, e_b = int(r.k), int(r.road_id), int(r.emis_e3)
+                best = None
+                for ka, (c_a, p_a) in state.items():
+                    c = c_a + tr[(prev_s, ka, kb)] + e_b
+                    cand_state = (c, p_a + "|" + f"{road_b:03d}")
+                    if best is None or cand_state < best:
+                        best = cand_state
+                nxt[kb] = best
+            state = nxt
+        total, path = min(state.values())
+        rows = []
+        for i, tok in enumerate(path.split("|")):
+            road = int(tok)
+            s = seqs[i]
+            rows.append((key[0], int(s), road, emis[(s, road)], int(total)))
+        return pd.DataFrame(
+            rows, columns=["user_id", "seq", "road_id", "emis_e3", "total_cost_e3"]
+        )
+
+    return (
+        lattice.groupBy("user_id")
+        .cogroup(trans.groupBy("user_id"))
+        .applyInPandas(dp, schema)
+    )

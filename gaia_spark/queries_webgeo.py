@@ -524,3 +524,150 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return containment_pairs(d, k=3, min_df=2, max_df=8)
+
+
+# --- HMM map matching (Viterbi decode over the road-grid network) --------------
+
+# 53-road grid network: 17 horizontal (lat -80..80 step 10) + 36 vertical
+# (lon -175..175 step 10), built from integer sequences so both engines
+# rebuild identical doubles
+_MM_SWITCH = 50_000_000  # 50 km switch penalty, e3-mm
+
+
+def _mm_roads(spark: SparkSession) -> DataFrame:
+    h = spark.range(17).selectExpr(
+        "cast(id as bigint) AS road_id",
+        "cast(-80 + id * 10 as double) AS y1",
+        "cast(-180 as double) AS x1",
+        "cast(-80 + id * 10 as double) AS y2",
+        "cast(180 as double) AS x2",
+    )
+    v = spark.range(36).selectExpr(
+        "cast(100 + id as bigint) AS road_id",
+        "cast(-85 as double) AS y1",
+        "cast(-175 + id * 10 as double) AS x1",
+        "cast(85 as double) AS y2",
+        "cast(-175 + id * 10 as double) AS x2",
+    )
+    return h.unionAll(v)
+
+
+def _mm_oracle() -> str:
+    from gaia_spark.operators.snap import snap_point_sql, snap_t_sql
+
+    fs = P.floor_scaled_sql
+    t = snap_t_sql("lat", "lon", "y1", "x1", "y2", "x2")
+    sy, sx = snap_point_sql("t", "y1", "x1", "y2", "x2")
+    gap = P.haversine_m_sql(
+        "(cast(pa as double) / cast(1000000 as double))",
+        "(cast(qa as double) / cast(1000000 as double))",
+        "(cast(pb as double) / cast(1000000 as double))",
+        "(cast(qb as double) / cast(1000000 as double))",
+    )
+    return f"""
+    WITH RECURSIVE
+    roads AS (
+      SELECT cast(i as bigint) AS road_id,
+             cast(-80 + i * 10 as double) AS y1, cast(-180 as double) AS x1,
+             cast(-80 + i * 10 as double) AS y2, cast(180 as double) AS x2
+      FROM unnest(generate_series(0, 16)) AS t(i)
+      UNION ALL
+      SELECT cast(100 + j as bigint), cast(-85 as double),
+             cast(-175 + j * 10 as double), cast(85 as double),
+             cast(-175 + j * 10 as double)
+      FROM unnest(generate_series(0, 35)) AS t(j)),
+    pts AS (SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                     - 1 AS seq,
+                   {_CH_LAT} AS lat, {_CH_LON} AS lon
+            FROM events WHERE event_id % 6 = 0),
+    c0 AS (SELECT p.user_id, p.seq, r.road_id, p.lat, p.lon,
+                  r.y1, r.x1, r.y2, r.x2, {t} AS t
+           FROM pts p CROSS JOIN roads r),
+    c1 AS (SELECT user_id, seq, road_id, lat, lon, {sy} AS sy, {sx} AS sx
+           FROM c0),
+    cand AS (SELECT user_id, seq, road_id,
+                    {fs(P.haversine_m_sql('lat', 'lon', 'sy', 'sx'), 3)} AS emis_e3,
+                    {fs('sy', 6)} AS plat_e6, {fs('sx', 6)} AS plon_e6
+             FROM c1),
+    L AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, seq
+               ORDER BY emis_e3, road_id) AS k FROM cand) q WHERE k <= 3),
+    tr AS (SELECT a.user_id, a.seq, a.k AS ka, b.k AS kb,
+                  CASE WHEN a.road_id = b.road_id THEN cast(0 as bigint)
+                       ELSE {_MM_SWITCH} + {fs(gap, 3)} END AS trans_e3
+           FROM (SELECT user_id, seq, k, road_id,
+                        plat_e6 AS pa, plon_e6 AS qa FROM L) a
+           JOIN (SELECT user_id, seq - 1 AS seq, k, road_id,
+                        plat_e6 AS pb, plon_e6 AS qb FROM L) b
+             USING (user_id, seq)),
+    dp AS (
+      SELECT user_id, seq, k, cast(emis_e3 as bigint) AS cost,
+             lpad(cast(road_id as varchar), 3, '0') AS path
+      FROM L WHERE seq = 0
+      UNION ALL
+      SELECT g.user_id, g.seq, g.kb AS k, (g.mc).c AS cost, (g.mc).p AS path
+      FROM (
+        SELECT dp.user_id, l.seq AS seq, l.k AS kb,
+               min(struct_pack(c := dp.cost + t.trans_e3 + l.emis_e3,
+                               p := dp.path || '|' ||
+                                    lpad(cast(l.road_id as varchar), 3, '0')))
+                 AS mc
+        FROM dp
+        JOIN tr t ON t.user_id = dp.user_id AND t.seq = dp.seq AND t.ka = dp.k
+        JOIN L l ON l.user_id = dp.user_id AND l.seq = dp.seq + 1
+                AND l.k = t.kb
+        GROUP BY 1, 2, 3
+      ) g
+    ),
+    lastq AS (SELECT user_id, max(seq) AS ms FROM pts GROUP BY 1),
+    best AS (SELECT dp.user_id,
+                    min(struct_pack(c := dp.cost, p := dp.path)) AS b
+             FROM dp JOIN lastq ON lastq.user_id = dp.user_id
+                               AND dp.seq = lastq.ms
+             GROUP BY 1),
+    steps AS (SELECT user_id, i - 1 AS seq,
+                     cast(string_split((b).p, '|')[i] as bigint) AS road_id,
+                     (b).c AS total
+              FROM best,
+                   unnest(generate_series(1, len(string_split((b).p, '|'))))
+                     AS t(i))
+    SELECT s.user_id, cast(s.seq as bigint) AS seq, s.road_id,
+           cast(L.emis_e3 as bigint) AS emis_e3,
+           cast(s.total as bigint) AS total_cost_e3
+    FROM steps s JOIN L ON L.user_id = s.user_id AND L.seq = s.seq
+                       AND L.road_id = s.road_id
+    """
+
+
+@register("q_map_match", _mm_oracle())
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi map matching of every user's sampled walk onto the grid
+    road network: 3-candidate lattice (snap distance + road-id
+    tie-break), integer emission/transition costs, and the exact-cost
+    argmin path with a (cost, zero-padded path) total order — decoded as
+    ONE Arrow cogrouped task per trajectory in the engine and replayed
+    by the oracle as a recursive-CTE forward DP carrying the same
+    struct-min state. No trig in Python: all distances pre-quantized by
+    the shared SQL formulas."""
+    from gaia_spark.operators.trajectory import map_match
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pts = (
+        load(spark, sf_dir, "events")
+        .filter(F.expr("event_id % 6 = 0"))
+        .select(
+            "user_id", "event_id",
+            F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon"),
+        )
+        .withColumn("seq", F.row_number().over(w) - 1)
+    )
+    out = map_match(
+        pts, _mm_roads(spark), n_cand=3, switch_penalty_e3=_MM_SWITCH
+    )
+    return out.select(
+        "user_id",
+        F.col("seq").cast("long"),
+        F.col("road_id").cast("long"),
+        F.col("emis_e3").cast("long"),
+        F.col("total_cost_e3").cast("long"),
+    )

@@ -273,3 +273,94 @@ def test_containment_excerpt_direction(spark):
     assert (e["n_a"], e["n_b"], e["inter"]) == (8, 3, 3)
     assert e["cont_ba_e6"] == 1_000_000      # excerpt fully contained
     assert e["cont_ab_e6"] == 375_000        # 3/8
+
+
+# --- map matching --------------------------------------------------------------
+
+
+def test_map_match_brute_force_parity(spark):
+    # exhaustive path enumeration over the candidate lattice must agree
+    # with the Viterbi decode (cost AND path, incl. the tie-break order)
+    from itertools import product
+
+    from gaia_spark.operators.trajectory import map_match
+    from gaia_spark.queries_webgeo import _mm_roads
+
+    pts = spark.createDataFrame(
+        [(1, s, 0.5 + 2.1 * s, 0.4 + 1.3 * s) for s in range(5)]
+        + [(2, 0, -33.0, 77.0)],
+        "user_id long, seq long, lat double, lon double",
+    )
+    roads = _mm_roads(spark)
+    out = map_match(pts, roads, n_cand=3, switch_penalty_e3=50_000_000)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["user_id"], {})[r["seq"]] = (
+            r["road_id"], r["emis_e3"], r["total_cost_e3"]
+        )
+
+    # rebuild the lattice + transitions exactly as the operator does, then
+    # brute-force all 3^n paths
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from gaia_spark.functions import portable as P
+    from gaia_spark.operators.snap import snap_point_sql, snap_t_sql
+
+    t = snap_t_sql("lat", "lon", "y1", "x1", "y2", "x2")
+    sy, sx = snap_point_sql("_t", "y1", "x1", "y2", "x2")
+    cand = (
+        pts.crossJoin(F.broadcast(roads))
+        .withColumn("_t", F.expr(t))
+        .select(
+            "user_id", "seq", "road_id",
+            F.expr(P.floor_scaled_sql(
+                P.haversine_m_sql("lat", "lon", sy, sx), 3)).alias("emis_e3"),
+            F.expr(P.floor_scaled_sql(sy, 6)).alias("plat_e6"),
+            F.expr(P.floor_scaled_sql(sx, 6)).alias("plon_e6"),
+        )
+    )
+    wk = Window.partitionBy("user_id", "seq").orderBy("emis_e3", "road_id")
+    lat_rows = cand.withColumn("k", F.row_number().over(wk)) \
+                   .filter(F.col("k") <= 3).collect()
+    import math
+
+    def hav(a, b, c, d):
+        R = P.EARTH_RADIUS_M
+        return 2 * R * math.asin(math.sqrt(
+            math.sin((math.radians(c) - math.radians(a)) / 2) ** 2
+            + math.cos(math.radians(a)) * math.cos(math.radians(c))
+            * math.sin((math.radians(d) - math.radians(b)) / 2) ** 2))
+
+    for uid in (1, 2):
+        rows = [r for r in lat_rows if r["user_id"] == uid]
+        seqs = sorted({r["seq"] for r in rows})
+        by = {s: sorted([r for r in rows if r["seq"] == s],
+                        key=lambda r: r["k"]) for s in seqs}
+        best = None
+        for combo in product(*[by[s] for s in seqs]):
+            cost = sum(r["emis_e3"] for r in combo)
+            for a, b in zip(combo, combo[1:]):
+                if a["road_id"] != b["road_id"]:
+                    g = hav(a["plat_e6"] / 1e6, a["plon_e6"] / 1e6,
+                            b["plat_e6"] / 1e6, b["plon_e6"] / 1e6)
+                    cost += 50_000_000 + math.floor(g * 1000 + 0.5)
+            key = (cost, "|".join(f"{r['road_id']:03d}" for r in combo))
+            if best is None or key < best:
+                best = key
+        roads_best = [int(x) for x in best[1].split("|")]
+        assert [got[uid][s][0] for s in seqs] == roads_best
+        assert got[uid][seqs[0]][2] == best[0]
+
+
+def test_map_match_straight_line_keeps_one_road(spark):
+    # points marching along a single meridian road must never switch
+    from gaia_spark.operators.trajectory import map_match
+    from gaia_spark.queries_webgeo import _mm_roads
+
+    pts = spark.createDataFrame(
+        [(9, s, -10.0 + 3.0 * s, 5.2) for s in range(6)],
+        "user_id long, seq long, lat double, lon double",
+    )
+    out = map_match(pts, _mm_roads(spark), n_cand=3).collect()
+    assert len(out) == 6
+    assert len({r["road_id"] for r in out}) == 1
