@@ -671,3 +671,171 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emis_e3").cast("long"),
         F.col("total_cost_e3").cast("long"),
     )
+
+
+# --- clickstream analytics: funnel / transitions / cohort retention ------------
+
+
+@register(
+    "q_funnel",
+    f"""
+    WITH s1 AS (SELECT user_id, min(struct_pack(ts := ts, eid := event_id)) AS m
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS m
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click'
+             AND (e.ts > (s1.m).ts OR (e.ts = (s1.m).ts
+                  AND e.event_id > (s1.m).eid))
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS m
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase'
+             AND (e.ts > (s2.m).ts OR (e.ts = (s2.m).ts
+                  AND e.event_id > (s2.m).eid))
+           GROUP BY 1),
+    n AS (SELECT (SELECT cast(count(*) as bigint) FROM s1) AS n1,
+                 (SELECT cast(count(*) as bigint) FROM s2) AS n2,
+                 (SELECT cast(count(*) as bigint) FROM s3) AS n3)
+    SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+           cast(1000000 as bigint) AS conv_e6 FROM n
+    UNION ALL
+    SELECT 2, 'click', n2,
+      CASE WHEN n1 = 0 THEN cast(0 as bigint) ELSE
+        {P.floor_scaled_sql('(cast(n2 as double) / cast(n1 as double))', 6)} END
+    FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3,
+      CASE WHEN n2 = 0 THEN cast(0 as bigint) ELSE
+        {P.floor_scaled_sql('(cast(n3 as double) / cast(n2 as double))', 6)} END
+    FROM n
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage is
+    the user's EARLIEST qualifying event strictly after the previous
+    stage's pick ((ts, event_id) total order, so timestamp ties never
+    flip engines). Three chained user-keyed aggregates — the shuffles
+    share the user partitioning — then three single-row counts. The
+    classic web-analytics report."""
+    e = load(spark, sf_dir, "events")
+
+    def stage(ev_type: str, prev: DataFrame | None) -> DataFrame:
+        s = e.filter(F.col("event_type") == ev_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(
+                (F.col("ts") > F.col("m.ts"))
+                | ((F.col("ts") == F.col("m.ts"))
+                   & (F.col("event_id") > F.col("m.eid")))
+            )
+        return s.groupBy("user_id").agg(
+            F.min(F.struct(F.col("ts").alias("ts"),
+                           F.col("event_id").alias("eid"))).alias("m")
+        )
+
+    s1 = stage("view", None)
+    s2 = stage("click", s1)
+    s3 = stage("purchase", s2)
+    n1 = s1.agg(F.count("*").cast("long").alias("n1"))
+    n2 = s2.agg(F.count("*").cast("long").alias("n2"))
+    n3 = s3.agg(F.count("*").cast("long").alias("n3"))
+    n = n1.crossJoin(n2).crossJoin(n3)
+    conv2 = ("CASE WHEN n1 = 0 THEN cast(0 as bigint) ELSE "
+             + P.floor_scaled_sql("(cast(n2 as double) / cast(n1 as double))", 6)
+             + " END")
+    conv3 = ("CASE WHEN n2 = 0 THEN cast(0 as bigint) ELSE "
+             + P.floor_scaled_sql("(cast(n3 as double) / cast(n2 as double))", 6)
+             + " END")
+    r1 = n.selectExpr("1 AS step", "'view' AS event_type",
+                      "n1 AS n_users", "cast(1000000 as bigint) AS conv_e6")
+    r2 = n.selectExpr("2 AS step", "'click' AS event_type",
+                      "n2 AS n_users", f"{conv2} AS conv_e6")
+    r3 = n.selectExpr("3 AS step", "'purchase' AS event_type",
+                      "n3 AS n_users", f"{conv3} AS conv_e6")
+    return r1.unionAll(r2).unionAll(r3)
+
+
+@register(
+    "q_markov",
+    f"""
+    WITH p AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_type
+               FROM events),
+    c AS (SELECT prev_type, event_type AS next_type,
+                 cast(count(*) as bigint) AS n
+          FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev_type, cast(sum(n) as bigint) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           {P.floor_scaled_sql('(cast(c.n as double) / cast(t.tot as double))', 6)}
+             AS p_e6
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the clickstream: per-user
+    lag over (ts, event_id), exact pair counts, conditional probability
+    e6 — ONE user window shuffle + a type²-bounded aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.withColumn("prev_type", F.lag("event_type").over(w))
+    c = (
+        p.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type", "next_type", F.col("n").cast("long"),
+        F.expr(P.floor_scaled_sql(
+            "(cast(n as double) / cast(tot as double))", 6)).alias("p_e6"),
+    )
+
+
+# portable day index: floor(epoch seconds / 86400) — TIMESTAMP_NTZ pinned
+# to UTC in both engines
+_DAY_SPARK = "cast(floor(cast(cast(ts as timestamp) as double) / 86400) as bigint)"
+_DAY_DUCK = "cast(floor(date_part('epoch', ts) / 86400) as bigint)"
+
+
+@register(
+    "q_cohort",
+    f"""
+    WITH d AS (SELECT DISTINCT user_id, {_DAY_DUCK} AS day FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+    sz AS (SELECT cohort_day, cast(count(*) as bigint) AS cohort_size
+           FROM c GROUP BY 1),
+    a AS (SELECT c.cohort_day, d.day - c.cohort_day AS offset_d,
+                 cast(count(*) as bigint) AS n_active
+          FROM d JOIN c USING (user_id)
+          WHERE d.day - c.cohort_day BETWEEN 0 AND 7
+          GROUP BY 1, 2)
+    SELECT a.cohort_day, cast(a.offset_d as bigint) AS offset_d,
+           a.n_active, sz.cohort_size,
+           {P.floor_scaled_sql(
+               '(cast(a.n_active as double) / cast(sz.cohort_size as double))', 6)}
+             AS retention_e6
+    FROM a JOIN sz USING (cohort_day)
+    """,
+)
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, retention at
+    day offsets 0-7 — distinct (user, day) activity, one user-keyed min,
+    one cohort-keyed count; the activity join reuses the user
+    partitioning. Day index is the portable epoch//86400."""
+    e = load(spark, sf_dir, "events")
+    d = e.select("user_id", F.expr(_DAY_SPARK).alias("day")).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sz = c.groupBy("cohort_day").agg(F.count("*").cast("long").alias("cohort_size"))
+    a = (
+        d.join(c, "user_id")
+        .withColumn("offset_d", F.col("day") - F.col("cohort_day"))
+        .filter((F.col("offset_d") >= 0) & (F.col("offset_d") <= 7))
+        .groupBy("cohort_day", "offset_d")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return a.join(F.broadcast(sz), "cohort_day").select(
+        "cohort_day", F.col("offset_d").cast("long"), "n_active", "cohort_size",
+        F.expr(P.floor_scaled_sql(
+            "(cast(n_active as double) / cast(cohort_size as double))", 6)
+        ).alias("retention_e6"),
+    )
