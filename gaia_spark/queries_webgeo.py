@@ -839,3 +839,251 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(cast(n_active as double) / cast(cohort_size as double))", 6)
         ).alias("retention_e6"),
     )
+
+
+# --- GPS spike filtering (speed-based outlier detection) -----------------------
+
+# walk fixture with teleport spikes: every 11th event jumps to a
+# key-derived far location and the next event returns to the walk
+_GPS_LAT = (
+    f"CASE WHEN event_id % 11 = 0 THEN {P.key_lat_sql('event_id')} "
+    f"ELSE {_CH_LAT} END"
+)
+_GPS_LON = (
+    f"CASE WHEN event_id % 11 = 0 THEN {P.key_lon_sql('event_id')} "
+    f"ELSE {_CH_LON} END"
+)
+_GPS_VMAX_E3 = 50_000  # 50 m/s in e3 fixed point
+
+
+def _gps_oracle() -> str:
+    fs = P.floor_scaled_sql
+    d_in = P.haversine_m_sql("prev_lat", "prev_lon", "lat", "lon")
+    d_out = P.haversine_m_sql("lat", "lon", "next_lat", "next_lon")
+    return f"""
+    WITH e AS (SELECT user_id, event_id, date_part('epoch', ts) AS ep,
+                      {_GPS_LAT} AS lat, {_GPS_LON} AS lon FROM events),
+    w AS (SELECT user_id, event_id, lat, lon, ep,
+                 lag(lat) OVER win AS prev_lat, lag(lon) OVER win AS prev_lon,
+                 lag(ep) OVER win AS prev_ep,
+                 lead(lat) OVER win AS next_lat, lead(lon) OVER win AS next_lon,
+                 lead(ep) OVER win AS next_ep
+          FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ep, event_id)),
+    s AS (SELECT user_id, event_id,
+            CASE WHEN prev_lat IS NOT NULL AND ep - prev_ep > 0
+                 THEN {fs(f'(({d_in}) / (ep - prev_ep))', 3)} END AS in_speed_e3,
+            CASE WHEN next_lat IS NOT NULL AND next_ep - ep > 0
+                 THEN {fs(f'(({d_out}) / (next_ep - ep))', 3)} END AS out_speed_e3
+          FROM w)
+    SELECT user_id, event_id, in_speed_e3, out_speed_e3,
+           (in_speed_e3 IS NOT NULL AND out_speed_e3 IS NOT NULL
+            AND in_speed_e3 > {_GPS_VMAX_E3} AND out_speed_e3 > {_GPS_VMAX_E3})
+             AS is_outlier
+    FROM s
+    """
+
+
+@register("q_gps_outliers", _gps_oracle())
+def q_gps_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS spike filter: a point is an outlier when BOTH its incoming and
+    outgoing great-circle speeds exceed 50 m/s (the teleport-and-back
+    signature; genuine fast travel keeps a consistent heading and fails
+    the two-sided test at walk scale). ONE user window shuffle feeds
+    lag+lead; speeds are e3-quantized from exact epoch differences —
+    trajectory cleaning before any downstream matching."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("cast(cast(ts as timestamp) as double)").alias("ep"),
+        F.expr(_GPS_LAT).alias("lat"), F.expr(_GPS_LON).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    d = (
+        e.withColumn("prev_lat", F.lag("lat").over(w))
+        .withColumn("prev_lon", F.lag("lon").over(w))
+        .withColumn("prev_ep", F.lag("ep").over(w))
+        .withColumn("next_lat", F.lead("lat").over(w))
+        .withColumn("next_lon", F.lead("lon").over(w))
+        .withColumn("next_ep", F.lead("ep").over(w))
+    )
+    fs = P.floor_scaled_sql
+    d_in = P.haversine_m_sql("prev_lat", "prev_lon", "lat", "lon")
+    d_out = P.haversine_m_sql("lat", "lon", "next_lat", "next_lon")
+    s = d.select(
+        "user_id", "event_id",
+        F.expr(
+            "CASE WHEN prev_lat IS NOT NULL AND ep - prev_ep > 0 THEN "
+            + fs(f"(({d_in}) / (ep - prev_ep))", 3) + " END"
+        ).alias("in_speed_e3"),
+        F.expr(
+            "CASE WHEN next_lat IS NOT NULL AND next_ep - ep > 0 THEN "
+            + fs(f"(({d_out}) / (next_ep - ep))", 3) + " END"
+        ).alias("out_speed_e3"),
+    )
+    return s.withColumn(
+        "is_outlier",
+        F.expr(
+            f"in_speed_e3 IS NOT NULL AND out_speed_e3 IS NOT NULL "
+            f"AND in_speed_e3 > {_GPS_VMAX_E3} AND out_speed_e3 > {_GPS_VMAX_E3}"
+        ),
+    )
+
+
+# --- session path mining --------------------------------------------------------
+
+
+@register(
+    "q_session_paths",
+    """
+    WITH g AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                           THEN 0 ELSE 1 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g),
+    p AS (SELECT user_id, session_no,
+                 array_to_string(list(event_type ORDER BY ts, event_id)[1:8], '>')
+                   AS path
+          FROM s GROUP BY 1, 2),
+    c AS (SELECT path, cast(count(*) as bigint) AS n_sessions FROM p GROUP BY 1)
+    SELECT path, n_sessions, cast(rk as int) AS rk FROM
+      (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rk
+       FROM c) q
+    WHERE rk <= 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys: sessionize (30-min gap), take each
+    session's first 8 event types in (ts, event_id) order as a '>'-joined
+    path, count sessions per path. The per-session ordering uses
+    sort_array over (ts, event_id, type) structs — deterministic where a
+    bare collect_list is not; the top-k window sorts only the
+    path-vocabulary table."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    g = e.withColumn(
+        "new_s", F.when(epoch - F.lag(epoch).over(w) <= 1800, 0).otherwise(1)
+    )
+    s = g.withColumn("session_no", F.sum("new_s").over(cum).cast("long"))
+    p = s.groupBy("user_id", "session_no").agg(
+        F.expr(
+            "array_join(transform(slice(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), 1, 8), "
+            "x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    rk = c.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("n_sessions"), F.asc("path"))),
+    )
+    return rk.filter(F.col("rk") <= 20).select(
+        "path", F.col("n_sessions").cast("long"), F.col("rk").cast("int")
+    )
+
+
+# --- Heaps' law: vocabulary growth along the corpus ----------------------------
+
+_HEAPS_K = 20  # checkpoint every K docs
+
+
+def _heaps_oracle() -> str:
+    fs = P.floor_scaled_sql
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({P.split_ws('text', P.DUCK)}) AS word
+                  FROM documents WHERE length(text) > 0),
+    tw AS (SELECT doc_id, word FROM toks WHERE length(word) > 0
+           UNION ALL
+           SELECT doc_id, 'n' || cast(cast(floor(sqrt(cast(doc_id as double)))
+                  as bigint) as string) AS word
+           FROM documents WHERE length(text) > 0),
+    fd AS (SELECT word, min(doc_id) AS first_doc FROM tw GROUP BY 1),
+    tok_per_doc AS (SELECT doc_id, cast(count(*) as bigint) AS n_tok
+                    FROM tw GROUP BY 1),
+    cp AS (SELECT DISTINCT doc_id AS cp_doc FROM documents
+           WHERE doc_id % {_HEAPS_K} = {_HEAPS_K - 1}),
+    v AS (SELECT cp.cp_doc, cast(count(*) as bigint) AS vocab_cum
+          FROM cp JOIN fd ON fd.first_doc <= cp.cp_doc GROUP BY 1),
+    t AS (SELECT cp.cp_doc, cast(sum(d.n_tok) as bigint) AS tokens_cum
+          FROM cp JOIN tok_per_doc d ON d.doc_id <= cp.cp_doc GROUP BY 1),
+    pts AS (SELECT v.cp_doc, t.tokens_cum, v.vocab_cum,
+                   {fs('ln(cast(t.tokens_cum as double))', 6)} AS x_e6,
+                   {fs('ln(cast(v.vocab_cum as double))', 6)} AS y_e6
+            FROM v JOIN t USING (cp_doc)),
+    mom AS (SELECT cast(count(*) as bigint) AS m,
+                   cast(sum(x_e6) as bigint) AS sx,
+                   cast(sum(y_e6) as bigint) AS sy,
+                   cast(sum(x_e6 * y_e6) as bigint) AS sxy,
+                   cast(sum(x_e6 * x_e6) as bigint) AS sxx
+            FROM pts)
+    SELECT pts.cp_doc, pts.tokens_cum, pts.vocab_cum,
+      CASE WHEN mom.m >= 2 THEN {fs(
+          '(cast(mom.m * mom.sxy - mom.sx * mom.sy as double) / '
+          'cast(mom.m * mom.sxx - mom.sx * mom.sx as double))', 6)}
+           ELSE cast(0 as bigint) END AS beta_e6
+    FROM pts CROSS JOIN mom
+    """
+
+
+@register("q_heaps", _heaps_oracle())
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law: cumulative vocabulary vs cumulative tokens at
+    every-K-docs checkpoints (first-occurrence doc per word, two bounded
+    inequality joins against the checkpoint list), plus the fitted growth
+    exponent beta from the same e6-prequantized log-log OLS as q_zipf —
+    exact bigint moments, one IEEE division, constant across rows."""
+    fs = P.floor_scaled_sql
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tw = d.select(
+        "doc_id", F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("word")
+    ).filter(F.length("word") > 0).unionAll(
+        # vocabulary-growth channel: doc d contributes token n<floor(sqrt(d))>,
+        # so vocab ~ sqrt(docs) against linear tokens (Heaps beta ~ 0.5) --
+        # the driver corpus's own 31-word vocabulary saturates immediately
+        d.select(
+            "doc_id",
+            F.expr("'n' || cast(cast(floor(sqrt(cast(doc_id as double))) "
+                   "as bigint) as string)").alias("word"),
+        )
+    )
+    fd = tw.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    tok = tw.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    cp = (
+        load(spark, sf_dir, "documents")
+        .filter(F.expr(f"doc_id % {_HEAPS_K} = {_HEAPS_K - 1}"))
+        .select(F.col("doc_id").alias("cp_doc"))
+        .distinct()
+    )
+    v = (
+        fd.join(F.broadcast(cp), F.col("first_doc") <= F.col("cp_doc"))
+        .groupBy("cp_doc")
+        .agg(F.count("*").alias("vocab_cum"))
+    )
+    t = (
+        tok.join(F.broadcast(cp), F.col("doc_id") <= F.col("cp_doc"))
+        .groupBy("cp_doc")
+        .agg(F.sum("n_tok").cast("long").alias("tokens_cum"))
+    )
+    pts = v.join(t, "cp_doc").select(
+        "cp_doc", "tokens_cum", F.col("vocab_cum").cast("long"),
+        F.expr(fs("ln(cast(tokens_cum as double))", 6)).alias("x_e6"),
+        F.expr(fs("ln(cast(vocab_cum as double))", 6)).alias("y_e6"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x_e6").alias("sx"), F.sum("y_e6").alias("sy"),
+        F.sum(F.col("x_e6") * F.col("y_e6")).alias("sxy"),
+        F.sum(F.col("x_e6") * F.col("x_e6")).alias("sxx"),
+    )
+    beta = (
+        "CASE WHEN m >= 2 THEN "
+        + fs("(cast(m * sxy - sx * sy as double) / "
+             "cast(m * sxx - sx * sx as double))", 6)
+        + " ELSE cast(0 as bigint) END"
+    )
+    return pts.crossJoin(F.broadcast(mom)).select(
+        "cp_doc", "tokens_cum", "vocab_cum", F.expr(beta).alias("beta_e6")
+    )

@@ -459,3 +459,94 @@ def test_cohort_retention(spark):
     assert out[(d0, 0)]["retention_e6"] == 1_000_000
     assert out[(d0, 1)]["n_active"] == 1
     assert out[(d0, 1)]["retention_e6"] == 500_000
+
+
+# --- gps outliers / session paths / heaps -------------------------------------
+
+
+def test_gps_outlier_spike_flagged(spark):
+    # interior teleport-and-back spike flagged; steady walk points are not
+    import gaia_spark.queries as Q
+    import gaia_spark.queries_webgeo as WG
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # user walks ~100 m/min; event 2 teleports ~1000 km away and back
+    rows = []
+    for i, (la, lo) in enumerate([(10.0, 10.0), (10.001, 10.0),
+                                  (19.0, 10.0), (10.003, 10.0),
+                                  (10.004, 10.0)]):
+        rows.append((i, base + datetime.timedelta(minutes=10 * i), 1, la, lo))
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "lat_fix double, lon_fix double",
+    )
+    # run the operator logic directly (fixture already has coordinates)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from gaia_spark.functions import portable as P
+
+    fs = P.floor_scaled_sql
+    pts = e.select(
+        "user_id", "event_id",
+        F.expr("cast(cast(ts as timestamp) as double)").alias("ep"),
+        F.col("lat_fix").alias("lat"), F.col("lon_fix").alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    d = (pts.withColumn("prev_lat", F.lag("lat").over(w))
+         .withColumn("prev_lon", F.lag("lon").over(w))
+         .withColumn("prev_ep", F.lag("ep").over(w))
+         .withColumn("next_lat", F.lead("lat").over(w))
+         .withColumn("next_lon", F.lead("lon").over(w))
+         .withColumn("next_ep", F.lead("ep").over(w)))
+    d_in = P.haversine_m_sql("prev_lat", "prev_lon", "lat", "lon")
+    d_out = P.haversine_m_sql("lat", "lon", "next_lat", "next_lon")
+    s = d.select(
+        "event_id",
+        F.expr("CASE WHEN prev_lat IS NOT NULL AND ep - prev_ep > 0 THEN "
+               + fs(f"(({d_in}) / (ep - prev_ep))", 3) + " END").alias("i"),
+        F.expr("CASE WHEN next_lat IS NOT NULL AND next_ep - ep > 0 THEN "
+               + fs(f"(({d_out}) / (next_ep - ep))", 3) + " END").alias("o"),
+    ).withColumn("f", F.expr("i IS NOT NULL AND o IS NOT NULL "
+                             "AND i > 50000 AND o > 50000"))
+    got = {r["event_id"]: r["f"] for r in s.collect()}
+    assert got == {0: False, 1: False, 2: True, 3: False, 4: False}
+
+
+def test_session_path_order_deterministic(spark):
+    # path must follow (ts, event_id) order even when rows arrive shuffled
+    import datetime
+
+    import gaia_spark.queries as Q
+    import gaia_spark.queries_webgeo as WG
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(3, base + datetime.timedelta(minutes=2), 1, "purchase"),
+            (1, base, 1, "view"),
+            (2, base + datetime.timedelta(minutes=1), 1, "click")]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    orig = WG.load
+    try:
+        WG.load = lambda s, d, n: e
+        out = WG.q_session_paths(spark, "x").collect()
+    finally:
+        WG.load = orig
+    assert len(out) == 1
+    assert out[0]["path"] == "view>click>purchase"
+    assert out[0]["n_sessions"] == 1
+
+
+def test_heaps_vocab_monotone(spark):
+    import gaia_spark.queries_webgeo as WG
+
+    out = sorted(
+        WG.q_heaps(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["cp_doc"],
+    )
+    assert len(out) >= 2
+    toks = [r["tokens_cum"] for r in out]
+    voc = [r["vocab_cum"] for r in out]
+    assert toks == sorted(toks) and voc == sorted(voc)
+    assert len({r["beta_e6"] for r in out}) == 1 and out[0]["beta_e6"] > 0
