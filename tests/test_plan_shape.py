@@ -418,3 +418,65 @@ def test_resolve_redirects_join_count_is_logarithmic(spark):
     # the final plan reads the round-3 checkpoint and composes ONCE
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
     assert "Python" not in plan
+
+
+def test_disambig_gazetteer_broadcasts_no_cartesian(spark):
+    # both gazetteer joins broadcast the vocabulary-sized side; the
+    # corpus-sized mention table must never cartesian
+    from gaia_spark.operators.geotext import disambiguate_toponyms
+
+    m = spark.createDataFrame(
+        [(d, w) for d in range(20) for w in ("alpha", "bravo", "charlie")],
+        "doc_id long, word string",
+    )
+    plan = plan_of(disambiguate_toponyms(m))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan  # pure JVM end to end
+
+
+def test_map_match_single_cogroup_python_stage(spark):
+    # candidate generation and transitions are JVM; the Viterbi DP is
+    # exactly ONE cogrouped Arrow stage, and the only cross join is the
+    # broadcast roads table
+    from gaia_spark.operators.trajectory import map_match
+    from gaia_spark.queries_webgeo import _mm_roads
+
+    pts = spark.createDataFrame(
+        [(1, s, 1.0 * s, 2.0) for s in range(4)],
+        "user_id long, seq long, lat double, lon double",
+    )
+    plan = plan_of(map_match(pts, _mm_roads(spark)))
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    # roads side broadcast: nested-loop only against the broadcast table
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_containment_no_cartesian_rare_side_broadcast(spark):
+    from gaia_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot") for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(containment_pairs(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # rare-shingle filter broadcast
+    assert "ArrowEvalPython" not in plan
+
+
+def test_chaikin_one_exchange_per_round(spark):
+    # two rounds -> the window exchanges reuse the same key: at most 2
+    # user_id hash exchanges and no sort beyond the window sorts
+    from gaia_spark.operators.trajectory import chaikin_smooth
+
+    df = spark.createDataFrame(
+        [(1, i, i * 10, i % 3) for i in range(6)],
+        "user_id int, ord int, x long, y long",
+    )
+    plan = plan_of(chaikin_smooth(df, rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # explode is the narrow Generate operator, once per round
+    assert plan.count("Generate") == 2
