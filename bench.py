@@ -243,6 +243,11 @@ def headline_queries(spark, pages_path: str, sf_dir: str, points_path: str | Non
         # movement tier (round-5): dwell-episode detection over the events
         # timeline — one user window shuffle + reused-partitioning agg
         "q_staypoints": lambda: REGISTRY["q_staypoints"].spark(spark, sf_dir),
+        # round-5 session-4 flagships: Viterbi map matching (cogrouped
+        # Arrow DP over pre-quantized ints) and two-stage toponym
+        # disambiguation (broadcast gazetteer, doc-keyed shuffles)
+        "q_map_match": lambda: REGISTRY["q_map_match"].spark(spark, sf_dir),
+        "q_geo_disambig": lambda: REGISTRY["q_geo_disambig"].spark(spark, sf_dir),
         # driver-table headliners (same code paths the oracle checks)
         "q_within_join": lambda: REGISTRY["q_within_join"].spark(spark, sf_dir),
         "q_zonal_stats": lambda: REGISTRY["q_zonal_stats"].spark(spark, sf_dir),

@@ -25,7 +25,7 @@ IEEE doubles, outputs quantized e6/e9."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from gaia_spark.functions import portable as P
 
@@ -142,4 +142,98 @@ def line_intersections(
         F.expr(P.floor_scaled_sql("_u", 6)).alias("u_e6"),
         F.expr(P.floor_scaled_sql("_iy", 6)).alias("lat_e6"),
         F.expr(P.floor_scaled_sql("_ix", 6)).alias("lon_e6"),
+    )
+
+
+def network_topology(
+    lines_a: DataFrame,
+    lines_b: DataFrame,
+    res: int = 5,
+    line_key: str = "line_id",
+    vertices_col: str = "vertices",
+) -> tuple[DataFrame, DataFrame]:
+    """Planarize a line layer into a node-edge network: split every
+    segment at its transversal crossings, then census the topology.
+
+    ``lines_a``/``lines_b`` must be two INDEPENDENTLY CONSTRUCTED
+    DataFrames of the same layer (fresh plans, so the crossing self-join
+    passes Spark's ambiguity check — the caller rebuilds its source twice,
+    which costs one extra scan and zero shuffles).
+
+    Returns ``(edges, nodes)``:
+      edges — (line_id, seg_idx, t0_e6, t1_e6, len_m_e0) one row per
+        planar edge between consecutive cut points along a segment;
+      nodes — (lat_e6, lon_e6, degree) with degree = incident edge-ends.
+
+    The GIS noding/polygonize-input step (``[R] SURVEY.md §2.C overlay``
+    family). Scale shape: crossings come from the cell-bucketed
+    line_intersections (never all-pairs); cut points per segment are
+    bounded by its crossing count; the only added shuffles are the
+    per-segment cut window and the node-degree groupBy. Everything is
+    e6-quantized before any grouping, so node identity is exact."""
+    xs = line_intersections(
+        lines_a.withColumnRenamed(line_key, "_na"),
+        lines_b.withColumnRenamed(line_key, "_nb"),
+        res=res, key_a="_na", key_b="_nb", vertices_col=vertices_col,
+    ).filter(F.col("_na") < F.col("_nb"))
+    cuts_a = xs.select(
+        F.col("_na").alias(line_key), F.col("seg_a").alias("seg_idx"),
+        F.col("t_e6").alias("t"), "lat_e6", "lon_e6",
+    )
+    cuts_b = xs.select(
+        F.col("_nb").alias(line_key), F.col("seg_b").alias("seg_idx"),
+        F.col("u_e6").alias("t"), "lat_e6", "lon_e6",
+    )
+    segs = chain_segments(
+        lines_a.withColumnRenamed(line_key, "_nk"), "_nk", vertices_col
+    )
+    ends = segs.select(
+        F.col("_nk").alias(line_key),
+        "seg_idx",
+        F.explode(
+            F.expr(
+                "array(struct(cast(0 as bigint) AS t, "
+                f"{P.floor_scaled_sql('s.y1', 6)} AS lat_e6, "
+                f"{P.floor_scaled_sql('s.x1', 6)} AS lon_e6), "
+                "struct(cast(1000000 as bigint) AS t, "
+                f"{P.floor_scaled_sql('s.y2', 6)} AS lat_e6, "
+                f"{P.floor_scaled_sql('s.x2', 6)} AS lon_e6))"
+            )
+        ).alias("_e"),
+    ).select(line_key, "seg_idx", "_e.t", "_e.lat_e6", "_e.lon_e6")
+    cuts = cuts_a.unionByName(cuts_b).unionByName(ends).distinct()
+
+    w = Window.partitionBy(line_key, "seg_idx").orderBy("t")
+    nxt = (
+        cuts.withColumn("_nt", F.lead("t").over(w))
+        .withColumn("_nlat", F.lead("lat_e6").over(w))
+        .withColumn("_nlon", F.lead("lon_e6").over(w))
+        .filter(F.col("_nt").isNotNull())
+    )
+    hav = P.haversine_m_sql(
+        "(cast(lat_e6 as double) / cast(1000000 as double))",
+        "(cast(lon_e6 as double) / cast(1000000 as double))",
+        "(cast(_nlat as double) / cast(1000000 as double))",
+        "(cast(_nlon as double) / cast(1000000 as double))",
+    )
+    edges = nxt.select(
+        line_key,
+        "seg_idx",
+        F.col("t").alias("t0_e6"),
+        F.col("_nt").alias("t1_e6"),
+        F.expr(P.floor_scaled_sql(hav, 0)).alias("len_m_e0"),
+        "lat_e6", "lon_e6",
+        F.col("_nlat").alias("lat2_e6"), F.col("_nlon").alias("lon2_e6"),
+    )
+    incid = edges.select("lat_e6", "lon_e6").unionAll(
+        edges.select(
+            F.col("lat2_e6").alias("lat_e6"), F.col("lon2_e6").alias("lon_e6")
+        )
+    )
+    nodes = incid.groupBy("lat_e6", "lon_e6").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    return (
+        edges.select(line_key, "seg_idx", "t0_e6", "t1_e6", "len_m_e0"),
+        nodes,
     )

@@ -1087,3 +1087,107 @@ def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.crossJoin(F.broadcast(mom)).select(
         "cp_doc", "tokens_cum", "vocab_cum", F.expr(beta).alias("beta_e6")
     )
+
+
+# --- road-network planarization + topology census ------------------------------
+
+
+def _mm_road_chains(spark: SparkSession) -> DataFrame:
+    """Grid roads as 2-vertex chain features (rebuilt per call — fresh
+    plan lineage, which network_topology's crossing self-join needs)."""
+    return _mm_roads(spark).select(
+        F.col("road_id").alias("line_id"),
+        F.expr(
+            "array(struct(y1 AS lat, x1 AS lon), struct(y2 AS lat, x2 AS lon))"
+        ).alias("vertices"),
+    )
+
+
+def _network_oracle() -> str:
+    from gaia_spark.operators.overlay import (
+        seg_d_sql, seg_point_sql, seg_tn_sql, seg_un_sql,
+    )
+
+    fs = P.floor_scaled_sql
+    d = seg_d_sql("ay1", "ax1", "ay2", "ax2", "by1", "bx1", "by2", "bx2")
+    tn = seg_tn_sql("ay1", "ax1", "bx1", "by1", "by2", "bx2")
+    un = seg_un_sql("ay1", "ax1", "ay2", "ax2", "by1", "bx1")
+    iy, ix = seg_point_sql("t", "ay1", "ax1", "ay2", "ax2")
+    return f"""
+    WITH roads AS (
+      SELECT cast(i as bigint) AS road_id,
+             cast(-80 + i * 10 as double) AS y1, cast(-180 as double) AS x1,
+             cast(-80 + i * 10 as double) AS y2, cast(180 as double) AS x2
+      FROM unnest(generate_series(0, 16)) AS t(i)
+      UNION ALL
+      SELECT cast(100 + j as bigint), cast(-85 as double),
+             cast(-175 + j * 10 as double), cast(85 as double),
+             cast(-175 + j * 10 as double)
+      FROM unnest(generate_series(0, 35)) AS t(j)),
+    pr AS (SELECT a.road_id AS na, b.road_id AS nb,
+                  a.y1 AS ay1, a.x1 AS ax1, a.y2 AS ay2, a.x2 AS ax2,
+                  b.y1 AS by1, b.x1 AS bx1, b.y2 AS by2, b.x2 AS bx2
+           FROM roads a JOIN roads b ON a.road_id < b.road_id),
+    x0 AS (SELECT *, {d} AS dd FROM pr WHERE {d} <> 0),
+    x1 AS (SELECT *, {tn} / dd AS t, {un} / dd AS u FROM x0),
+    x2 AS (SELECT * FROM x1 WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1),
+    xs AS (SELECT na, nb, {fs('t', 6)} AS t_e6, {fs('u', 6)} AS u_e6,
+                  {fs(iy, 6)} AS lat_e6, {fs(ix, 6)} AS lon_e6
+           FROM x2),
+    cuts AS (
+      SELECT DISTINCT * FROM (
+        SELECT na AS line_id, t_e6 AS t, lat_e6, lon_e6 FROM xs
+        UNION ALL
+        SELECT nb, u_e6, lat_e6, lon_e6 FROM xs
+        UNION ALL
+        SELECT road_id, cast(0 as bigint), {fs('y1', 6)}, {fs('x1', 6)}
+        FROM roads
+        UNION ALL
+        SELECT road_id, cast(1000000 as bigint), {fs('y2', 6)}, {fs('x2', 6)}
+        FROM roads) q),
+    e AS (SELECT line_id, t, lat_e6, lon_e6,
+                 lead(t) OVER w AS nt,
+                 lead(lat_e6) OVER w AS nlat, lead(lon_e6) OVER w AS nlon
+          FROM cuts WINDOW w AS (PARTITION BY line_id ORDER BY t)),
+    edges AS (SELECT line_id, lat_e6, lon_e6, nlat, nlon,
+                {fs(P.haversine_m_sql(
+                    '(cast(lat_e6 as double) / cast(1000000 as double))',
+                    '(cast(lon_e6 as double) / cast(1000000 as double))',
+                    '(cast(nlat as double) / cast(1000000 as double))',
+                    '(cast(nlon as double) / cast(1000000 as double))'), 0)}
+                  AS len_m_e0
+              FROM e WHERE nt IS NOT NULL),
+    incid AS (SELECT lat_e6, lon_e6 FROM edges
+              UNION ALL SELECT nlat, nlon FROM edges),
+    nodes AS (SELECT lat_e6, lon_e6, cast(count(*) as bigint) AS degree
+              FROM incid GROUP BY 1, 2),
+    hist AS (SELECT degree, cast(count(*) as bigint) AS n_nodes
+             FROM nodes GROUP BY 1),
+    tot AS (SELECT cast(count(*) as bigint) AS n_edges,
+                   cast(sum(len_m_e0) as bigint) AS total_len_m FROM edges)
+    SELECT hist.degree, hist.n_nodes, tot.n_edges, tot.total_len_m
+    FROM hist CROSS JOIN tot
+    """
+
+
+@register("q_network", _network_oracle())
+def q_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planarize the grid road layer into a node-edge network (split every
+    segment at its crossings) and census the topology: node-degree
+    histogram plus edge count and total edge length. The engine uses the
+    cell-bucketed crossing generator + windowed cut splitting; the oracle
+    brute-forces all segment pairs with the same shared formulas —
+    derivation disagreement on candidates, identical arithmetic."""
+    from gaia_spark.operators.overlay import network_topology
+
+    edges, nodes = network_topology(
+        _mm_road_chains(spark), _mm_road_chains(spark), res=5
+    )
+    hist = nodes.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
+    tot = edges.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("len_m_e0").cast("long").alias("total_len_m"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "degree", "n_nodes", "n_edges", "total_len_m"
+    )

@@ -550,3 +550,18 @@ def test_heaps_vocab_monotone(spark):
     voc = [r["vocab_cum"] for r in out]
     assert toks == sorted(toks) and voc == sorted(voc)
     assert len({r["beta_e6"] for r in out}) == 1 and out[0]["beta_e6"] > 0
+
+
+def test_network_topology_grid_closed_form(spark):
+    # 17 h-roads x 36 v-roads: 612 interior crossings (degree 4), 106
+    # endpoints (degree 1); edges = 17*37 + 36*18 = 1277
+    from gaia_spark.operators.overlay import network_topology
+    from gaia_spark.queries_webgeo import _mm_road_chains
+
+    edges, nodes = network_topology(
+        _mm_road_chains(spark), _mm_road_chains(spark), res=5
+    )
+    deg = {r["degree"]: r["n"] for r in
+           nodes.groupBy("degree").agg(F.count("*").alias("n")).collect()}
+    assert deg == {4: 612, 1: 106}
+    assert edges.count() == 17 * 37 + 36 * 18
