@@ -1191,3 +1191,205 @@ def q_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.crossJoin(F.broadcast(tot)).select(
         "degree", "n_nodes", "n_edges", "total_len_m"
     )
+
+
+# --- crawl scheduling (politeness slots) ---------------------------------------
+
+
+@register(
+    "q_crawl_schedule",
+    f"""
+    WITH u AS (SELECT DISTINCT {_TPL_URL} AS url FROM documents),
+    h AS (SELECT url, {W.host_sql('url')} AS host FROM u),
+    r AS (SELECT host, url,
+                 row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+          FROM h)
+    SELECT host, url, cast(rn as bigint) AS rn,
+           cast((rn - 1) // 4 as bigint) AS slot
+    FROM r
+    """,
+)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling: round-robin fetch slots of 4 URLs per host
+    per slot — the per-host rate limit every crawler needs. One
+    host-partitioned window; slot derives from the row number, no second
+    shuffle."""
+    u = (
+        load(spark, sf_dir, "documents")
+        .select(F.expr(_TPL_URL).alias("url"))
+        .distinct()
+    )
+    h = u.select("url", F.expr(W.host_sql("url")).alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    r = h.withColumn("rn", F.row_number().over(w))
+    return r.select(
+        "host", "url", F.col("rn").cast("long"),
+        F.expr("cast((rn - 1) div 4 as bigint)").alias("slot"),
+    )
+
+
+# --- language-ID confusion matrix ----------------------------------------------
+
+
+@register(
+    "q_lang_confusion",
+    f"""
+    WITH p AS (SELECT lang, {T.lang_id_sql('text')} AS lang_pred
+               FROM documents WHERE length(text) > 0),
+    c AS (SELECT lang, lang_pred, cast(count(*) as bigint) AS n
+          FROM p GROUP BY 1, 2),
+    t AS (SELECT lang, cast(sum(n) as bigint) AS tot FROM c GROUP BY 1)
+    SELECT c.lang, c.lang_pred, c.n,
+           {P.floor_scaled_sql('(cast(c.n as double) / cast(t.tot as double))', 6)}
+             AS share_e6
+    FROM c JOIN t USING (lang)
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the corpus's labeled
+    lang vs the n-gram-marker classifier (lang_id_sql), with per-true-lang
+    shares — the model-eval query of a curation pipeline. Map-only scoring
+    + a langs²-bounded aggregate."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    p = d.select("lang", F.expr(T.lang_id_sql("text")).alias("lang_pred"))
+    c = p.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").cast("long").alias("tot"))
+    return c.join(F.broadcast(t), "lang").select(
+        "lang", "lang_pred", F.col("n").cast("long"),
+        F.expr(P.floor_scaled_sql(
+            "(cast(n as double) / cast(tot as double))", 6)).alias("share_e6"),
+    )
+
+
+# --- exact distributed quantiles -----------------------------------------------
+
+
+@register(
+    "q_quantiles",
+    f"""
+    WITH r AS (SELECT event_type, value, event_id,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events),
+    p AS (SELECT event_type, cast(n as bigint) AS n,
+                 max(CASE WHEN rn = (n - 1) // 2 + 1
+                     THEN {P.floor_scaled_sql('value', 2)} END) AS p50_e2,
+                 max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1
+                     THEN {P.floor_scaled_sql('value', 2)} END) AS p90_e2,
+                 max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1
+                     THEN {P.floor_scaled_sql('value', 2)} END) AS p99_e2
+          FROM r GROUP BY 1, 2)
+    SELECT event_type, n, p50_e2, p90_e2, p99_e2 FROM p
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of event value per type — rank-picked (lower
+    empirical quantile, (n-1)·p floor + 1) with an (value, event_id) total
+    order so ties never flip engines; the approx twin is
+    q_distinct_users' approx family. One window shuffle per type
+    partition, conditional-agg pick, no collect."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wc)
+    )
+    fs = P.floor_scaled_sql
+    p = r.groupBy("event_type", F.col("n").cast("long").alias("n")).agg(
+        F.max(F.expr(
+            f"CASE WHEN rn = (n - 1) div 2 + 1 THEN {fs('value', 2)} END"
+        )).alias("p50_e2"),
+        F.max(F.expr(
+            f"CASE WHEN rn = ((n - 1) * 9) div 10 + 1 THEN {fs('value', 2)} END"
+        )).alias("p90_e2"),
+        F.max(F.expr(
+            f"CASE WHEN rn = ((n - 1) * 99) div 100 + 1 THEN {fs('value', 2)} END"
+        )).alias("p99_e2"),
+    )
+    return p.select("event_type", "n", "p50_e2", "p90_e2", "p99_e2")
+
+
+# --- embedding label centroids + pairwise cosine --------------------------------
+
+_EMB_SHIFT = 10_000_000  # +10.0 in e6: keeps shifted components non-negative
+
+
+@register(
+    "q_embed_centroids",
+    f"""
+    WITH x AS (SELECT label, i AS pos,
+                      {P.floor_scaled_sql('cast(embedding[i] as double)', 6)}
+                        AS q
+               FROM embeddings,
+                    unnest(generate_series(1, len(embedding))) AS t(i)),
+    c AS (SELECT label, pos,
+                 cast((sum(q + {_EMB_SHIFT}) // count(*)) - {_EMB_SHIFT}
+                      as bigint) AS c_e6,
+                 cast(count(*) as bigint) AS n
+          FROM x GROUP BY 1, 2),
+    pr AS (SELECT a.label AS label_a, b.label AS label_b,
+                  cast(sum(a.c_e6 * b.c_e6) as bigint) AS dot,
+                  cast(sum(a.c_e6 * a.c_e6) as bigint) AS na,
+                  cast(sum(b.c_e6 * b.c_e6) as bigint) AS nb,
+                  min(a.n) AS n_a, min(b.n) AS n_b
+           FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+           GROUP BY 1, 2)
+    SELECT label_a, label_b, n_a, n_b,
+           CASE WHEN na = 0 OR nb = 0 THEN cast(0 as bigint) ELSE
+             {P.floor_scaled_sql(
+                 '(cast(dot as double) / sqrt(cast(na as double) '
+                 '* cast(nb as double)))', 6)} END AS cos_e6
+    FROM pr
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (exact: e6-prequantized components,
+    shifted-non-negative integer mean) and the pairwise inter-centroid
+    cosine — the class-separation diagnostic of an embedding space. The
+    explode shuffles on (label, dim) — bounded by labels x dims — and the
+    pair join runs over the tiny centroid table."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos", "_v")
+    ).select(
+        "label", "pos",
+        F.expr(fs("cast(_v as double)", 6)).alias("q"),
+    )
+    c = x.groupBy("label", "pos").agg(
+        F.expr(
+            f"cast(((sum(q + {_EMB_SHIFT})) div count(*)) - {_EMB_SHIFT} "
+            "as bigint)"
+        ).alias("c_e6"),
+        F.count("*").cast("long").alias("n"),
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), F.col("pos").alias("_pa"),
+        F.col("c_e6").alias("_ca"), F.col("n").alias("_na_cnt"),
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), F.col("pos").alias("_pb"),
+        F.col("c_e6").alias("_cb"), F.col("n").alias("_nb_cnt"),
+    )
+    pr = (
+        a.join(b, (F.col("_pa") == F.col("_pb"))
+               & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("_ca") * F.col("_cb")).alias("dot"),
+            F.sum(F.col("_ca") * F.col("_ca")).alias("na"),
+            F.sum(F.col("_cb") * F.col("_cb")).alias("nb"),
+            F.min("_na_cnt").alias("n_a"),
+            F.min("_nb_cnt").alias("n_b"),
+        )
+    )
+    cos = (
+        "CASE WHEN na = 0 OR nb = 0 THEN cast(0 as bigint) ELSE "
+        + fs("(cast(dot as double) / sqrt(cast(na as double) "
+             "* cast(nb as double)))", 6)
+        + " END"
+    )
+    return pr.select(
+        "label_a", "label_b", "n_a", "n_b", F.expr(cos).alias("cos_e6")
+    )

@@ -565,3 +565,55 @@ def test_network_topology_grid_closed_form(spark):
            nodes.groupBy("degree").agg(F.count("*").alias("n")).collect()}
     assert deg == {4: 612, 1: 106}
     assert edges.count() == 17 * 37 + 36 * 18
+
+
+# --- crawl schedule / quantiles / centroids -----------------------------------
+
+
+def test_crawl_schedule_slots(spark):
+    import gaia_spark.queries_webgeo as WG
+
+    out = WG.q_crawl_schedule(spark, "/root/testdata/sf0.001").collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for rows in by_host.values():
+        rows.sort(key=lambda r: r["rn"])
+        # slots fill 4-at-a-time in url order
+        for r in rows:
+            assert r["slot"] == (r["rn"] - 1) // 4
+        assert [r["url"] for r in rows] == sorted(r["url"] for r in rows)
+
+
+def test_quantiles_exact_small(spark):
+    # 1..10: lower-empirical-quantile picks (n-1)p floor + 1
+    import gaia_spark.queries as Q
+    import gaia_spark.queries_webgeo as WG
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [(i, base, 1, "click", float(i), "{}") for i in range(1, 11)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = WG.load
+    try:
+        WG.load = lambda s, d, n: e
+        out = WG.q_quantiles(spark, "x").collect()
+    finally:
+        WG.load = orig
+    assert len(out) == 1
+    r = out[0]
+    # n=10: p50 -> rank 5 (value 5), p90 -> rank 9, p99 -> rank 9
+    assert (r["n"], r["p50_e2"], r["p90_e2"], r["p99_e2"]) == (10, 500, 900, 900)
+
+
+def test_embed_centroid_cosine_bounds(spark):
+    import gaia_spark.queries_webgeo as WG
+
+    out = WG.q_embed_centroids(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 45  # C(10,2) label pairs
+    for r in out:
+        assert -1_000_001 <= r["cos_e6"] <= 1_000_001
+        assert r["n_a"] > 0 and r["n_b"] > 0
