@@ -124,3 +124,62 @@ def reproject(df, src: str, dst: str, lat: str = "lat", lon: str = "lon", x: str
         f"reproject {src} -> {dst}: supported CRS pairs are "
         f"{SUPPORTED_CRS} (no proj database offline; see functions/crs.py)"
     )
+
+
+# --- equal-area / azimuthal projection family (spherical closed forms) -------
+#
+# The reference reaches these through GDAL/pyproj; here each is one shared
+# trig expression (codegen'd, oracle-mirrorable). All spherical on the
+# authalic-style single radius below — the documented engine convention
+# (UTM's ~0.5% note in SUPPORTED_CRS applies equally).
+
+PROJ_R = 6371008.8  # mean earth radius, matches portable.EARTH_RADIUS_M
+
+
+def laea_xy_sql(lat: str, lon: str, lat0: float, lon0: float) -> tuple[str, str]:
+    """Lambert azimuthal equal-area centered at (lat0, lon0) — Snyder
+    (24-2..24-4): k' = sqrt(2 / (1 + sin φ0 sin φ + cos φ0 cos φ cos Δλ)),
+    x = R k' cos φ sin Δλ, y = R k' (cos φ0 sin φ − sin φ0 cos φ cos Δλ).
+    The antipode (denominator → 0) is clamped away with the shared
+    greatest() idiom."""
+    dl = f"(radians({lon}) - radians({float(lon0)}))"
+    s0, c0 = f"sin(radians({float(lat0)}))", f"cos(radians({float(lat0)}))"
+    sp, cp = f"sin(radians({lat}))", f"cos(radians({lat}))"
+    den = f"greatest(cast(1 as double) / cast(1000000000 as double), (1 + {s0} * {sp} + {c0} * {cp} * cos({dl})))"
+    k = f"sqrt(2 / {den})"
+    x = f"({PROJ_R} * {k} * {cp} * sin({dl}))"
+    y = f"({PROJ_R} * {k} * ({c0} * {sp} - {s0} * {cp} * cos({dl})))"
+    return x, y
+
+
+def sinusoidal_xy_sql(lat: str, lon: str, lon0: float = 0.0) -> tuple[str, str]:
+    """Sinusoidal (equal-area, pseudocylindrical): x = R Δλ cos φ, y = R φ."""
+    dl = f"(radians({lon}) - radians({float(lon0)}))"
+    return (
+        f"({PROJ_R} * {dl} * cos(radians({lat})))",
+        f"({PROJ_R} * radians({lat}))",
+    )
+
+
+def albers_xy_sql(
+    lat: str, lon: str, lat0: float, lon0: float, lat1: float, lat2: float
+) -> tuple[str, str]:
+    """Albers equal-area conic with standard parallels lat1/lat2 — Snyder
+    (14-1..14-4) spherical form:
+        n = (sin φ1 + sin φ2) / 2
+        C = cos²φ1 + 2 n sin φ1
+        ρ  = R sqrt(C − 2 n sin φ) / n,  θ = n Δλ
+        x = ρ sin θ, y = ρ0 − ρ cos θ
+    Constants are folded in Python to plain double literals so the SQL
+    stays small and identical in both engines."""
+    import math
+
+    n = (math.sin(math.radians(lat1)) + math.sin(math.radians(lat2))) / 2
+    c = math.cos(math.radians(lat1)) ** 2 + 2 * n * math.sin(math.radians(lat1))
+    rho0 = PROJ_R * math.sqrt(c - 2 * n * math.sin(math.radians(lat0))) / n
+    rho = f"({PROJ_R} * sqrt({c!r} - {2 * n!r} * sin(radians({lat}))) / {n!r})"
+    th = f"({n!r} * (radians({lon}) - radians({float(lon0)})))"
+    return (
+        f"({rho} * sin({th}))",
+        f"({rho0!r} - {rho} * cos({th}))",
+    )

@@ -1393,3 +1393,49 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "label_a", "label_b", "n_a", "n_b", F.expr(cos).alias("cos_e6")
     )
+
+
+# --- equal-area projection family ----------------------------------------------
+
+from gaia_spark.functions import crs as C  # noqa: E402
+
+_LAEA = C.laea_xy_sql("lat", "lon", 40.0, 10.0)
+_SINU = C.sinusoidal_xy_sql("lat", "lon", 0.0)
+_ALB = C.albers_xy_sql("lat", "lon", 23.0, -96.0, 29.5, 45.5)
+
+
+@register(
+    "q_project_family",
+    f"""
+    WITH pts AS (SELECT c_custkey, {P.key_lat_sql('c_custkey')} AS lat,
+                        {P.key_lon_sql('c_custkey')} AS lon FROM customer)
+    SELECT c_custkey,
+           {P.floor_scaled_sql(_LAEA[0], 3)} AS laea_x_mm,
+           {P.floor_scaled_sql(_LAEA[1], 3)} AS laea_y_mm,
+           {P.floor_scaled_sql(_SINU[0], 3)} AS sinu_x_mm,
+           {P.floor_scaled_sql(_SINU[1], 3)} AS sinu_y_mm,
+           {P.floor_scaled_sql(_ALB[0], 3)} AS alb_x_mm,
+           {P.floor_scaled_sql(_ALB[1], 3)} AS alb_y_mm
+    FROM pts
+    """,
+)
+def q_project_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-area projection family (Snyder spherical closed forms):
+    Lambert azimuthal (centered 40N 10E), sinusoidal, and Albers conic
+    (CONUS parallels) of every customer point, mm-quantized. Map-only -
+    each projection is ONE shared trig expression, the engine's
+    GDAL-free reprojection convention extended beyond Mercator/UTM."""
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(P.key_lat_sql("c_custkey")).alias("lat"),
+        F.expr(P.key_lon_sql("c_custkey")).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.expr(P.floor_scaled_sql(_LAEA[0], 3)).alias("laea_x_mm"),
+        F.expr(P.floor_scaled_sql(_LAEA[1], 3)).alias("laea_y_mm"),
+        F.expr(P.floor_scaled_sql(_SINU[0], 3)).alias("sinu_x_mm"),
+        F.expr(P.floor_scaled_sql(_SINU[1], 3)).alias("sinu_y_mm"),
+        F.expr(P.floor_scaled_sql(_ALB[0], 3)).alias("alb_x_mm"),
+        F.expr(P.floor_scaled_sql(_ALB[1], 3)).alias("alb_y_mm"),
+    )

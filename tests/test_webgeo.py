@@ -617,3 +617,47 @@ def test_embed_centroid_cosine_bounds(spark):
     for r in out:
         assert -1_000_001 <= r["cos_e6"] <= 1_000_001
         assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_projection_family_equal_area(spark):
+    # all three projections are EQUAL-AREA: the projected shoelace area of
+    # a densely-sampled spherical rect must match R^2 * dlon * dsinlat
+    import math
+
+    from gaia_spark.functions import crs as C
+
+    la0, la1, lo0, lo1 = 35.0, 42.0, 5.0, 15.0
+    ring = []
+    n = 120
+    for i in range(n):
+        ring.append((la0, lo0 + (lo1 - lo0) * i / n))
+    for i in range(n):
+        ring.append((la0 + (la1 - la0) * i / n, lo1))
+    for i in range(n):
+        ring.append((la1, lo1 - (lo1 - lo0) * i / n))
+    for i in range(n):
+        ring.append((la1 - (la1 - la0) * i / n, lo0))
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(ring)],
+        "i int, lat double, lon double",
+    )
+    truth = (
+        C.PROJ_R ** 2
+        * math.radians(lo1 - lo0)
+        * (math.sin(math.radians(la1)) - math.sin(math.radians(la0)))
+    )
+    for name, (xs, ys) in {
+        "laea": C.laea_xy_sql("lat", "lon", 40.0, 10.0),
+        "sinu": C.sinusoidal_xy_sql("lat", "lon", 0.0),
+        "albers": C.albers_xy_sql("lat", "lon", 23.0, -96.0, 29.5, 45.5),
+    }.items():
+        pts = [
+            (r["i"], r["x"], r["y"])
+            for r in df.selectExpr("i", f"{xs} as x", f"{ys} as y").collect()
+        ]
+        pts.sort()
+        area = 0.0
+        for (_, x1, y1), (_, x2, y2) in zip(pts, pts[1:] + pts[:1]):
+            area += x1 * y2 - x2 * y1
+        area = abs(area) / 2
+        assert abs(area - truth) / truth < 1e-3, (name, area, truth)
