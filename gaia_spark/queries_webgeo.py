@@ -1439,3 +1439,202 @@ def q_project_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(P.floor_scaled_sql(_ALB[0], 3)).alias("alb_x_mm"),
         F.expr(P.floor_scaled_sql(_ALB[1], 3)).alias("alb_y_mm"),
     )
+
+
+# --- k-means cluster purity vs labels ------------------------------------------
+
+
+def _purity_oracle() -> str:
+    from gaia_spark.queries_misc import _kmeans_ctes
+
+    fs = P.floor_scaled_sql
+    return f"""
+    WITH {_kmeans_ctes()},
+    j AS (SELECT a.cid, e.label FROM asg a
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+    cl AS (SELECT cid, label, cast(count(*) as bigint) AS n FROM j GROUP BY 1, 2),
+    tot AS (SELECT cid, cast(sum(n) as bigint) AS n_cluster FROM cl GROUP BY 1),
+    mj AS (SELECT cid, label AS major_label, n AS n_major FROM
+             (SELECT *, row_number() OVER (PARTITION BY cid
+                ORDER BY n DESC, label ASC) AS rk FROM cl) q WHERE rk = 1),
+    ov AS (SELECT cast(sum(n_major) as bigint) AS s_major,
+                  cast(sum(n_cluster) as bigint) AS s_all
+           FROM mj JOIN tot USING (cid))
+    SELECT mj.cid, cast(mj.major_label as int) AS major_label, mj.n_major,
+           tot.n_cluster,
+           {fs('(cast(mj.n_major as double) / cast(tot.n_cluster as double))', 6)}
+             AS purity_e6,
+           {fs('(cast(ov.s_major as double) / cast(ov.s_all as double))', 6)}
+             AS overall_purity_e6
+    FROM mj JOIN tot USING (cid) CROSS JOIN ov
+    """
+
+
+@register("q_cluster_purity", _purity_oracle())
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: purity of the deterministic k-means
+    clusters against the embeddings' ground-truth labels — per-cluster
+    majority label (count-then-label tie-break) and share, plus the
+    overall purity constant. Chains the full kmeans machinery the oracle
+    already replays; the evaluation adds one broadcast-scale join and
+    two k-bounded aggregates."""
+    from gaia_spark.operators.clustering import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(emb, k=8, n_rounds=3)
+    j = asg.join(emb.select("vec_id", "label"), "vec_id")
+    cl = j.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    tot = cl.groupBy("cid").agg(F.sum("n").cast("long").alias("n_cluster"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    mj = (
+        cl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cid", F.col("label").cast("int").alias("major_label"),
+            F.col("n").cast("long").alias("n_major"),
+        )
+    )
+    base = mj.join(tot, "cid")
+    ov = base.agg(
+        F.sum("n_major").cast("long").alias("s_major"),
+        F.sum("n_cluster").cast("long").alias("s_all"),
+    )
+    fs = P.floor_scaled_sql
+    return base.crossJoin(F.broadcast(ov)).select(
+        "cid", "major_label", "n_major", "n_cluster",
+        F.expr(fs("(cast(n_major as double) / cast(n_cluster as double))", 6)
+               ).alias("purity_e6"),
+        F.expr(fs("(cast(s_major as double) / cast(s_all as double))", 6)
+               ).alias("overall_purity_e6"),
+    )
+
+
+# --- link-graph reciprocity -----------------------------------------------------
+
+
+def _reciprocity_oracle() -> str:
+    from gaia_spark.queries_text import _link_edges_ctes
+
+    fs = P.floor_scaled_sql
+    return f"""
+    WITH {_link_edges_ctes()},
+    g AS (SELECT DISTINCT src_host, dst_host FROM e
+          WHERE dst_host IS NOT NULL AND src_host <> dst_host),
+    m AS (SELECT cast(count(*) as bigint) AS n_mutual
+          FROM g a JOIN g b ON a.src_host = b.dst_host
+                           AND a.dst_host = b.src_host),
+    t AS (SELECT cast(count(*) as bigint) AS n_edges FROM g)
+    SELECT t.n_edges, m.n_mutual,
+           CASE WHEN t.n_edges = 0 THEN cast(0 as bigint) ELSE
+             {fs('(cast(m.n_mutual as double) / cast(t.n_edges as double))', 6)}
+           END AS reciprocity_e6
+    FROM t CROSS JOIN m
+    """
+
+
+@register("q_reciprocity", _reciprocity_oracle())
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph reciprocity: share of distinct host→host edges whose
+    reverse edge also exists (self-loops excluded) — the classic web-graph
+    health metric. One distinct pass + one self equi-join on the
+    host-pair key."""
+    from gaia_spark.queries_text import _link_graph_spark
+
+    g = (
+        _link_graph_spark(spark, sf_dir)
+        .filter(F.col("dst_host").isNotNull()
+                & (F.col("src_host") != F.col("dst_host")))
+        .distinct()
+    )
+    rev = g.select(
+        F.col("src_host").alias("_rs"), F.col("dst_host").alias("_rd")
+    )
+    m = g.join(
+        rev, (F.col("src_host") == F.col("_rd"))
+        & (F.col("dst_host") == F.col("_rs"))
+    ).agg(F.count("*").cast("long").alias("n_mutual"))
+    t = g.agg(F.count("*").cast("long").alias("n_edges"))
+    fs = P.floor_scaled_sql
+    rec = (
+        "CASE WHEN n_edges = 0 THEN cast(0 as bigint) ELSE "
+        + fs("(cast(n_mutual as double) / cast(n_edges as double))", 6)
+        + " END"
+    )
+    return t.crossJoin(m).select(
+        "n_edges", "n_mutual", F.expr(rec).alias("reciprocity_e6")
+    )
+
+
+# --- A/B test (two-proportion z) ------------------------------------------------
+
+
+@register(
+    "q_ab_test",
+    f"""
+    WITH u AS (SELECT user_id, cast(user_id % 2 as int) AS arm,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS converted
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) as bigint) AS n_a,
+                 cast(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) as bigint)
+                   AS c_a,
+                 cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) as bigint) AS n_b,
+                 cast(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) as bigint)
+                   AS c_b
+          FROM u)
+    SELECT n_a, c_a, n_b, c_b,
+      {P.floor_scaled_sql('(cast(c_a as double) / cast(n_a as double))', 6)}
+        AS conv_a_e6,
+      {P.floor_scaled_sql('(cast(c_b as double) / cast(n_b as double))', 6)}
+        AS conv_b_e6,
+      {P.floor_scaled_sql(
+          '((cast(c_a as double) / cast(n_a as double) '
+          '- cast(c_b as double) / cast(n_b as double)) '
+          '/ sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double)) '
+          '* (1 - cast(c_a + c_b as double) / cast(n_a + n_b as double)) '
+          '* (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))))', 6)}
+        AS z_e6
+    FROM s
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between user-id-parity arms on purchase
+    conversion — the experimentation primitive: per-user conversion flags
+    (one user-keyed agg), four exact counts, one shared IEEE chain for
+    the pooled-variance z. A degenerate arm (n = 0) cannot occur at any
+    SF (both parities exist); the 1.0 literals sit inside double-typed
+    division so the DECIMAL trap never fires."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", F.expr("cast(user_id % 2 as int)").alias("arm")
+    ).agg(
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        ).alias("converted")
+    )
+    s = u.agg(
+        F.expr("cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) as bigint)")
+        .alias("n_a"),
+        F.expr("cast(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) as bigint)")
+        .alias("c_a"),
+        F.expr("cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) as bigint)")
+        .alias("n_b"),
+        F.expr("cast(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) as bigint)")
+        .alias("c_b"),
+    )
+    fs = P.floor_scaled_sql
+    z = (
+        "((cast(c_a as double) / cast(n_a as double) "
+        "- cast(c_b as double) / cast(n_b as double)) "
+        "/ sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double)) "
+        "* (1 - cast(c_a + c_b as double) / cast(n_a + n_b as double)) "
+        "* (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))))"
+    )
+    return s.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.expr(fs("(cast(c_a as double) / cast(n_a as double))", 6))
+        .alias("conv_a_e6"),
+        F.expr(fs("(cast(c_b as double) / cast(n_b as double))", 6))
+        .alias("conv_b_e6"),
+        F.expr(fs(z, 6)).alias("z_e6"),
+    )

