@@ -1572,8 +1572,8 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ab_test",
     f"""
     WITH u AS (SELECT user_id, cast(user_id % 2 as int) AS arm,
-                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                        AS converted
+                      max(CASE WHEN event_type = 'purchase' AND event_id % 7 = 0
+                          THEN 1 ELSE 0 END) AS converted
                FROM events GROUP BY 1, 2),
     s AS (SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) as bigint) AS n_a,
                  cast(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) as bigint)
@@ -1587,12 +1587,15 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS conv_a_e6,
       {P.floor_scaled_sql('(cast(c_b as double) / cast(n_b as double))', 6)}
         AS conv_b_e6,
+      CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b
+           THEN cast(0 as bigint) ELSE
       {P.floor_scaled_sql(
           '((cast(c_a as double) / cast(n_a as double) '
           '- cast(c_b as double) / cast(n_b as double)) '
           '/ sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double)) '
           '* (1 - cast(c_a + c_b as double) / cast(n_a + n_b as double)) '
-          '* (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))))', 6)}
+          '* (cast(1 as double) / cast(n_a as double) '
+          '+ cast(1 as double) / cast(n_b as double))))', 6)} END
         AS z_e6
     FROM s
     """,
@@ -1601,15 +1604,16 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test between user-id-parity arms on purchase
     conversion — the experimentation primitive: per-user conversion flags
     (one user-keyed agg), four exact counts, one shared IEEE chain for
-    the pooled-variance z. A degenerate arm (n = 0) cannot occur at any
-    SF (both parities exist); the 1.0 literals sit inside double-typed
-    division so the DECIMAL trap never fires."""
+    the pooled-variance z. Conversion = a qualifying purchase
+    (event_id % 7 = 0) so rates sit strictly inside (0, 1) at driver SFs;
+    the all-or-none pooled case (denominator 0) is guarded to z = 0 on
+    exact integer counts."""
     e = load(spark, sf_dir, "events")
     u = e.groupBy(
         "user_id", F.expr("cast(user_id % 2 as int)").alias("arm")
     ).agg(
         F.max(
-            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            F.expr("CASE WHEN event_type = 'purchase' AND event_id % 7 = 0 THEN 1 ELSE 0 END")
         ).alias("converted")
     )
     s = u.agg(
@@ -1628,7 +1632,8 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "- cast(c_b as double) / cast(n_b as double)) "
         "/ sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double)) "
         "* (1 - cast(c_a + c_b as double) / cast(n_a + n_b as double)) "
-        "* (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))))"
+        "* (cast(1 as double) / cast(n_a as double) "
+        "+ cast(1 as double) / cast(n_b as double))))"
     )
     return s.select(
         "n_a", "c_a", "n_b", "c_b",
@@ -1636,5 +1641,8 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conv_a_e6"),
         F.expr(fs("(cast(c_b as double) / cast(n_b as double))", 6))
         .alias("conv_b_e6"),
-        F.expr(fs(z, 6)).alias("z_e6"),
+        F.expr(
+            "CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b "
+            "THEN cast(0 as bigint) ELSE " + fs(z, 6) + " END"
+        ).alias("z_e6"),
     )

@@ -704,8 +704,9 @@ def test_ab_test_z_sign_and_counts(spark):
 
     base = datetime.datetime(2024, 1, 1)
     # arm0 (even users): 2 users, 2 convert; arm1: 2 users, 0 convert
-    rows = [(1, base, 2, "purchase", 0.0, "{}"),
-            (2, base, 4, "purchase", 0.0, "{}"),
+    # qualifying purchases need event_id % 7 == 0
+    rows = [(7, base, 2, "purchase", 0.0, "{}"),
+            (14, base, 4, "purchase", 0.0, "{}"),
             (3, base, 1, "view", 0.0, "{}"),
             (4, base, 3, "view", 0.0, "{}")]
     e = spark.createDataFrame(
