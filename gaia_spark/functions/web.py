@@ -528,3 +528,38 @@ def url_template_sql(url: str, dialect: str) -> str:
     (path component only); '' path → '/'."""
     path = f"CASE WHEN {path_of_sql(url)} = '' THEN '/' ELSE {path_of_sql(url)} END"
     return _re_replace_all(f"({path})", "[0-9]+", "{n}", dialect)
+
+
+# --- link-graph builders (shared across query tranches; living here avoids
+# tranche-to-tranche imports, which recurse through gaia_spark.queries and
+# hit the circular-import trap) ------------------------------------------------
+
+
+def link_edges_oracle_ctes() -> str:
+    """Shared oracle CTE chain: rebuild linked html, extract hrefs, derive
+    (src_host, dst_host) — the whole crawl-frontier pipeline in SQL."""
+    html = linked_html_sql("text", "doc_id")
+    links = extract_links_sql("html")
+    dst = host_sql("link")
+    return f"""
+    h AS (SELECT doc_id, {html} AS html FROM documents),
+    l AS (SELECT doc_id, unnest({links}) AS link FROM h),
+    e AS (SELECT 'h' || cast(doc_id % 97 as string) || '.example.com' AS src_host,
+                 {dst} AS dst_host
+          FROM l)"""
+
+
+def link_host_edges(docs):
+    """(src_host, dst_host) edge list from a documents DataFrame — the
+    Spark twin of :func:`link_edges_oracle_ctes`."""
+    import pyspark.sql.functions as F
+
+    h = docs.select(
+        "doc_id", F.expr(linked_html_sql("text", "doc_id")).alias("html")
+    )
+    return h.select(
+        F.expr("'h' || cast(doc_id % 97 as string) || '.example.com'").alias(
+            "src_host"
+        ),
+        F.explode(F.expr(extract_links_sql("html"))).alias("link"),
+    ).select("src_host", F.expr(host_sql("link")).alias("dst_host"))

@@ -182,3 +182,46 @@ def semdedup(
             (F.col("label") == F.col(id_col)).cast("int").alias("keep"),
         )
     )
+
+
+# --- DuckDB oracle twin (lives here so query tranches can share it
+# without importing each other - tranche-to-tranche imports recurse
+# through gaia_spark.queries and hit the circular-import trap) --------
+
+def kmeans_oracle_ctes(k: int = 8, dim: int = 64, rounds: int = 3) -> str:
+    """CTE chain ending in ``asg`` = (vec_id, cid, d) — the final k-means
+    assignment; shared by the q_kmeans_docs and q_semdedup oracles."""
+    h = portable.md5_int60("cast(vec_id as string)", portable.DUCK)
+    parts = [
+        f"""pts AS (SELECT vec_id, i,
+           cast(floor(cast(embedding[i] as double) * 1000000 + 0.5) as bigint) AS xv
+           FROM embeddings, generate_series(1, {dim}) g(i)),
+    seeds AS (SELECT vec_id, cast(row_number() OVER (ORDER BY _h, vec_id) - 1 as int) AS cid
+              FROM (SELECT vec_id, {h} AS _h FROM embeddings)
+              ORDER BY _h, vec_id LIMIT {k}),
+    c0 AS (SELECT s.cid, p.i, p.xv AS cv FROM seeds s JOIN pts p USING (vec_id))"""
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS (SELECT p.vec_id, c.cid,
+             cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
+             FROM pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2),
+    s{r} AS (SELECT vec_id, cid FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+              FROM a{r}) WHERE rn = 1),
+    c{r} AS (SELECT s.cid, p.i,
+             cast(((sum(p.xv) + count(*) * {KM_OFF}) // count(*)) - {KM_OFF} as bigint) AS cv
+             FROM s{r} s JOIN pts p USING (vec_id) GROUP BY 1, 2)"""
+        )
+        prev = f"c{r}"
+    fr = rounds + 1
+    parts.append(
+        f"""a{fr} AS (SELECT p.vec_id, c.cid,
+              cast(sum((p.xv - c.cv) * (p.xv - c.cv)) as bigint) AS d
+              FROM pts p JOIN {prev} c ON p.i = c.i GROUP BY 1, 2),
+    asg AS (SELECT vec_id, cid, d FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a{fr})
+    WHERE rn = 1)"""
+    )
+    return ",\n    ".join(parts)

@@ -888,33 +888,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- link graph: href extraction + host edges + PageRank over them ----------
 
 def _link_edges_ctes() -> str:
-    """Shared oracle CTE chain: rebuild linked html, extract hrefs, derive
-    (src_host, dst_host) — the whole crawl-frontier pipeline in SQL."""
-    html = W.linked_html_sql("text", "doc_id")
-    links = W.extract_links_sql("html")
-    dst = W.host_sql("link")
-    return f"""
-    h AS (SELECT doc_id, {html} AS html FROM documents),
-    l AS (SELECT doc_id, unnest({links}) AS link FROM h),
-    e AS (SELECT 'h' || cast(doc_id % 97 as string) || '.example.com' AS src_host,
-                 {dst} AS dst_host
-          FROM l)"""
+    return W.link_edges_oracle_ctes()
 
 
 def _link_graph_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", F.expr(W.linked_html_sql("text", "doc_id")).alias("html")
-    )
-    return (
-        h.select(
-            F.expr("'h' || cast(doc_id % 97 as string) || '.example.com'").alias(
-                "src_host"
-            ),
-            F.explode(F.expr(W.extract_links_sql("html"))).alias("link"),
-        )
-        .select("src_host", F.expr(W.host_sql("link")).alias("dst_host"))
-    )
+    return W.link_host_edges(load(spark, sf_dir, "documents"))
 
 
 @register(

@@ -1445,7 +1445,7 @@ def q_project_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _purity_oracle() -> str:
-    from gaia_spark.queries_misc import _kmeans_ctes
+    from gaia_spark.operators.clustering import kmeans_oracle_ctes as _kmeans_ctes
 
     fs = P.floor_scaled_sql
     return f"""
@@ -1513,7 +1513,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _reciprocity_oracle() -> str:
-    from gaia_spark.queries_text import _link_edges_ctes
+    _link_edges_ctes = W.link_edges_oracle_ctes
 
     fs = P.floor_scaled_sql
     return f"""
@@ -1538,10 +1538,8 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverse edge also exists (self-loops excluded) — the classic web-graph
     health metric. One distinct pass + one self equi-join on the
     host-pair key."""
-    from gaia_spark.queries_text import _link_graph_spark
-
     g = (
-        _link_graph_spark(spark, sf_dir)
+        W.link_host_edges(load(spark, sf_dir, "documents"))
         .filter(F.col("dst_host").isNotNull()
                 & (F.col("src_host") != F.col("dst_host")))
         .distinct()
