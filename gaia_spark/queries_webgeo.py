@@ -1644,3 +1644,78 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN cast(0 as bigint) ELSE " + fs(z, 6) + " END"
         ).alias("z_e6"),
     )
+
+
+# --- Strahler stream order ------------------------------------------------------
+
+
+def _strahler_oracle() -> str:
+    from gaia_spark.operators.hydrology import d8_step_sql
+    from gaia_spark.queries_misc import _d8_pivot_cte
+
+    n_px = 64
+    return f"""
+    WITH RECURSIVE {_d8_pivot_cte(1)},
+    nodes AS (SELECT r * {n_px} + c AS v, r, c, dir FROM dd),
+    tgt AS (SELECT v, (r + {d8_step_sql(0)}) * {n_px}
+                      + ((c + {d8_step_sql(1)} + {n_px}) % {n_px}) AS nxt
+            FROM nodes WHERE dir > 0),
+    edges AS (SELECT t.v, t.nxt FROM tgt t JOIN nodes n ON t.nxt = n.v),
+    nch AS (SELECT nxt AS v, cast(count(*) as bigint) AS n_children
+            FROM edges GROUP BY 1),
+    st AS (
+      SELECT n.v, 1 AS ord,
+             CASE WHEN nch.v IS NULL THEN 1 ELSE 0 END AS fin
+      FROM nodes n LEFT JOIN nch ON nch.v = n.v
+      UNION ALL
+      SELECT q.v,
+             CASE WHEN q.self_fin = 1 THEN q.self_ord
+                  WHEN q.n_rep = nch2.n_children THEN
+                    CASE WHEN len(q.top2) >= 2 AND q.top2[1] = q.top2[2]
+                         THEN q.top2[1] + 1 ELSE q.top2[1] END
+                  ELSE q.self_ord END AS ord,
+             CASE WHEN q.self_fin = 1
+                  OR q.n_rep = nch2.n_children THEN 1 ELSE 0 END AS fin
+      FROM (
+        SELECT g.*, sum(CASE WHEN g.self_fin = 0 THEN 1 ELSE 0 END)
+                      OVER () AS old_unfin
+        FROM (
+          SELECT u.tgt AS v,
+                 max(CASE WHEN u.k = 1 THEN u.o END) AS self_ord,
+                 max(CASE WHEN u.k = 1 THEN u.f END) AS self_fin,
+                 count(CASE WHEN u.k = 0 THEN 1 END) AS n_rep,
+                 list_reverse_sort(list(u.o) FILTER (WHERE u.k = 0)) AS top2
+          FROM st
+          LEFT JOIN edges e ON e.v = st.v AND st.fin = 1,
+          UNNEST(CASE WHEN st.fin = 1 AND e.nxt IS NOT NULL THEN [
+              {{'tgt': st.v, 'k': 1, 'o': st.ord, 'f': st.fin}},
+              {{'tgt': e.nxt, 'k': 0, 'o': st.ord, 'f': 1}}
+            ] ELSE [
+              {{'tgt': st.v, 'k': 1, 'o': st.ord, 'f': st.fin}}
+            ] END) AS t(u)
+          GROUP BY u.tgt
+        ) g
+      ) q LEFT JOIN nch nch2 ON nch2.v = q.v
+      WHERE q.old_unfin > 0
+    ),
+    fino AS (SELECT v, max(struct_pack(f := fin, o := ord)) AS s
+             FROM st GROUP BY 1)
+    SELECT n.r, n.c, cast((fino.s).o as int) AS strahler
+    FROM fino JOIN nodes n ON n.v = fino.v
+    """
+
+
+@register("q_strahler", _strahler_oracle())
+def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler stream order of the zoom-0 D8 drainage network
+    (hydrology.strahler_order docstring for the peel shape). The oracle
+    replays the finalize-by-readiness iteration as ONE recursive CTE:
+    each round every cell emits its own state plus — once finalized — a
+    report row to its parent (the frechet unnest idiom), parents with a
+    full report set take max(top-2) with the +1 tie rule, and the
+    recursion stops the round after the last cell finalizes."""
+    from gaia_spark.operators.hydrology import flow_direction, strahler_order
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(0,), bands=(0,))
+    return strahler_order(flow_direction(raster, zoom=0), zoom=0)

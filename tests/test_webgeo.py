@@ -722,3 +722,38 @@ def test_ab_test_z_sign_and_counts(spark):
     assert r["conv_a_e6"] == 1_000_000 and r["conv_b_e6"] == 0
     # p_a > p_b -> z strictly positive; pooled p=0.5 -> z = 1/sqrt(0.25*1) = 2
     assert r["z_e6"] == 2_000_000
+
+
+def test_strahler_hand_tree(spark):
+    # Y-junction: two order-1 children meeting -> 2; a side order-1 into
+    # the order-2 stem stays 2 (engine operator on a hand-built dir grid)
+    import pyspark.sql.functions as F
+    from gaia_spark.operators.hydrology import strahler_order
+
+    # grid rows flow south (dir=4) along two columns that merge via
+    # diagonal (dir=2 = SE / dir=8 = SW); build explicit (r, c, dir)
+    # 5x5 interior cells; dir=0 means pit
+    #   (1,1) dir=2 -> (2,2);  (1,3) dir=8 -> (2,2);  (2,2) dir=4 -> (3,2)
+    #   (2,1) dir=2 -> (3,2)?? no: keep side creek (3,1) dir=1 -> (3,2)
+    #   (3,2) dir=4 -> (4,2) pit
+    rows = [(1, 1, 2), (1, 3, 8), (2, 2, 4), (3, 1, 1), (3, 2, 4), (4, 2, 0)]
+    dirs = spark.createDataFrame(rows, "r long, c long, dir int")
+    out = {(r["r"], r["c"]): r["strahler"]
+           for r in strahler_order(dirs, zoom=0, max_rounds=10).collect()}
+    assert out[(1, 1)] == 1 and out[(1, 3)] == 1 and out[(3, 1)] == 1
+    assert out[(2, 2)] == 2      # two order-1 children tie -> 2
+    assert out[(3, 2)] == 2      # max(2, 1), no tie at 2 -> stays 2
+    assert out[(4, 2)] == 2      # single child of order 2
+
+
+def test_strahler_unconverged_raises(spark):
+    import pytest
+
+    from gaia_spark.operators.hydrology import strahler_order
+
+    # 2-cycle: (1,1) -> (1,2) via dir=1 (E), (1,2) -> (1,1) via dir=16 (W)
+    dirs = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 16)], "r long, c long, dir int"
+    )
+    with pytest.raises(RuntimeError, match="unfinalized"):
+        strahler_order(dirs, zoom=0, max_rounds=4).collect()
