@@ -1719,3 +1719,120 @@ def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raster = synth_raster(spark, zooms=(0,), bands=(0,))
     return strahler_order(flow_direction(raster, zoom=0), zoom=0)
+
+
+# --- seasonal anomaly detection (exact-integer z test) --------------------------
+
+
+@register(
+    "q_anomaly",
+    f"""
+    WITH b AS (SELECT event_type,
+                      {_DAY_DUCK} AS day,
+                      cast(floor(date_part('epoch', ts) / 3600) % 24 as bigint)
+                        AS hour,
+                      cast(count(*) as bigint) AS n
+               FROM events GROUP BY 1, 2, 3),
+    m AS (SELECT event_type, hour, cast(count(*) as bigint) AS cnt,
+                 cast(sum(n) as bigint) AS s, cast(sum(n * n) as bigint) AS s2
+          FROM b GROUP BY 1, 2)
+    SELECT b.event_type, b.day, b.hour, b.n,
+           (m.cnt >= 3 AND
+            m.cnt * (b.n * m.cnt - m.s) * (b.n * m.cnt - m.s)
+              > 9 * m.cnt * (m.cnt * m.s2 - m.s * m.s)) AS is_anomaly
+    FROM b JOIN m ON m.event_type = b.event_type AND m.hour = b.hour
+    """,
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on the event stream: per (type, day,
+    hour) bucket counts vs the same-hour-of-day profile across the month;
+    a bucket is anomalous when |n − mean| > 3σ. ENTIRELY exact-bigint —
+    the z test is the cross-multiplied inequality
+    cnt·(n·cnt − Σ)² > 9·cnt·(cnt·Σx² − Σ²), so no float ever decides the
+    flag (the viewshed discipline applied to time series). Two
+    type×hour-bounded aggregates, no window."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.expr(_DAY_SPARK).alias("day"),
+        F.expr(
+            "cast(floor(cast(cast(ts as timestamp) as double) / 3600) % 24 "
+            "as bigint)"
+        ).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    m = b.groupBy("event_type", "hour").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    return b.join(F.broadcast(m), ["event_type", "hour"]).select(
+        "event_type", "day", "hour", F.col("n").cast("long").alias("n"),
+        F.expr(
+            "cnt >= 3 AND cnt * (n * cnt - s) * (n * cnt - s) "
+            "> 9 * cnt * (cnt * s2 - s * s)"
+        ).alias("is_anomaly"),
+    )
+
+
+# --- linear referencing (route-corridor dynamic segmentation) -------------------
+
+_LR_BIN_M = 200_000.0  # 200 km along-track bins
+
+
+@register(
+    "q_linear_ref",
+    f"""
+    WITH pts AS (SELECT c_custkey, {P.key_lat_sql('c_custkey')} AS lat,
+                        {P.key_lon_sql('c_custkey')} AS lon FROM customer),
+    x AS (SELECT c_custkey, {_XT} AS dxt, {_AT} AS dat FROM pts),
+    corr AS (SELECT * FROM x
+             WHERE abs(dxt) <= 500000.0 AND dat >= 0
+               AND dat <= {P.haversine_m_sql(
+                   _RT['lat1'], _RT['lon1'], _RT['lat2'], _RT['lon2'])}),
+    b AS (SELECT cast(floor(dat / {_LR_BIN_M}) as bigint) AS bin,
+                 cast(count(*) as bigint) AS n_points,
+                 sum({P.floor_scaled_sql('dxt', 3)}) AS sxt
+          FROM corr GROUP BY 1)
+    SELECT bin, n_points,
+           cast({P.bigint_div('(sxt + n_points * 1000000000)',
+                              'n_points', P.DUCK)} - 1000000000 as bigint)
+             AS mean_xt_mm
+    FROM b
+    """,
+)
+def q_linear_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing / dynamic segmentation: points inside a 500 km
+    corridor of the fixed great-circle route are binned by ALONG-TRACK
+    distance (200 km bins) with the exact-integer mean signed cross-track
+    offset per bin — the route-milepost aggregation of corridor
+    analytics. Map-only scoring + one bin-keyed aggregate; the mm-sum is
+    shifted non-negative for the exact division macro."""
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(P.key_lat_sql("c_custkey")).alias("lat"),
+        F.expr(P.key_lon_sql("c_custkey")).alias("lon"),
+    )
+    route_len = P.haversine_m_sql(
+        _RT["lat1"], _RT["lon1"], _RT["lat2"], _RT["lon2"]
+    )
+    x = pts.select(
+        "c_custkey", F.expr(_XT).alias("dxt"), F.expr(_AT).alias("dat")
+    )
+    corr = x.filter(
+        (F.abs(F.col("dxt")) <= 500000.0)
+        & (F.col("dat") >= 0)
+        & (F.col("dat") <= F.expr(route_len))
+    )
+    b = corr.groupBy(
+        F.expr(f"cast(floor(dat / {_LR_BIN_M}) as bigint)").alias("bin")
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.expr(P.floor_scaled_sql("dxt", 3))).alias("sxt"),
+    )
+    return b.select(
+        "bin", F.col("n_points").cast("long").alias("n_points"),
+        F.expr(
+            "cast(((sxt + n_points * 1000000000) div n_points) "
+            "- 1000000000 as bigint)"
+        ).alias("mean_xt_mm"),
+    )

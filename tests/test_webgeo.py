@@ -757,3 +757,45 @@ def test_strahler_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="unfinalized"):
         strahler_order(dirs, zoom=0, max_rounds=4).collect()
+
+
+def test_anomaly_exact_inequality(spark):
+    # profile {10,10,10,40}: mean 17.5, sigma^2=168.75 -> 3sig ~ 38.97;
+    # 40 deviates 22.5 < 3sig -> NOT anomalous; with {10,10,10,100}: 100
+    # deviates 61.875 vs 3sig(1517.2)~116 -> not; use a tighter profile
+    # {10,10,10,11}: 11 deviates 0.75 -> no; {10,10,10,30}: mean 15,
+    # var 75, 3sig=25.98, dev 15 -> no. Construct a REAL hit:
+    # {10,10,10,10,10,10,10,50}: mean 15, var 175, 3sig 39.7, dev 35 -> no!
+    # 3-sigma with the outlier INCLUDED in the profile is conservative;
+    # use {10x9, 200}: mean 29, var 3249, 3sig 171, dev 171 -> boundary.
+    # {10x9, 210}: dev 180 > 3sig(180*sqrt(0.9)=...) -- compute exactly:
+    import math
+
+    def flag(profile, x):
+        cnt = len(profile)
+        s = sum(profile)
+        s2 = sum(v * v for v in profile)
+        return cnt >= 3 and cnt * (x * cnt - s) ** 2 > 9 * cnt * (cnt * s2 - s * s)
+
+    # NB: 9 identical values + 1 outlier sits EXACTLY on the 3-sigma
+    # boundary (dev = 3*sigma when cnt = 10), hence the larger profile
+    base = [10] * 15
+    assert flag(base + [400], 400)
+    assert not flag(base + [12], 12)
+    assert not flag(base + [10], 10)
+    # cross-check against float 3-sigma
+    prof = base + [400]
+    mean = sum(prof) / len(prof)
+    var = sum((v - mean) ** 2 for v in prof) / len(prof)
+    assert abs(400 - mean) > 3 * math.sqrt(var)
+
+
+def test_linear_ref_bins_cover_route(spark):
+    import gaia_spark.queries_webgeo as WG
+
+    out = WG.q_linear_ref(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert r["bin"] >= 0 and r["n_points"] > 0
+        # mean cross-track within the corridor half-width
+        assert abs(r["mean_xt_mm"]) <= 500_000_000
