@@ -777,9 +777,10 @@ def test_anomaly_exact_inequality(spark):
         s2 = sum(v * v for v in profile)
         return cnt >= 3 and cnt * (x * cnt - s) ** 2 > 9 * cnt * (cnt * s2 - s * s)
 
-    # NB: 9 identical values + 1 outlier sits EXACTLY on the 3-sigma
-    # boundary (dev = 3*sigma when cnt = 10), hence the larger profile
-    base = [10] * 15
+    # NB: an (almost-)constant profile flags ANY deviation (sigma ~ 0),
+    # and identical-values + 1 outlier sits exactly ON the boundary at
+    # cnt = 10 - so use a profile with real spread
+    base = [8, 12] * 8
     assert flag(base + [400], 400)
     assert not flag(base + [12], 12)
     assert not flag(base + [10], 10)
@@ -788,6 +789,8 @@ def test_anomaly_exact_inequality(spark):
     mean = sum(prof) / len(prof)
     var = sum((v - mean) ** 2 for v in prof) / len(prof)
     assert abs(400 - mean) > 3 * math.sqrt(var)
+    assert abs(12 - (sum(base + [12]) / 17)) < 3 * math.sqrt(
+        sum((v - sum(base + [12]) / 17) ** 2 for v in base + [12]) / 17)
 
 
 def test_linear_ref_bins_cover_route(spark):
