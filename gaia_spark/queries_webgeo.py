@@ -1836,3 +1836,156 @@ def q_linear_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- 1000000000 as bigint)"
         ).alias("mean_xt_mm"),
     )
+
+
+# --- topographic wetness index (flow accumulation ∘ Horn slope) -----------------
+
+_TWI_EPS = "(cast(1 as double) / cast(1000000 as double))"
+_TWI_GRAD = (
+    "(sqrt(cast(gx_e4 * gx_e4 + gy_e4 * gy_e4 as double)) "
+    "/ cast(80000 as double))"
+)
+_TWI = (
+    f"(ln(cast(acc + 1 as double) / greatest({_TWI_GRAD}, {_TWI_EPS})))"
+)
+
+
+def _twi_oracle() -> str:
+    from gaia_spark.operators.hydrology import d8_step_sql
+    from gaia_spark.queries_misc import _d8_pivot_cte
+
+    n_px = 4 * 64
+    return f"""
+    WITH RECURSIVE {_d8_pivot_cte(4)},
+    nodes AS (SELECT r * {n_px} + c AS v, r, c, dir FROM dd),
+    tgt AS (SELECT v, (r + {d8_step_sql(0)}) * {n_px}
+                      + ((c + {d8_step_sql(1)} + {n_px}) % {n_px}) AS nxt
+            FROM nodes WHERE dir > 0),
+    edges AS (SELECT t.v, t.nxt FROM tgt t JOIN nodes n ON t.nxt = n.v),
+    reach(u, x) AS (
+      SELECT v, nxt FROM edges
+      UNION
+      SELECT r.u, e.nxt FROM reach r JOIN edges e ON r.x = e.v
+    ),
+    facc AS (SELECT x AS v, cast(count(*) as bigint) AS acc FROM reach GROUP BY 1),
+    hsc AS (SELECT r + dr AS tr, (c + dc + {n_px}) % {n_px} AS tc,
+                   v_e4 * (-dc) * (2 - abs(dr)) AS wx,
+                   v_e4 * (-dr) * (2 - abs(dc)) AS wy
+            FROM pv CROSS JOIN offs
+            WHERE r + dr >= 0 AND r + dr < {n_px}),
+    hag AS (SELECT tr, tc, count(*) AS n_nb,
+                   cast(sum(wx) as bigint) AS gx_e4,
+                   cast(sum(wy) as bigint) AS gy_e4
+            FROM hsc GROUP BY tr, tc),
+    j AS (SELECT n.r, n.c, coalesce(f.acc, 0) AS acc, h.gx_e4, h.gy_e4
+          FROM nodes n LEFT JOIN facc f ON f.v = n.v
+          JOIN hag h ON h.tr = n.r AND h.tc = n.c AND h.n_nb = 9)
+    SELECT r, c, acc, {P.floor_scaled_sql(_TWI, 6)} AS twi_e6
+    FROM j
+    """
+
+
+@register("q_twi", _twi_oracle())
+def q_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic wetness index ln((acc+1) / tan β) over the zoom-2 grid
+    — the classic hydrology composition: D8 flow accumulation (closure
+    path) joined with the Horn gradient, one shared IEEE ln over exact
+    bigint inputs (clamped tan β so flats don't blow up). Two green
+    operators, one chained oracle."""
+    from gaia_spark.operators.hydrology import flow_accumulation, flow_direction
+    from gaia_spark.operators.raster import slope_aspect
+    from gaia_spark.synth import synth_raster
+
+    raster = synth_raster(spark, zooms=(2,), bands=(0,))
+    fa = flow_accumulation(flow_direction(raster, zoom=2), zoom=2).select(
+        "r", "c", "acc"
+    )
+    sl = slope_aspect(raster, zoom=2).select("r", "c", "gx_e4", "gy_e4")
+    j = fa.join(sl, ["r", "c"])
+    return j.select(
+        "r", "c", F.col("acc").cast("long").alias("acc"),
+        F.expr(P.floor_scaled_sql(_TWI, 6)).alias("twi_e6"),
+    )
+
+
+# --- gravity-model deterrence fit ----------------------------------------------
+
+
+def _gravity_oracle() -> str:
+    fs = P.floor_scaled_sql
+    n = 1 << 4
+    fy = P.bigint_div("cell_from", str(n), P.DUCK)
+    fx = f"(cell_from % {n})"
+    ty_ = P.bigint_div("cell_to", str(n), P.DUCK)
+    tx_ = f"(cell_to % {n})"
+    dist = P.haversine_m_sql(
+        P.cell_center_lat_sql(fy, 4), P.cell_center_lon_sql(fx, 4),
+        P.cell_center_lat_sql(ty_, 4), P.cell_center_lon_sql(tx_, 4),
+    )
+    return f"""
+    WITH e AS (SELECT user_id, ts, event_id, {P.key_lat_sql('event_id')} AS lat,
+                      {P.key_lon_sql('event_id')} AS lon FROM events),
+    p AS (SELECT user_id, lat, lon, lag(lat) OVER w AS prev_lat,
+                 lag(lon) OVER w AS prev_lon FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flows AS (SELECT {P.cell_id_sql('prev_lat', 'prev_lon', 4)} AS cell_from,
+                     {P.cell_id_sql('lat', 'lon', 4)} AS cell_to,
+                     cast(count(*) as bigint) AS n_trips
+              FROM p WHERE prev_lat IS NOT NULL GROUP BY 1, 2),
+    q AS (SELECT {fs('ln((' + dist + ') / cast(1000 as double))', 3)} AS x_e3,
+                 {fs('ln(cast(n_trips as double))', 3)} AS y_e3
+          FROM flows WHERE cell_from <> cell_to),
+    s AS (SELECT cast(count(*) as bigint) AS m,
+                 cast(sum(x_e3) as bigint) AS sx, cast(sum(y_e3) as bigint) AS sy,
+                 cast(sum(x_e3 * y_e3) as bigint) AS sxy,
+                 cast(sum(x_e3 * x_e3) as bigint) AS sxx
+          FROM q)
+    SELECT m AS n_pairs,
+      {fs('(cast(m * sxy - sx * sy as double) / cast(m * sxx - sx * sx as double))', 6)}
+        AS beta_e6
+    FROM s
+    """
+
+
+@register("q_gravity_fit", _gravity_oracle())
+def q_gravity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model deterrence exponent: log-log OLS of inter-cell OD
+    flows on great-circle distance between cell centers (the calibration
+    step IPF/Huff consume) — exact-moment OLS on e3-prequantized
+    ln(km)/ln(n) (coarser than q_zipf's e6 because m here is cells²-
+    bounded and m·Σxy must stay inside int64). Negative beta = distance
+    decay."""
+    from gaia_spark.operators.trajectory import od_flows
+
+    fs = P.floor_scaled_sql
+    n = 1 << 4
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(P.key_lat_sql("event_id")).alias("lat"),
+        F.expr(P.key_lon_sql("event_id")).alias("lon"),
+    )
+    flows = od_flows(e, res=4).filter(F.col("cell_from") != F.col("cell_to"))
+    fy = P.bigint_div("cell_from", str(n), P.SPARK)
+    fx = f"(cell_from % {n})"
+    ty_ = P.bigint_div("cell_to", str(n), P.SPARK)
+    tx_ = f"(cell_to % {n})"
+    dist = P.haversine_m_sql(
+        P.cell_center_lat_sql(fy, 4), P.cell_center_lon_sql(fx, 4),
+        P.cell_center_lat_sql(ty_, 4), P.cell_center_lon_sql(tx_, 4),
+    )
+    q = flows.select(
+        F.expr(fs(f"ln(({dist}) / cast(1000 as double))", 3)).alias("x_e3"),
+        F.expr(fs("ln(cast(n_trips as double))", 3)).alias("y_e3"),
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x_e3").alias("sx"), F.sum("y_e3").alias("sy"),
+        F.sum(F.col("x_e3") * F.col("y_e3")).alias("sxy"),
+        F.sum(F.col("x_e3") * F.col("x_e3")).alias("sxx"),
+    )
+    return s.select(
+        F.col("m").alias("n_pairs"),
+        F.expr(fs(
+            "(cast(m * sxy - sx * sy as double) "
+            "/ cast(m * sxx - sx * sx as double))", 6)).alias("beta_e6"),
+    )

@@ -802,3 +802,35 @@ def test_linear_ref_bins_cover_route(spark):
         assert r["bin"] >= 0 and r["n_points"] > 0
         # mean cross-track within the corridor half-width
         assert abs(r["mean_xt_mm"]) <= 500_000_000
+
+
+def test_twi_formula_properties(spark):
+    # TWI increases with accumulation, decreases with gradient
+    import math
+
+    from gaia_spark.queries_webgeo import _TWI
+
+    rows = [(0, 40000, 30000), (100, 40000, 30000), (100, 400000, 300000)]
+    df = spark.createDataFrame(rows, "acc long, gx_e4 long, gy_e4 long")
+    vals = [r[0] for r in df.selectExpr(f"{_TWI} as t").collect()]
+    assert vals[1] > vals[0]          # more accumulation -> wetter
+    assert vals[2] < vals[1]          # steeper -> drier
+    grad = math.hypot(4.0, 3.0) / 8.0
+    assert abs(vals[1] - math.log(101 / grad)) < 1e-9
+
+
+def test_gravity_fit_recovers_decay_slope(spark):
+    # synthetic flows n = round(1e6 * d^-2) must fit beta ~ -2 through the
+    # same e3-quantized moment algebra
+    import math
+
+    dists_km = [100, 200, 400, 800, 1600]
+    xs = [math.floor(math.log(d) * 1e3 + 0.5) for d in dists_km]
+    ys = [math.floor(math.log(round(1e6 * d ** -2.0)) * 1e3 + 0.5)
+          for d in dists_km]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert abs(beta + 2.0) < 1e-3
