@@ -820,13 +820,13 @@ def test_twi_formula_properties(spark):
 
 
 def test_gravity_fit_recovers_decay_slope(spark):
-    # synthetic flows n = round(1e6 * d^-2) must fit beta ~ -2 through the
+    # synthetic flows n = round(1e8 * d^-2) must fit beta ~ -2 through the
     # same e3-quantized moment algebra
     import math
 
     dists_km = [100, 200, 400, 800, 1600]
     xs = [math.floor(math.log(d) * 1e3 + 0.5) for d in dists_km]
-    ys = [math.floor(math.log(round(1e6 * d ** -2.0)) * 1e3 + 0.5)
+    ys = [math.floor(math.log(round(1e8 * d ** -2.0)) * 1e3 + 0.5)
           for d in dists_km]
     m = len(xs)
     sx, sy = sum(xs), sum(ys)
