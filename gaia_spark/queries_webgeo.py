@@ -1989,3 +1989,70 @@ def q_gravity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(cast(m * sxy - sx * sy as double) "
             "/ cast(m * sxx - sx * sx as double))", 6)).alias("beta_e6"),
     )
+
+
+# --- flagship pipeline, oracle-paired ------------------------------------------
+#
+# entry() runs this same chain as the driver's rows-only smoke; this twin
+# makes the END-TO-END composition hash-checked: pages → frozen-grammar
+# geoparse → res-8 cell encode → rect-zone within join → per-(zone, lang)
+# rollup with page count, distinct-cell count and summed quality score.
+
+
+def _flagship_oracle() -> str:
+    from gaia_spark.functions import text as TT
+    from gaia_spark.queries import GEOPARSE_RE2, ZONES_CTE, _PAGES_CTE
+
+    fs = P.floor_scaled_sql
+    q = TT.quality_score_sql("text", P.DUCK)
+    # the shared pages CTE carries (url, text); this chain also needs lang
+    pages_l = _PAGES_CTE.replace("FROM documents)", ", lang FROM documents)")
+    return f"""
+    WITH {pages_l}, {ZONES_CTE},
+    g AS (SELECT url, lang, {q} AS quality,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 3), '')
+                      as double) AS lat,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 4), '')
+                      as double) AS lon
+          FROM pages),
+    pts AS (SELECT url, lang, quality, lat, lon,
+                   {P.cell_id_sql('lat', 'lon', 8)} AS cell
+            FROM g WHERE lat IS NOT NULL),
+    j AS (SELECT z.zone_id, p.lang, p.url, p.cell, p.quality
+          FROM pts p JOIN zones z
+            ON p.lat >= z.min_lat AND p.lat <= z.max_lat
+           AND p.lon >= z.min_lon AND p.lon <= z.max_lon)
+    SELECT zone_id, lang, cast(count(*) as bigint) AS n_pages,
+           cast(count(distinct cell) as bigint) AS n_cells,
+           cast(sum({fs('quality', 2)}) as bigint) AS quality_sum_e2
+    FROM j GROUP BY 1, 2
+    """
+
+
+@register("q_flagship_pipeline", _flagship_oracle())
+def q_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star chain, hash-checked end to end: pages-shaped table →
+    Arrow geoparse (frozen grammar v1) → res-8 cell encode → cell-bucketed
+    broadcast intersects-join against the 14-zone layer (inclusive
+    boundaries, the entry() predicate) → per-(zone, lang)
+    rollup (pages, distinct cells, summed e2 quality). entry() runs the
+    same composition as the driver's smoke; this twin pins every stage's
+    VALUES against the DuckDB replay (RE2 mirror, rect containment,
+    shared quality heuristic)."""
+    from gaia_spark.functions import text as TT
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.spatial_join import ZoneIndex, spatial_join, with_cell
+    from gaia_spark.queries import oracle_zones_pdf, pages_from_documents
+
+    fs = P.floor_scaled_sql
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "quality", F.expr(TT.quality_score_sql("text", P.SPARK))
+    )
+    pts = with_cell(geoparse(pages), 8).filter(F.col("lat").isNotNull())
+    idx = ZoneIndex.build(oracle_zones_pdf())
+    joined = spatial_join(pts, idx, predicate="intersects", point_key="url")
+    return joined.groupBy("zone_id", "lang").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("cell_r8").alias("n_cells"),
+        F.sum(F.expr(fs("quality", 2))).cast("long").alias("quality_sum_e2"),
+    )
