@@ -2056,3 +2056,93 @@ def q_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cell_r8").alias("n_cells"),
         F.sum(F.expr(fs("quality", 2))).cast("long").alias("quality_sum_e2"),
     )
+
+
+# --- corpus drift: Jensen-Shannon divergence between sources --------------------
+
+
+def _jsd_oracle() -> str:
+    fs = P.floor_scaled_sql
+    pa = "(cast(coalesce(na, 0) as double) / cast(ta as double))"
+    pb = "(cast(coalesce(nb, 0) as double) / cast(tb as double))"
+    term = (
+        f"(CASE WHEN coalesce(na, 0) > 0 THEN {pa} * ln(2 * {pa} / ({pa} + {pb})) "
+        "ELSE cast(0 as double) END "
+        f"+ CASE WHEN coalesce(nb, 0) > 0 THEN {pb} * ln(2 * {pb} / ({pa} + {pb})) "
+        "ELSE cast(0 as double) END)"
+    )
+    return f"""
+    WITH toks AS (SELECT source, unnest({P.split_ws('text', P.DUCK)}) AS word
+                  FROM documents WHERE length(text) > 0),
+    cnt AS (SELECT source, word, cast(count(*) as bigint) AS n
+            FROM toks WHERE length(word) > 0 GROUP BY 1, 2),
+    tot AS (SELECT source, cast(sum(n) as bigint) AS t FROM cnt GROUP BY 1),
+    wv AS (SELECT DISTINCT word FROM cnt),
+    pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                  a.t AS ta, b.t AS tb
+           FROM tot a JOIN tot b ON a.source < b.source),
+    g AS (SELECT pr.source_a, pr.source_b, pr.ta, pr.tb, wv.word,
+                 ca.n AS na, cb.n AS nb
+          FROM pr CROSS JOIN wv
+          LEFT JOIN cnt ca ON ca.source = pr.source_a AND ca.word = wv.word
+          LEFT JOIN cnt cb ON cb.source = pr.source_b AND cb.word = wv.word),
+    q AS (SELECT source_a, source_b, {fs(term, 12)} AS t_e12 FROM g
+          WHERE coalesce(na, 0) + coalesce(nb, 0) > 0)
+    SELECT source_a, source_b, cast(count(*) as bigint) AS n_words,
+           cast(sum(t_e12) as bigint) AS jsd2_e12
+    FROM q GROUP BY 1, 2
+    """
+
+
+@register("q_jsd_sources", _jsd_oracle())
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift between sources: Jensen-Shannon divergence of the
+    word distributions for every source pair — the distribution-shift
+    monitor of a curation pipeline. Per-word terms are one shared IEEE
+    chain from exact counts, e12-quantized BEFORE the sum so the
+    aggregation is an order-free bigint add; output is 2·JSD in e12
+    (halving stays with the consumer to keep the sum exact). Vocabulary-
+    sized joins only."""
+    fs = P.floor_scaled_sql
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = d.select(
+        "source", F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("word")
+    ).filter(F.length("word") > 0)
+    cnt = toks.groupBy("source", "word").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    wv = cnt.select("word").distinct()
+    a = tot.select(F.col("source").alias("source_a"), F.col("t").alias("ta"))
+    b = tot.select(F.col("source").alias("source_b"), F.col("t").alias("tb"))
+    pr = a.join(b, F.col("source_a") < F.col("source_b"))
+    ca = cnt.select(
+        F.col("source").alias("_sa"), F.col("word").alias("_wa"),
+        F.col("n").alias("na"),
+    )
+    cb = cnt.select(
+        F.col("source").alias("_sb"), F.col("word").alias("_wb"),
+        F.col("n").alias("nb"),
+    )
+    g = (
+        pr.crossJoin(F.broadcast(wv))
+        .join(ca, (F.col("source_a") == F.col("_sa"))
+              & (F.col("word") == F.col("_wa")), "left")
+        .drop("_sa", "_wa")
+        .join(cb, (F.col("source_b") == F.col("_sb"))
+              & (F.col("word") == F.col("_wb")), "left")
+        .drop("_sb", "_wb")
+    )
+    pa = "(cast(coalesce(na, 0) as double) / cast(ta as double))"
+    pb = "(cast(coalesce(nb, 0) as double) / cast(tb as double))"
+    term = (
+        f"(CASE WHEN coalesce(na, 0) > 0 THEN {pa} * ln(2 * {pa} / ({pa} + {pb})) "
+        "ELSE cast(0 as double) END "
+        f"+ CASE WHEN coalesce(nb, 0) > 0 THEN {pb} * ln(2 * {pb} / ({pa} + {pb})) "
+        "ELSE cast(0 as double) END)"
+    )
+    q = g.filter(F.expr("coalesce(na, 0) + coalesce(nb, 0) > 0")).select(
+        "source_a", "source_b", F.expr(fs(term, 12)).alias("t_e12")
+    )
+    return q.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("t_e12").cast("long").alias("jsd2_e12"),
+    )

@@ -834,3 +834,30 @@ def test_gravity_fit_recovers_decay_slope(spark):
     sxx = sum(a * a for a in xs)
     beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
     assert abs(beta + 2.0) < 1e-3
+
+
+def test_jsd_identical_and_disjoint(spark):
+    # identical distributions -> 0; disjoint vocabularies -> 2*ln(2) (the
+    # JSD maximum, doubled because the query reports 2*JSD)
+    import math
+
+    import gaia_spark.queries_webgeo as WG
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s1", 16),
+         (2, "alpha beta gamma", "en", "s2", 16),
+         (3, "delta epsilon zeta", "en", "s3", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = WG.load
+    try:
+        WG.load = lambda s, d, n: docs
+        out = {(r["source_a"], r["source_b"]): r
+               for r in WG.q_jsd_sources(spark, "x").collect()}
+    finally:
+        WG.load = orig
+    assert out[("s1", "s2")]["jsd2_e12"] == 0
+    expected = math.floor(2 * math.log(2) * 1e12 + 0.5)
+    # disjoint: every term contributes p*ln(2); summed per side = ln 2 each
+    got = out[("s1", "s3")]["jsd2_e12"]
+    assert abs(got - expected) <= 6  # one quantized term per word, ±1 each
