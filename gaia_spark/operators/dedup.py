@@ -828,3 +828,88 @@ def containment_pairs(
         F.expr(P.floor_scaled_sql(c_ab, 6)).alias("cont_ab_e6"),
         F.expr(P.floor_scaled_sql(c_ba, 6)).alias("cont_ba_e6"),
     )
+
+
+# --- DuckDB oracle twin (cycle-free home; see clustering.kmeans_oracle_ctes) --
+
+def minhash_oracle_ctes(n_hashes: int = 8, band_size: int = 2) -> str:
+    sh = shingles_sql("text", P.DUCK)
+    hashed = [P.md5_int60(f"'{k}:' || s", P.DUCK) for k in range(n_hashes)]
+    sigs = ", ".join(f"min({h}) AS sig_{k}" for k, h in enumerate(hashed))
+    n_bands = n_hashes // band_size
+    bands = ", ".join(
+        "concat("
+        + f"'{b}', '_', "
+        + ", '_', ".join(f"cast(sig_{b * band_size + j} as varchar)" for j in range(band_size))
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+    sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig)
+    """
+
+
+def minhash_accuracy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash ESTIMATE vs EXACT Jaccard for every LSH candidate pair —
+    the sketch-quality evaluation: est = matching signature slots / k,
+    exact = |A∩B| / |A∪B| over distinct shingles, plus the absolute
+    error, all e6-quantized. Exact verification is scoped to the banded
+    candidates (the same never-all-pairs discipline as the dedup ops)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n_hashes, band_size)
+    sa = sigs.select(
+        F.col(id_col).alias("a"), *[F.col(f"sig_{k}").alias(f"_a{k}") for k in range(n_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("b"), *[F.col(f"sig_{k}").alias(f"_b{k}") for k in range(n_hashes)]
+    )
+    match = " + ".join(
+        f"(CASE WHEN _a{k} = _b{k} THEN 1 ELSE 0 END)" for k in range(n_hashes)
+    )
+    est = pairs.join(sa, "a").join(sb, "b").select(
+        "a", "b",
+        F.expr(
+            P.floor_scaled_sql(
+                f"(cast({match} as double) / cast({n_hashes} as double))", 6
+            )
+        ).alias("est_e6"),
+    )
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(shingles_sql(text_col, P.SPARK))).alias("s"),
+        ).distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    ia = sh.select(F.col(id_col).alias("a"), "s")
+    ib = sh.select(F.col(id_col).alias("b"), "s")
+    inter = (
+        pairs.join(ia, "a").join(ib, ["b", "s"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    j = (
+        est.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+    )
+    exact = (
+        "(cast(inter as double) / cast(n_a + n_b - inter as double))"
+    )
+    return j.select(
+        "a", "b", "est_e6",
+        F.expr(P.floor_scaled_sql(exact, 6)).alias("exact_e6"),
+        F.expr(
+            P.floor_scaled_sql(
+                f"abs(cast(est_e6 as double) / cast(1000000 as double) - {exact})", 6
+            )
+        ).alias("abs_err_e6"),
+    )

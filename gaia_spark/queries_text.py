@@ -134,22 +134,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_ctes(n_hashes: int = 8, band_size: int = 2) -> str:
-    sh = T.shingles_sql("text", P.DUCK)
-    hashed = [P.md5_int60(f"'{k}:' || s", P.DUCK) for k in range(n_hashes)]
-    sigs = ", ".join(f"min({h}) AS sig_{k}" for k, h in enumerate(hashed))
-    n_bands = n_hashes // band_size
-    bands = ", ".join(
-        "concat("
-        + f"'{b}', '_', "
-        + ", '_', ".join(f"cast(sig_{b * band_size + j} as varchar)" for j in range(band_size))
-        + ")"
-        for b in range(n_bands)
-    )
-    return f"""
-    sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
-    sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
-    bands AS (SELECT doc_id, unnest([{bands}]) AS band FROM sig)
-    """
+    from gaia_spark.operators.dedup import minhash_oracle_ctes
+
+    return minhash_oracle_ctes(n_hashes, band_size)
 
 
 @register(

@@ -2146,3 +2146,121 @@ def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_words"),
         F.sum("t_e12").cast("long").alias("jsd2_e12"),
     )
+
+
+# --- MinHash accuracy evaluation ------------------------------------------------
+
+
+def _minhash_acc_oracle() -> str:
+    from gaia_spark.operators.dedup import minhash_oracle_ctes
+
+    fs = P.floor_scaled_sql
+    n_hashes = 8
+    match = " + ".join(
+        f"(CASE WHEN sa.sig_{k} = sb.sig_{k} THEN 1 ELSE 0 END)"
+        for k in range(n_hashes)
+    )
+    sh = T.shingles_sql("text", P.DUCK)
+    exact = "(cast(coalesce(i.inter, 0) as double) " \
+            "/ cast(za.n_sh + zb.n_sh - coalesce(i.inter, 0) as double))"
+    return f"""
+    WITH {minhash_oracle_ctes()},
+    cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+             FROM bands a JOIN bands b USING (band)
+             WHERE a.doc_id < b.doc_id),
+    est AS (SELECT cand.a, cand.b,
+              {fs(f'(cast({match} as double) / cast({n_hashes} as double))', 6)}
+                AS est_e6
+            FROM cand JOIN sig sa ON sa.doc_id = cand.a
+                      JOIN sig sb ON sb.doc_id = cand.b),
+    shd AS (SELECT DISTINCT doc_id, s FROM
+              (SELECT doc_id, unnest({sh}) AS s FROM documents) q),
+    sizes AS (SELECT doc_id, cast(count(*) as bigint) AS n_sh
+              FROM shd GROUP BY 1),
+    i AS (SELECT cand.a, cand.b, cast(count(*) as bigint) AS inter
+          FROM cand JOIN shd ia ON ia.doc_id = cand.a
+                    JOIN shd ib ON ib.doc_id = cand.b AND ib.s = ia.s
+          GROUP BY 1, 2)
+    SELECT est.a, est.b, est.est_e6,
+           {fs(exact, 6)} AS exact_e6,
+           {fs(f'abs(cast(est.est_e6 as double) / cast(1000000 as double) - {exact})', 6)}
+             AS abs_err_e6
+    FROM est LEFT JOIN i ON i.a = est.a AND i.b = est.b
+    JOIN sizes za ON za.doc_id = est.a JOIN sizes zb ON zb.doc_id = est.b
+    """
+
+
+@register("q_minhash_accuracy", _minhash_acc_oracle())
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: MinHash-estimated vs exact Jaccard (and
+    the absolute error) for every LSH candidate pair — exact verification
+    scoped to the banded candidates, never all-pairs. The eval sibling of
+    q_minhash_pairs that tells a pipeline owner what the banding
+    threshold actually buys."""
+    from gaia_spark.operators.dedup import minhash_accuracy
+
+    return minhash_accuracy(load(spark, sf_dir, "documents"))
+
+
+# --- spatial language diversity -------------------------------------------------
+
+
+def _geo_diversity_oracle() -> str:
+    from gaia_spark.queries import GEOPARSE_RE2, _PAGES_CTE
+
+    fs = P.floor_scaled_sql
+    pages_l = _PAGES_CTE.replace("FROM documents)", ", lang FROM documents)")
+    p = "(cast(n as double) / cast(tot as double))"
+    return f"""
+    WITH {pages_l},
+    g AS (SELECT lang,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 3), '')
+                      as double) AS lat,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 4), '')
+                      as double) AS lon
+          FROM pages),
+    pts AS (SELECT lang, {P.cell_id_sql('lat', 'lon', 4)} AS cell
+            FROM g WHERE lat IS NOT NULL),
+    c AS (SELECT cell, lang, cast(count(*) as bigint) AS n
+          FROM pts GROUP BY 1, 2),
+    t AS (SELECT cell, cast(sum(n) as bigint) AS tot,
+                 cast(count(*) as bigint) AS n_langs FROM c GROUP BY 1),
+    q AS (SELECT c.cell, {fs(f'(-({p}) * ln({p}))', 9)} AS h_e9
+          FROM c JOIN t USING (cell))
+    SELECT t.cell, t.tot AS n_pages, t.n_langs,
+           cast(sum(q.h_e9) as bigint) AS entropy_e9
+    FROM q JOIN t USING (cell) GROUP BY 1, 2, 3
+    """
+
+
+@register("q_geo_diversity", _geo_diversity_oracle())
+def q_geo_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial language diversity: Shannon entropy of the page-language
+    mix per res-4 cell over the geoparsed pages layer — the web x geo
+    diversity map (monolingual vs cosmopolitan regions). Per-lang terms
+    e9-prequantized from exact counts, summed as bigints (order-free);
+    two cell-keyed aggregates."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.queries import pages_from_documents
+
+    fs = P.floor_scaled_sql
+    pts = (
+        with_cell(geoparse(pages_from_documents(spark, sf_dir)), 4)
+        .filter(F.col("lat").isNotNull())
+        .select("lang", F.col("cell_r4").alias("cell"))
+    )
+    c = pts.groupBy("cell", "lang").agg(F.count("*").alias("n"))
+    t = c.groupBy("cell").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n_langs"),
+    )
+    p = "(cast(n as double) / cast(tot as double))"
+    q = c.join(F.broadcast(t), "cell").select(
+        "cell", F.expr(fs(f"(-({p}) * ln({p}))", 9)).alias("h_e9")
+    )
+    return (
+        q.join(F.broadcast(t), "cell")
+        .groupBy("cell", F.col("tot").alias("n_pages"), "n_langs")
+        .agg(F.sum("h_e9").cast("long").alias("entropy_e9"))
+    )

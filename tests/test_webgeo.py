@@ -861,3 +861,37 @@ def test_jsd_identical_and_disjoint(spark):
     # disjoint: every term contributes p*ln(2); summed per side = ln 2 each
     got = out[("s1", "s3")]["jsd2_e12"]
     assert abs(got - expected) <= 6  # one quantized term per word, ±1 each
+
+
+def test_minhash_accuracy_exact_on_identical(spark):
+    # identical docs: est = 1, exact = 1, err = 0; near-identical docs get
+    # bounded error
+    from gaia_spark.operators.dedup import minhash_accuracy
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " kilo")],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r for r in minhash_accuracy(docs).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert (r["est_e6"], r["exact_e6"], r["abs_err_e6"]) == (1_000_000, 1_000_000, 0)
+    for e in out.values():
+        assert 0 <= e["est_e6"] <= 1_000_000
+        assert 0 <= e["exact_e6"] <= 1_000_000
+        assert e["abs_err_e6"] <= 1_000_000
+
+
+def test_geo_diversity_entropy_bounds(spark):
+    import math
+
+    import gaia_spark.queries_webgeo as WG
+
+    out = WG.q_geo_diversity(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert r["n_langs"] >= 1
+        assert 0 <= r["entropy_e9"] <= math.ceil(math.log(r["n_langs"]) * 1e9) + r["n_langs"]
+        if r["n_langs"] == 1:
+            assert r["entropy_e9"] == 0
