@@ -2264,3 +2264,88 @@ def q_geo_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell", F.col("tot").alias("n_pages"), "n_langs")
         .agg(F.sum("h_e9").cast("long").alias("entropy_e9"))
     )
+
+
+# --- coverage audit: zones without pages / pages outside all zones --------------
+
+
+def _coverage_oracle() -> str:
+    from gaia_spark.queries import GEOPARSE_RE2, ZONES_CTE, _PAGES_CTE
+
+    return f"""
+    WITH {_PAGES_CTE}, {ZONES_CTE},
+    g AS (SELECT url,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 3), '')
+                      as double) AS lat,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 4), '')
+                      as double) AS lon
+          FROM pages),
+    pts AS (SELECT url, lat, lon FROM g WHERE lat IS NOT NULL),
+    j AS (SELECT p.url, z.zone_id FROM pts p LEFT JOIN zones z
+            ON p.lat >= z.min_lat AND p.lat <= z.max_lat
+           AND p.lon >= z.min_lon AND p.lon <= z.max_lon),
+    per_zone AS (SELECT z.zone_id,
+                        cast(count(j.url) as bigint) AS n_pages
+                 FROM zones z LEFT JOIN j ON j.zone_id = z.zone_id
+                 GROUP BY 1),
+    outside AS (SELECT cast(count(*) as bigint) AS n
+                FROM (SELECT url, max(zone_id) AS mz FROM j GROUP BY url) q
+                WHERE mz IS NULL)
+    SELECT cast(zone_id as bigint) AS zone_id, n_pages,
+           (n_pages = 0) AS is_gap,
+           outside.n AS n_outside_all
+    FROM per_zone CROSS JOIN outside
+    """
+
+
+@register("q_zone_coverage", _coverage_oracle())
+def q_zone_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage audit of the zone layer vs the geoparsed pages: page count
+    per zone INCLUDING empty zones (the gap list), plus the count of
+    pages outside every zone — the QA query a layer owner runs before
+    trusting any zonal rollup. Left joins both ways off one small
+    broadcast layer."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.queries import oracle_zones_pdf, pages_from_documents
+
+    pts = (
+        geoparse(pages_from_documents(spark, sf_dir))
+        .filter(F.col("lat").isNotNull())
+        .select("url", "lat", "lon")
+    )
+    zones = spark.createDataFrame(
+        [
+            (z, la0, lo0, la1, lo1)
+            for z, la0, lo0, la1, lo1 in (
+                (r["zone_id"], r["min_lat"], r["min_lon"], r["max_lat"],
+                 r["max_lon"])
+                for _, r in oracle_zones_pdf().iterrows()
+            )
+        ],
+        "zone_id long, min_lat double, min_lon double, max_lat double, "
+        "max_lon double",
+    )
+    j = pts.join(
+        F.broadcast(zones),
+        (F.col("lat") >= F.col("min_lat")) & (F.col("lat") <= F.col("max_lat"))
+        & (F.col("lon") >= F.col("min_lon"))
+        & (F.col("lon") <= F.col("max_lon")),
+        "left",
+    ).select("url", "zone_id")
+    per_zone = (
+        zones.select("zone_id")
+        .join(j.filter(F.col("zone_id").isNotNull()), "zone_id", "left")
+        .groupBy("zone_id")
+        .agg(F.count("url").alias("n_pages"))
+    )
+    outside = (
+        j.groupBy("url").agg(F.max("zone_id").alias("mz"))
+        .filter(F.col("mz").isNull())
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return per_zone.crossJoin(F.broadcast(outside)).select(
+        F.col("zone_id").cast("long"),
+        F.col("n_pages").cast("long"),
+        (F.col("n_pages") == 0).alias("is_gap"),
+        F.col("n").alias("n_outside_all"),
+    )
