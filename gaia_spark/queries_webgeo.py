@@ -2349,3 +2349,56 @@ def q_zone_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_pages") == 0).alias("is_gap"),
         F.col("n").alias("n_outside_all"),
     )
+
+
+# --- exact weighted median ------------------------------------------------------
+
+
+@register(
+    "q_weighted_median",
+    f"""
+    WITH l AS (SELECT l_returnflag AS flag,
+                      {P.floor_scaled_sql('l_extendedprice', 2)} AS price_e2,
+                      cast({P.floor_scaled_sql('l_quantity', 0)} as bigint) AS w,
+                      l_orderkey, l_linenumber
+               FROM lineitem),
+    c AS (SELECT flag, price_e2, w,
+                 sum(w) OVER (PARTITION BY flag
+                   ORDER BY price_e2, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+                 sum(w) OVER (PARTITION BY flag) AS tw
+          FROM l),
+    m AS (SELECT flag, cast(min(price_e2) as bigint) AS wmedian_e2,
+                 cast(min(tw) as bigint) AS total_w
+          FROM c WHERE 2 * cw >= tw GROUP BY flag)
+    SELECT flag, wmedian_e2, total_w FROM m
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (lower) of extended price weighted by
+    quantity, per return flag: one per-group window cumsum under a total
+    (price, orderkey, linenumber) order, then the first row whose doubled
+    cumulative weight reaches the total — the weighted sibling of
+    q_quantiles' rank picks, all exact bigints."""
+    fs = P.floor_scaled_sql
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(fs("l_extendedprice", 2)).alias("price_e2"),
+        F.expr(f"cast({fs('l_quantity', 0)} as bigint)").alias("w"),
+        "l_orderkey", "l_linenumber",
+    )
+    wo = Window.partitionBy("flag").orderBy(
+        "price_e2", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("flag")
+    c = li.withColumn("cw", F.sum("w").over(wo)).withColumn(
+        "tw", F.sum("w").over(wt)
+    )
+    return (
+        c.filter(F.expr("2 * cw >= tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_e2").cast("long").alias("wmedian_e2"),
+            F.min("tw").cast("long").alias("total_w"),
+        )
+    )

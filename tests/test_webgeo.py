@@ -895,3 +895,26 @@ def test_geo_diversity_entropy_bounds(spark):
         assert 0 <= r["entropy_e9"] <= math.ceil(math.log(r["n_langs"]) * 1e9) + r["n_langs"]
         if r["n_langs"] == 1:
             assert r["entropy_e9"] == 0
+
+
+def test_weighted_median_hand_case(spark):
+    # weights {1:1, 2:1, 3:10}: total 12, half 6 -> median 3 (the heavy
+    # item); equal weights fall back to the lower median
+    import gaia_spark.queries_webgeo as WG
+
+    li = spark.createDataFrame(
+        [(1, 1, 1.0, 1.0), (1, 2, 1.0, 2.0), (1, 3, 10.0, 3.0),
+         (2, 1, 1.0, 10.0), (2, 2, 1.0, 20.0)],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double",
+    ).withColumn("l_returnflag", F.lit("A"))
+    orig = WG.load
+    try:
+        WG.load = lambda s, d, n: li
+        out = WG.q_weighted_median(spark, "x").collect()
+    finally:
+        WG.load = orig
+    # one flag: prices [1,2,3,10,20] weights [1,1,10,1,1]; tw=14, half 7
+    # cum: 1,2,12 -> first 2*cw>=14 at price 3
+    assert len(out) == 1
+    assert (out[0]["wmedian_e2"], out[0]["total_w"]) == (300, 14)
