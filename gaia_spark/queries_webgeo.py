@@ -2402,3 +2402,81 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("long").alias("total_w"),
         )
     )
+
+
+# --- funnel latency (time-to-convert percentiles) -------------------------------
+
+
+@register(
+    "q_funnel_latency",
+    f"""
+    WITH s1 AS (SELECT user_id, min(struct_pack(ts := ts, eid := event_id)) AS m
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS m
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click'
+             AND (e.ts > (s1.m).ts OR (e.ts = (s1.m).ts
+                  AND e.event_id > (s1.m).eid))
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS m
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase'
+             AND (e.ts > (s2.m).ts OR (e.ts = (s2.m).ts
+                  AND e.event_id > (s2.m).eid))
+           GROUP BY 1),
+    g AS (SELECT s3.user_id,
+                 cast(floor(date_part('epoch', (s3.m).ts - (s1.m).ts))
+                      as bigint) AS gap_s
+          FROM s3 JOIN s1 ON s1.user_id = s3.user_id),
+    r AS (SELECT gap_s,
+                 row_number() OVER (ORDER BY gap_s, user_id) AS rn,
+                 count(*) OVER () AS n FROM g)
+    SELECT cast(min(n) as bigint) AS n_users,
+           max(CASE WHEN rn = (n - 1) // 2 + 1 THEN gap_s END) AS p50_s,
+           max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN gap_s END) AS p90_s
+    FROM r
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for users completing the strict view→click→
+    purchase funnel, the exact p50/p90 of first-view→first-qualifying-
+    purchase latency — the product metric behind 'how long does
+    conversion take'. Chains the q_funnel stage picks with the
+    q_quantiles rank formula; the rank window sorts only the completing
+    users."""
+    e = load(spark, sf_dir, "events")
+
+    def stage(ev_type, prev):
+        s = e.filter(F.col("event_type") == ev_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(
+                (F.col("ts") > F.col("m.ts"))
+                | ((F.col("ts") == F.col("m.ts"))
+                   & (F.col("event_id") > F.col("m.eid")))
+            )
+        return s.groupBy("user_id").agg(
+            F.min(F.struct(F.col("ts").alias("ts"),
+                           F.col("event_id").alias("eid"))).alias("m")
+        )
+
+    s1 = stage("view", None)
+    s3 = stage("purchase", stage("click", s1))
+    g = s3.join(
+        s1.select("user_id", F.col("m").alias("m1")), "user_id"
+    ).select(
+        "user_id",
+        F.floor(
+            F.col("m.ts").cast("timestamp").cast("double")
+            - F.col("m1.ts").cast("timestamp").cast("double")
+        ).cast("long").alias("gap_s"),
+    )
+    r = g.withColumn(
+        "rn", F.row_number().over(Window.orderBy("gap_s", "user_id"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    return r.agg(
+        F.min("n").cast("long").alias("n_users"),
+        F.max(F.expr("CASE WHEN rn = (n - 1) div 2 + 1 THEN gap_s END"))
+        .alias("p50_s"),
+        F.max(F.expr("CASE WHEN rn = ((n - 1) * 9) div 10 + 1 THEN gap_s END"))
+        .alias("p90_s"),
+    )
