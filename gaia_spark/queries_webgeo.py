@@ -2480,3 +2480,105 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.expr("CASE WHEN rn = ((n - 1) * 9) div 10 + 1 THEN gap_s END"))
         .alias("p90_s"),
     )
+
+
+# --- mobility metrics: radius of gyration + visit entropy -----------------------
+
+
+@register(
+    "q_mobility",
+    f"""
+    WITH e AS (SELECT user_id, {_CH_LAT} AS lat, {_CH_LON} AS lon FROM events),
+    q AS (SELECT user_id, lat, lon,
+                 {P.floor_scaled_sql('lat + 90.0', 4)} AS la4,
+                 {P.floor_scaled_sql('lon + 180.0', 4)} AS lo4,
+                 {P.cell_id_sql('lat', 'lon', 6)} AS cell
+          FROM e),
+    c AS (SELECT user_id, cast(count(*) as bigint) AS n,
+                 {P.bigint_div('sum(la4)', 'count(*)', P.DUCK)} AS ca4,
+                 {P.bigint_div('sum(lo4)', 'count(*)', P.DUCK)} AS co4
+          FROM q GROUP BY 1),
+    d AS (SELECT q.user_id, c.n,
+            {P.floor_scaled_sql(P.haversine_m_sql(
+                'q.lat', 'q.lon',
+                '(cast(c.ca4 as double) / cast(10000 as double) - 90.0)',
+                '(cast(c.co4 as double) / cast(10000 as double) - 180.0)'), 0)}
+              AS dm
+          FROM q JOIN c USING (user_id)),
+    rg AS (SELECT user_id, cast(min(n) as bigint) AS n_points,
+                  cast(sum(dm * dm) as bigint) AS sd2 FROM d GROUP BY 1),
+    vc AS (SELECT user_id, cell, cast(count(*) as bigint) AS nc
+           FROM q GROUP BY 1, 2),
+    vt AS (SELECT user_id, cast(sum(nc) as bigint) AS tot,
+                  cast(count(*) as bigint) AS n_cells FROM vc GROUP BY 1),
+    he AS (SELECT vc.user_id,
+             cast(sum({P.floor_scaled_sql(
+                 '(-(cast(nc as double) / cast(tot as double)) '
+                 '* ln(cast(nc as double) / cast(tot as double)))', 9)})
+               as bigint) AS entropy_e9
+           FROM vc JOIN vt USING (user_id) GROUP BY 1)
+    SELECT rg.user_id, rg.n_points, vt.n_cells, he.entropy_e9,
+           {P.floor_scaled_sql(
+               '(sqrt(cast(rg.sd2 as double) / cast(rg.n_points as double)))', 0)}
+             AS rgyr_m
+    FROM rg JOIN vt ON vt.user_id = rg.user_id
+            JOIN he ON he.user_id = rg.user_id
+    """,
+)
+def q_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mobility profile over the walk fixture: radius of gyration
+    (RMS great-circle distance to the exact-integer mean center — the
+    González-Hidalgo-Barabási range metric) and res-6 cell visit entropy
+    (predictability). Distances floor to metres BEFORE squaring so the
+    moment sum is an exact bigint; entropy terms e9-prequantized — both
+    engine-independent. Two user-keyed aggregates reusing one
+    partitioning."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon"),
+    )
+    q = e.select(
+        "user_id", "lat", "lon",
+        F.expr(fs("lat + 90.0", 4)).alias("la4"),
+        F.expr(fs("lon + 180.0", 4)).alias("lo4"),
+        F.expr(P.cell_id_sql("lat", "lon", 6)).alias("cell"),
+    )
+    c = q.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.expr(P.bigint_div("sum(la4)", "count(*)", P.SPARK)).alias("ca4"),
+        F.expr(P.bigint_div("sum(lo4)", "count(*)", P.SPARK)).alias("co4"),
+    )
+    d = q.join(c, "user_id").select(
+        "user_id", "n",
+        F.expr(fs(P.haversine_m_sql(
+            "lat", "lon",
+            "(cast(ca4 as double) / cast(10000 as double) - 90.0)",
+            "(cast(co4 as double) / cast(10000 as double) - 180.0)"), 0)
+        ).alias("dm"),
+    )
+    rg = d.groupBy("user_id").agg(
+        F.min("n").cast("long").alias("n_points"),
+        F.sum(F.col("dm") * F.col("dm")).alias("sd2"),
+    )
+    vc = q.groupBy("user_id", "cell").agg(F.count("*").alias("nc"))
+    vt = vc.groupBy("user_id").agg(
+        F.sum("nc").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    p = "(cast(nc as double) / cast(tot as double))"
+    he = (
+        vc.join(vt, "user_id")
+        .select("user_id", F.expr(fs(f"(-({p}) * ln({p}))", 9)).alias("h"))
+        .groupBy("user_id").agg(F.sum("h").cast("long").alias("entropy_e9"))
+    )
+    return (
+        rg.join(vt.select("user_id", "n_cells"), "user_id")
+        .join(he, "user_id")
+        .select(
+            "user_id", "n_points", "n_cells", "entropy_e9",
+            F.expr(fs(
+                "(sqrt(cast(sd2 as double) / cast(n_points as double)))", 0)
+            ).alias("rgyr_m"),
+        )
+    )
