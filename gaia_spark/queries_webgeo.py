@@ -2582,3 +2582,112 @@ def q_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rgyr_m"),
         )
     )
+
+
+# --- returners vs explorers -----------------------------------------------------
+
+
+@register(
+    "q_returners",
+    f"""
+    WITH e AS (SELECT user_id, {_CH_LAT} AS lat, {_CH_LON} AS lon FROM events),
+    vc AS (SELECT user_id, {P.cell_id_sql('lat', 'lon', 6)} AS cell,
+                  cast(count(*) as bigint) AS nc
+           FROM e GROUP BY 1, 2),
+    r AS (SELECT user_id, nc,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY nc DESC, cell ASC) AS rk FROM vc),
+    t AS (SELECT user_id, cast(sum(nc) as bigint) AS tot FROM vc GROUP BY 1),
+    k AS (SELECT user_id, cast(sum(CASE WHEN rk <= 2 THEN nc ELSE 0 END)
+                               as bigint) AS top2
+          FROM r GROUP BY 1)
+    SELECT k.user_id, k.top2, t.tot,
+           {P.floor_scaled_sql(
+               '(cast(k.top2 as double) / cast(t.tot as double))', 6)}
+             AS top2_share_e6,
+           ({P.floor_scaled_sql(
+               '(cast(k.top2 as double) / cast(t.tot as double))', 6)}
+            >= 500000) AS is_returner
+    FROM k JOIN t USING (user_id)
+    """,
+)
+def q_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returners vs explorers (Pappalardo et al.): the share of a user's
+    visits falling in their two most-visited res-6 cells (count-then-cell
+    tie-break), classified on the QUANTIZED share so the label never
+    flips engines. One user-cell aggregate + one user-partitioned rank."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon")
+    )
+    vc = e.groupBy(
+        "user_id", F.expr(P.cell_id_sql("lat", "lon", 6)).alias("cell")
+    ).agg(F.count("*").alias("nc"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("nc"), F.asc("cell"))
+    r = vc.withColumn("rk", F.row_number().over(w))
+    t = vc.groupBy("user_id").agg(F.sum("nc").cast("long").alias("tot"))
+    k = r.groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN rk <= 2 THEN nc ELSE 0 END"))
+        .cast("long").alias("top2")
+    )
+    share = fs("(cast(top2 as double) / cast(tot as double))", 6)
+    return k.join(t, "user_id").select(
+        "user_id", "top2", "tot",
+        F.expr(share).alias("top2_share_e6"),
+        F.expr(f"({share}) >= 500000").alias("is_returner"),
+    )
+
+
+# --- co-location pairs ----------------------------------------------------------
+
+
+@register(
+    "q_colocation",
+    f"""
+    WITH e AS (SELECT user_id, {_CH_LAT} AS lat, {_CH_LON} AS lon,
+                      cast(floor(date_part('epoch', ts) / 3600) as bigint)
+                        AS hour
+               FROM events),
+    v AS (SELECT DISTINCT user_id, hour,
+                 {P.cell_id_sql('lat', 'lon', 5)} AS cell FROM e),
+    p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 cast(count(*) as bigint) AS n_meet
+          FROM v a JOIN v b ON a.cell = b.cell AND a.hour = b.hour
+                           AND a.user_id < b.user_id
+          GROUP BY 1, 2)
+    SELECT user_a, user_b, n_meet FROM p WHERE n_meet >= 2
+    """,
+)
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location network: user pairs sharing the same res-5 cell in the
+    same hour at least twice — the mobility-derived social-tie proxy.
+    The pair generator is a (cell, hour) equi-join of the DISTINCT
+    visit table, fan-out bounded by per-cell-hour occupancy², never
+    users²."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon"),
+        F.expr(
+            "cast(floor(cast(cast(ts as timestamp) as double) / 3600) as bigint)"
+        ).alias("hour"),
+    )
+    v = e.select(
+        "user_id", "hour", F.expr(P.cell_id_sql("lat", "lon", 5)).alias("cell")
+    ).distinct()
+    a = v.select(
+        F.col("user_id").alias("user_a"), F.col("hour").alias("_ha"),
+        F.col("cell").alias("_ca"),
+    )
+    b = v.select(
+        F.col("user_id").alias("user_b"), F.col("hour").alias("_hb"),
+        F.col("cell").alias("_cb"),
+    )
+    p = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ha") == F.col("_hb"))
+               & (F.col("user_a") < F.col("user_b")))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_meet"))
+    )
+    return p.filter(F.col("n_meet") >= 2).select(
+        "user_a", "user_b", F.col("n_meet").cast("long")
+    )
