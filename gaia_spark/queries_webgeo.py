@@ -2691,3 +2691,91 @@ def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(F.col("n_meet") >= 2).select(
         "user_a", "user_b", F.col("n_meet").cast("long")
     )
+
+
+# --- home / work inference + commute distance -----------------------------------
+
+
+def _home_work_oracle() -> str:
+    fs = P.floor_scaled_sql
+    n = 1 << 6
+    hy = P.bigint_div("home_cell", str(n), P.DUCK)
+    hx = f"(home_cell % {n})"
+    wy = P.bigint_div("work_cell", str(n), P.DUCK)
+    wx = f"(work_cell % {n})"
+    commute = P.haversine_m_sql(
+        P.cell_center_lat_sql(hy, 6), P.cell_center_lon_sql(hx, 6),
+        P.cell_center_lat_sql(wy, 6), P.cell_center_lon_sql(wx, 6),
+    )
+    return f"""
+    WITH e AS (SELECT user_id, {_CH_LAT} AS lat, {_CH_LON} AS lon,
+                      cast(floor(date_part('epoch', ts) / 3600) % 24 as bigint)
+                        AS hod
+               FROM events),
+    v AS (SELECT user_id, hod, {P.cell_id_sql('lat', 'lon', 6)} AS cell FROM e),
+    hc AS (SELECT user_id, cell, cast(count(*) as bigint) AS nc FROM v
+           WHERE hod < 6 GROUP BY 1, 2),
+    wc AS (SELECT user_id, cell, cast(count(*) as bigint) AS nc FROM v
+           WHERE hod >= 9 AND hod < 17 GROUP BY 1, 2),
+    h1 AS (SELECT user_id, cell AS home_cell, nc AS n_home FROM
+             (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY nc DESC, cell ASC) AS rk FROM hc) q WHERE rk = 1),
+    w1 AS (SELECT user_id, cell AS work_cell, nc AS n_work FROM
+             (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY nc DESC, cell ASC) AS rk FROM wc) q WHERE rk = 1)
+    SELECT h1.user_id, h1.home_cell, h1.n_home, w1.work_cell, w1.n_work,
+           {fs(commute, 0)} AS commute_m
+    FROM h1 JOIN w1 USING (user_id)
+    """
+
+
+@register("q_home_work", _home_work_oracle())
+def q_home_work(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchor inference: each user's most-visited res-6 cell in
+    night hours (00-06) and working hours (09-17), count-then-cell
+    tie-break, plus the great-circle commute between the two cell
+    centers — the anchor-detection step of any mobility pipeline. Two
+    filtered user-cell aggregates + per-user ranks on one partitioning."""
+    fs = P.floor_scaled_sql
+    n = 1 << 6
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon"),
+        F.expr(
+            "cast(floor(cast(cast(ts as timestamp) as double) / 3600) % 24 "
+            "as bigint)"
+        ).alias("hod"),
+    )
+    v = e.select(
+        "user_id", "hod", F.expr(P.cell_id_sql("lat", "lon", 6)).alias("cell")
+    )
+
+    def top_cell(df, out_cell, out_n):
+        g = df.groupBy("user_id", "cell").agg(F.count("*").alias("nc"))
+        w = Window.partitionBy("user_id").orderBy(F.desc("nc"), F.asc("cell"))
+        return (
+            g.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id", F.col("cell").alias(out_cell),
+                F.col("nc").cast("long").alias(out_n),
+            )
+        )
+
+    h1 = top_cell(v.filter(F.col("hod") < 6), "home_cell", "n_home")
+    w1 = top_cell(
+        v.filter((F.col("hod") >= 9) & (F.col("hod") < 17)),
+        "work_cell", "n_work",
+    )
+    hy = P.bigint_div("home_cell", str(n), P.SPARK)
+    hx = f"(home_cell % {n})"
+    wy = P.bigint_div("work_cell", str(n), P.SPARK)
+    wx = f"(work_cell % {n})"
+    commute = P.haversine_m_sql(
+        P.cell_center_lat_sql(hy, 6), P.cell_center_lon_sql(hx, 6),
+        P.cell_center_lat_sql(wy, 6), P.cell_center_lon_sql(wx, 6),
+    )
+    return h1.join(w1, "user_id").select(
+        "user_id", "home_cell", "n_home", "work_cell", "n_work",
+        F.expr(fs(commute, 0)).alias("commute_m"),
+    )
