@@ -2779,3 +2779,77 @@ def q_home_work(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "home_cell", "n_home", "work_cell", "n_work",
         F.expr(fs(commute, 0)).alias("commute_m"),
     )
+
+
+# --- host-graph weakly-connected components -------------------------------------
+
+
+def _host_comp_oracle() -> str:
+    hid = P.md5_int60("host", P.DUCK)
+    return f"""
+    WITH RECURSIVE {W.link_edges_oracle_ctes()},
+    hosts AS (SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM e
+                UNION ALL SELECT dst_host FROM e WHERE dst_host IS NOT NULL) q),
+    ids AS (SELECT host, {hid} AS v FROM hosts),
+    de AS (SELECT DISTINCT a.v AS u, b.v AS w
+           FROM e JOIN ids a ON a.host = e.src_host
+                 JOIN ids b ON b.host = e.dst_host
+           WHERE e.dst_host IS NOT NULL AND a.v <> b.v),
+    sym AS (SELECT u, w FROM de UNION SELECT w, u FROM de),
+    reach AS (
+      SELECT u, w AS x FROM sym
+      UNION
+      SELECT r.u, s.w FROM reach r JOIN sym s ON s.u = r.x
+    ),
+    lab AS (SELECT i.v, least(i.v, coalesce(min(r.x), i.v)) AS comp
+            FROM ids i LEFT JOIN reach r ON r.u = i.v GROUP BY i.v),
+    sz AS (SELECT comp, cast(count(*) as bigint) AS comp_size
+           FROM lab GROUP BY 1)
+    SELECT ids.host, lab.comp, sz.comp_size
+    FROM ids JOIN lab ON lab.v = ids.v JOIN sz ON sz.comp = lab.comp
+    """
+
+
+@register("q_host_components", _host_comp_oracle())
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the host link graph (md5 host ids,
+    min-label-with-pointer-doubling engine vs the oracle's recursive
+    undirected reachability closure) with component sizes — the web-graph
+    structure census that bounds crawl frontiers and dedup scopes."""
+    from gaia_spark.operators.stats import min_label_components
+
+    edges_raw = W.link_host_edges(
+        load(spark, sf_dir, "documents")
+    ).filter(F.col("dst_host").isNotNull())
+    ids = (
+        edges_raw.select(F.col("src_host").alias("host"))
+        .unionAll(edges_raw.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .withColumn("v", F.expr(P.md5_int60("host", P.SPARK)))
+    )
+    de = (
+        edges_raw.join(
+            ids.select(F.col("host").alias("src_host"), F.col("v").alias("u")),
+            "src_host",
+        )
+        .join(
+            ids.select(F.col("host").alias("dst_host"), F.col("v").alias("w")),
+            "dst_host",
+        )
+        .filter(F.col("u") != F.col("w"))
+        .select("u", "w")
+        .distinct()
+    )
+    sym = de.select(F.col("u").alias("v"), "w").unionAll(
+        de.select(F.col("w").alias("v"), F.col("u").alias("w"))
+    )
+    comp = min_label_components(
+        ids.select("v"), sym, node_col="v", nbr_col="w"
+    )
+    sz = comp.groupBy("label").agg(F.count("*").cast("long").alias("comp_size"))
+    return (
+        ids.join(comp, "v")
+        .join(sz, "label")
+        .select("host", F.col("label").alias("comp"), "comp_size")
+    )
