@@ -2853,3 +2853,127 @@ def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sz, "label")
         .select("host", F.col("label").alias("comp"), "comp_size")
     )
+
+
+# --- in-degree distribution + power-law slope -----------------------------------
+
+
+@register(
+    "q_degree_dist",
+    f"""
+    WITH {W.link_edges_oracle_ctes()},
+    d AS (SELECT dst_host, cast(count(*) as bigint) AS deg
+          FROM (SELECT DISTINCT src_host, dst_host FROM e
+                WHERE dst_host IS NOT NULL) q GROUP BY 1),
+    hist AS (SELECT deg, cast(count(*) as bigint) AS n_hosts FROM d GROUP BY 1),
+    q2 AS (SELECT deg, n_hosts,
+                  {P.floor_scaled_sql('ln(cast(deg as double))', 6)} AS x_e6,
+                  {P.floor_scaled_sql('ln(cast(n_hosts as double))', 6)} AS y_e6
+           FROM hist),
+    mom AS (SELECT cast(count(*) as bigint) AS m,
+                   cast(sum(x_e6) as bigint) AS sx,
+                   cast(sum(y_e6) as bigint) AS sy,
+                   cast(sum(x_e6 * y_e6) as bigint) AS sxy,
+                   cast(sum(x_e6 * x_e6) as bigint) AS sxx
+            FROM q2)
+    SELECT q2.deg, q2.n_hosts,
+      CASE WHEN mom.m >= 2 THEN {P.floor_scaled_sql(
+          '(cast(mom.m * mom.sxy - mom.sx * mom.sy as double) '
+          '/ cast(mom.m * mom.sxx - mom.sx * mom.sx as double))', 6)}
+           ELSE cast(0 as bigint) END AS alpha_e6
+    FROM q2 CROSS JOIN mom
+    """,
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the host link graph (distinct-edge
+    degrees, histogram) with the log-log OLS slope constant — the
+    scale-free-ness check of the crawl graph, via the q_zipf
+    exact-moment machinery (degree histogram is tiny, so e6 stays inside
+    int64)."""
+    fs = P.floor_scaled_sql
+    d = (
+        W.link_host_edges(load(spark, sf_dir, "documents"))
+        .filter(F.col("dst_host").isNotNull())
+        .distinct()
+        .groupBy("dst_host")
+        .agg(F.count("*").alias("deg"))
+    )
+    h = d.groupBy("deg").agg(F.count("*").cast("long").alias("n_hosts"))
+    q2 = h.select(
+        "deg", "n_hosts",
+        F.expr(fs("ln(cast(deg as double))", 6)).alias("x_e6"),
+        F.expr(fs("ln(cast(n_hosts as double))", 6)).alias("y_e6"),
+    )
+    mom = q2.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x_e6").alias("sx"), F.sum("y_e6").alias("sy"),
+        F.sum(F.col("x_e6") * F.col("y_e6")).alias("sxy"),
+        F.sum(F.col("x_e6") * F.col("x_e6")).alias("sxx"),
+    )
+    alpha = (
+        "CASE WHEN m >= 2 THEN "
+        + fs("(cast(m * sxy - sx * sy as double) "
+             "/ cast(m * sxx - sx * sx as double))", 6)
+        + " ELSE cast(0 as bigint) END"
+    )
+    return q2.crossJoin(F.broadcast(mom)).select(
+        F.col("deg").cast("long"), "n_hosts", F.expr(alpha).alias("alpha_e6")
+    )
+
+
+# --- burstiness of the event stream ---------------------------------------------
+
+
+@register(
+    "q_burstiness",
+    f"""
+    WITH p AS (SELECT user_id,
+                      date_part('epoch', ts)
+                        - lag(date_part('epoch', ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events),
+    g AS (SELECT user_id, cast(floor(gap) as bigint) AS gap_s FROM p
+          WHERE gap IS NOT NULL),
+    m AS (SELECT user_id, cast(count(*) as bigint) AS n,
+                 cast(sum(gap_s) as bigint) AS s,
+                 cast(sum(gap_s * gap_s) as bigint) AS s2
+          FROM g GROUP BY 1)
+    SELECT user_id, n,
+      CASE WHEN n >= 2 AND n * s2 - s * s > 0 THEN
+        {P.floor_scaled_sql(
+            '((sqrt(cast(n * s2 - s * s as double)) / cast(n as double) '
+            '- cast(s as double) / cast(n as double)) '
+            '/ (sqrt(cast(n * s2 - s * s as double)) / cast(n as double) '
+            '+ cast(s as double) / cast(n as double)))', 6)}
+      ELSE cast(-1000000 as bigint) END AS burstiness_e6
+    FROM m
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness B = (σ−μ)/(σ+μ) of each user's inter-event times
+    (Goh-Barabási): −1 = periodic, 0 = Poisson, →1 = bursty. Integer
+    second gaps, exact bigint moments, one shared IEEE chain; the
+    zero-variance case pins to −1 on exact integers. One user window +
+    one user agg."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("double")
+    p = e.withColumn("gap", ep - F.lag(ep).over(w))
+    g = p.filter(F.col("gap").isNotNull()).select(
+        "user_id", F.floor("gap").cast("long").alias("gap_s")
+    )
+    m = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    b = (
+        "CASE WHEN n >= 2 AND n * s2 - s * s > 0 THEN "
+        + fs("((sqrt(cast(n * s2 - s * s as double)) / cast(n as double) "
+             "- cast(s as double) / cast(n as double)) "
+             "/ (sqrt(cast(n * s2 - s * s as double)) / cast(n as double) "
+             "+ cast(s as double) / cast(n as double)))", 6)
+        + " ELSE cast(-1000000 as bigint) END"
+    )
+    return m.select("user_id", "n", F.expr(b).alias("burstiness_e6"))
