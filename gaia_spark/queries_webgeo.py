@@ -2977,3 +2977,85 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " ELSE cast(-1000000 as bigint) END"
     )
     return m.select("user_id", "n", F.expr(b).alias("burstiness_e6"))
+
+
+# --- trending terms (Mann-Kendall over daily term counts) -----------------------
+
+
+def _trending_oracle() -> str:
+    from gaia_spark.queries import _PAGES_CTE
+
+    pages_t = _PAGES_CTE.replace(
+        "FROM documents)",
+        f", cast(floor(({ '(doc_id * 137) % 31536000' }) / 86400) as bigint) "
+        "AS day FROM documents)",
+    )
+    return f"""
+    WITH {pages_t},
+    toks AS (SELECT day, unnest({P.split_ws('text', P.DUCK)}) AS word
+             FROM pages),
+    tc AS (SELECT word, day, cast(count(*) as bigint) AS n
+           FROM toks WHERE length(word) > 0 AND word NOT LIKE 'geo:%'
+           GROUP BY 1, 2),
+    top AS (SELECT word, cast(sum(n) as bigint) AS total FROM tc GROUP BY 1
+            ORDER BY total DESC, word ASC LIMIT 20),
+    d AS (SELECT tc.word, tc.day, tc.n FROM tc JOIN top USING (word)),
+    mk AS (SELECT a.word,
+                  cast(sum(CASE WHEN b.n > a.n THEN 1
+                                WHEN b.n < a.n THEN -1 ELSE 0 END) as bigint)
+                    AS s_stat,
+                  cast(count(*) as bigint) AS n_pairs
+           FROM d a JOIN d b ON a.word = b.word AND a.day < b.day
+           GROUP BY 1),
+    nd AS (SELECT word, cast(count(*) as bigint) AS n_days FROM d GROUP BY 1)
+    SELECT mk.word, nd.n_days, mk.s_stat, mk.n_pairs
+    FROM mk JOIN nd USING (word)
+    """
+
+
+@register("q_trending", _trending_oracle())
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-term detection: exact Mann-Kendall S over each top-20
+    term's daily count series (pages' warc_ts day index) — positive S =
+    rising usage, the monotone-trend test that needs no distributional
+    assumption. The pair join is per-term days² (bounded by the corpus
+    horizon), counts exact bigints throughout."""
+    from gaia_spark.queries import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "day",
+        F.expr("cast(floor(cast(cast(warc_ts as timestamp) as double) "
+               "/ 86400) as bigint)"),
+    )
+    toks = pages.select(
+        "day", F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("word")
+    ).filter((F.length("word") > 0) & (~F.col("word").like("geo:%")))
+    tc = toks.groupBy("word", "day").agg(F.count("*").alias("n"))
+    top = (
+        tc.groupBy("word").agg(F.sum("n").cast("long").alias("total"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("total"), F.asc("word"))),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("word")
+    )
+    d = tc.join(F.broadcast(top), "word")
+    a = d.select("word", F.col("day").alias("_da"), F.col("n").alias("_na"))
+    b = d.select(
+        F.col("word").alias("_wb"), F.col("day").alias("_db"),
+        F.col("n").alias("_nb"),
+    )
+    mk = (
+        a.join(b, (F.col("word") == F.col("_wb")) & (F.col("_da") < F.col("_db")))
+        .groupBy("word")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN _nb > _na THEN 1 WHEN _nb < _na THEN -1 "
+                       "ELSE 0 END")
+            ).cast("long").alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    nd = d.groupBy("word").agg(F.count("*").cast("long").alias("n_days"))
+    return mk.join(nd, "word").select("word", "n_days", "s_stat", "n_pairs")
