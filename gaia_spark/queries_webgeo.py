@@ -3059,3 +3059,127 @@ def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = d.groupBy("word").agg(F.count("*").cast("long").alias("n_days"))
     return mk.join(nd, "word").select("word", "n_days", "s_stat", "n_pairs")
+
+
+# --- geoparse yield QA ----------------------------------------------------------
+
+
+@register(
+    "q_geoparse_yield",
+    f"""
+    WITH {{pages}},
+    g AS (SELECT lang,
+                 CASE WHEN nullif(regexp_extract(text, '{{re2}}', 3), '')
+                      IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM pages),
+    a AS (SELECT lang, cast(count(*) as bigint) AS n_pages,
+                 cast(sum(hit) as bigint) AS n_geo
+          FROM g GROUP BY 1)
+    SELECT lang, n_pages, n_geo,
+           {P.floor_scaled_sql(
+               '(cast(n_geo as double) / cast(n_pages as double))', 6)}
+             AS yield_e6
+    FROM a
+    """.format(
+        pages=__import__("gaia_spark.queries", fromlist=["_PAGES_CTE"])
+        ._PAGES_CTE.replace("FROM documents)", ", lang FROM documents)"),
+        re2=__import__("gaia_spark.queries", fromlist=["GEOPARSE_RE2"])
+        .GEOPARSE_RE2,
+    ),
+)
+def q_geoparse_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-rate QA: share of pages per language that yield a
+    coordinate under grammar v1 — the first metric an ingestion owner
+    checks when the point layer looks thin. Map-only + a langs-bounded
+    aggregate."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.queries import pages_from_documents
+
+    g = geoparse(pages_from_documents(spark, sf_dir)).select(
+        "lang", F.when(F.col("lat").isNotNull(), 1).otherwise(0).alias("hit")
+    )
+    a = g.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("hit").cast("long").alias("n_geo"),
+    )
+    return a.select(
+        "lang", "n_pages", "n_geo",
+        F.expr(P.floor_scaled_sql(
+            "(cast(n_geo as double) / cast(n_pages as double))", 6)
+        ).alias("yield_e6"),
+    )
+
+
+# --- spatial concentration of the page layer ------------------------------------
+
+
+def _spatial_gini_oracle() -> str:
+    from gaia_spark.queries import GEOPARSE_RE2, _PAGES_CTE
+
+    ent_term = P.floor_scaled_sql(
+        "cast(_x as double) * ln(cast(_x as double))", 4
+    )
+    gini = P.bigint_div(
+        "(2 * _six - (n_cells + 1) * n_total) * 1000000",
+        "n_cells * n_total", P.DUCK,
+    )
+    hhi = P.bigint_div("_sxx * 1000000", "n_total * n_total", P.DUCK)
+    ent = (
+        "ln(cast(n_total as double)) - cast(_sent as double)"
+        " / (cast(10000 as double) * cast(n_total as double))"
+    )
+    return f"""
+    WITH {_PAGES_CTE},
+    g AS (SELECT cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 3), '')
+                      as double) AS lat,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 4), '')
+                      as double) AS lon
+          FROM pages),
+    cc AS (SELECT {P.cell_id_sql('lat', 'lon', 5)} AS _h,
+                  cast(count(*) as bigint) AS _x
+           FROM g WHERE lat IS NOT NULL GROUP BY 1),
+    ranked AS (SELECT _h, _x,
+                 cast(row_number() OVER (ORDER BY _x ASC, _h ASC) as bigint)
+                   AS _i
+               FROM cc WHERE _x > 0),
+    agg AS (SELECT cast(count(*) as bigint) AS n_cells,
+                   cast(sum(_x) as bigint) AS n_total,
+                   cast(sum(_i * _x) as bigint) AS _six,
+                   cast(sum(_x * _x) as bigint) AS _sxx,
+                   cast(sum({ent_term}) as bigint) AS _sent
+            FROM ranked)
+    SELECT n_cells, n_total,
+           CASE WHEN n_total > 0 THEN {gini} ELSE NULL END AS gini_e6,
+           CASE WHEN n_total > 0 THEN {hhi} ELSE NULL END AS hhi_e6,
+           CASE WHEN n_total > 0 THEN {P.floor_scaled_sql(ent, 4)}
+                ELSE NULL END AS entropy_e4
+    FROM agg
+    """
+
+
+@register("q_spatial_gini", _spatial_gini_oracle())
+def q_spatial_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial concentration of the geoparsed page layer: Gini, HHI and
+    Shannon entropy over res-5 cell counts — the corpus-health report
+    aimed at geography (is the layer a few hotspots or a spread?).
+    Reuses web.host_concentration verbatim on cell keys."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.functions.web import host_concentration
+    from gaia_spark.operators.spatial_join import with_cell
+    from gaia_spark.queries import pages_from_documents
+
+    cc = (
+        with_cell(
+            geoparse(pages_from_documents(spark, sf_dir)).filter(
+                F.col("lat").isNotNull()
+            ),
+            5,
+        )
+        .groupBy("cell_r5")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    out = host_concentration(cc, key_col="cell_r5", count_col="n_docs")
+    return out.select(
+        F.col("n_hosts").alias("n_cells"), "n_total",
+        "gini_e6", "hhi_e6", "entropy_e4",
+    )
