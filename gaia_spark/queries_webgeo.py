@@ -3183,3 +3183,104 @@ def q_spatial_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hosts").alias("n_cells"), "n_total",
         "gini_e6", "hhi_e6", "entropy_e4",
     )
+
+
+# --- orphan hosts (no inbound links) --------------------------------------------
+
+
+@register(
+    "q_orphan_hosts",
+    f"""
+    WITH {W.link_edges_oracle_ctes()},
+    src AS (SELECT DISTINCT src_host AS host FROM e),
+    dst AS (SELECT DISTINCT dst_host AS host FROM e WHERE dst_host IS NOT NULL)
+    SELECT s.host, (d.host IS NOT NULL) AS has_inlink
+    FROM src s LEFT JOIN dst d ON d.host = s.host
+    """,
+)
+def q_orphan_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan detection: source hosts nobody links to (left-anti shape) —
+    the crawl-QA pass that finds unreachable islands before a frontier
+    recrawl. One distinct pass per side + one equi-join."""
+    e = W.link_host_edges(load(spark, sf_dir, "documents"))
+    src = e.select(F.col("src_host").alias("host")).distinct()
+    dst = (
+        e.filter(F.col("dst_host").isNotNull())
+        .select(F.col("dst_host").alias("_dh"))
+        .distinct()
+    )
+    return src.join(dst, F.col("host") == F.col("_dh"), "left").select(
+        "host", F.col("_dh").isNotNull().alias("has_inlink")
+    )
+
+
+# --- lag-1 autocorrelation of the hourly event series ---------------------------
+
+
+@register(
+    "q_hourly_autocorr",
+    f"""
+    WITH b AS (SELECT event_type,
+                      cast(floor(date_part('epoch', ts) / 3600) as bigint)
+                        AS hour,
+                      cast(count(*) as bigint) AS n
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT a.event_type, a.n AS x, b.n AS y
+          FROM b a JOIN b b ON b.event_type = a.event_type
+                           AND b.hour = a.hour + 1),
+    m AS (SELECT event_type, cast(count(*) as bigint) AS k,
+                 cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+                 cast(sum(x * y) as bigint) AS sxy,
+                 cast(sum(x * x) as bigint) AS sxx,
+                 cast(sum(y * y) as bigint) AS syy
+          FROM l GROUP BY 1)
+    SELECT event_type, k,
+      CASE WHEN k >= 2 AND k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+        THEN {P.floor_scaled_sql(
+            '(cast(k * sxy - sx * sy as double) '
+            '/ sqrt(cast(k * sxx - sx * sx as double) '
+            '* cast(k * syy - sy * sy as double)))', 6)}
+        ELSE cast(0 as bigint) END AS r1_e6
+    FROM m
+    """,
+)
+def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of each event type's hourly count
+    series (consecutive-hour pairs only — gaps drop out of the join):
+    the seasonality-strength diagnostic behind q_anomaly's profile.
+    Exact bigint moments, one IEEE chain, degenerate variance pinned to
+    0."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.expr(
+            "cast(floor(cast(cast(ts as timestamp) as double) / 3600) "
+            "as bigint)"
+        ).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    a = b.select("event_type", F.col("hour").alias("_ha"), F.col("n").alias("x"))
+    c = b.select(
+        F.col("event_type").alias("_tb"), F.col("hour").alias("_hb"),
+        F.col("n").alias("y"),
+    )
+    l = a.join(
+        c, (F.col("event_type") == F.col("_tb"))
+        & (F.col("_hb") == F.col("_ha") + 1),
+    )
+    m = l.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r1 = (
+        "CASE WHEN k >= 2 AND k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0 "
+        "THEN " + fs(
+            "(cast(k * sxy - sx * sy as double) "
+            "/ sqrt(cast(k * sxx - sx * sx as double) "
+            "* cast(k * syy - sy * sy as double)))", 6)
+        + " ELSE cast(0 as bigint) END"
+    )
+    return m.select("event_type", "k", F.expr(r1).alias("r1_e6"))
