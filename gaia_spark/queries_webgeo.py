@@ -3284,3 +3284,67 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " ELSE cast(0 as bigint) END"
     )
     return m.select("event_type", "k", F.expr(r1).alias("r1_e6"))
+
+
+# --- tile skew diagnostic -------------------------------------------------------
+
+
+def _tile_skew_oracle() -> str:
+    from gaia_spark.queries import GEOPARSE_RE2, _PAGES_CTE
+
+    fs = P.floor_scaled_sql
+    tx = P.tile_x_sql("lon", 6)
+    ty = P.tile_y_sql("lat", 6)
+    return f"""
+    WITH {_PAGES_CTE},
+    g AS (SELECT cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 3), '')
+                      as double) AS lat,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 4), '')
+                      as double) AS lon
+          FROM pages),
+    t AS (SELECT {tx} AS tx, {ty} AS ty, cast(count(*) as bigint) AS n
+          FROM g WHERE lat IS NOT NULL GROUP BY 1, 2),
+    s AS (SELECT cast(count(*) as bigint) AS n_tiles,
+                 cast(sum(n) as bigint) AS total,
+                 cast(max(n) as bigint) AS max_n FROM t),
+    r AS (SELECT tx, ty, n, row_number() OVER (ORDER BY n DESC, ty, tx) AS rk
+          FROM t)
+    SELECT r.tx, r.ty, r.n, cast(r.rk as int) AS rk, s.n_tiles, s.max_n,
+           {fs('(cast(s.max_n as double) * cast(s.n_tiles as double) '
+               '/ cast(s.total as double))', 6)} AS skew_e6
+    FROM r CROSS JOIN s WHERE r.rk <= 5
+    """
+
+
+@register("q_tile_skew", _tile_skew_oracle())
+def q_tile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic of the z6 tile layer: the five hottest
+    tiles plus the skew factor max/mean — the number that decides whether
+    a join needs salting or AQE skew handling before it burns an
+    executor. One tile aggregate + a rank over the tile table."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.queries import pages_from_documents
+
+    fs = P.floor_scaled_sql
+    pts = geoparse(pages_from_documents(spark, sf_dir)).filter(
+        F.col("lat").isNotNull()
+    )
+    t = pts.groupBy(
+        F.expr(P.tile_x_sql("lon", 6)).alias("tx"),
+        F.expr(P.tile_y_sql("lat", 6)).alias("ty"),
+    ).agg(F.count("*").alias("n"))
+    s = t.agg(
+        F.count("*").cast("long").alias("n_tiles"),
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    r = t.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), "ty", "tx"))
+    ).filter(F.col("rk") <= 5)
+    return r.crossJoin(F.broadcast(s)).select(
+        "tx", "ty", F.col("n").cast("long"), F.col("rk").cast("int"),
+        "n_tiles", "max_n",
+        F.expr(fs(
+            "(cast(max_n as double) * cast(n_tiles as double) "
+            "/ cast(total as double))", 6)).alias("skew_e6"),
+    )
