@@ -3348,3 +3348,46 @@ def q_tile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(cast(max_n as double) * cast(n_tiles as double) "
             "/ cast(total as double))", 6)).alias("skew_e6"),
     )
+
+
+# --- data-gap statistics --------------------------------------------------------
+
+
+@register(
+    "q_gap_stats",
+    f"""
+    WITH p AS (SELECT user_id,
+                      date_part('epoch', ts)
+                        - lag(date_part('epoch', ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events),
+    g AS (SELECT user_id, cast(floor(gap) as bigint) AS gap_s FROM p
+          WHERE gap IS NOT NULL)
+    SELECT user_id, cast(count(*) as bigint) AS n_gaps,
+           cast(max(gap_s) as bigint) AS max_gap_s,
+           cast(sum(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END) as bigint)
+             AS n_gaps_over_1d,
+           cast(sum(gap_s) as bigint) AS span_s
+    FROM g GROUP BY 1
+    """,
+)
+def q_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry-gap QA per user: largest silent interval, count of >1-day
+    gaps, and the observed span — the completeness check a mobility or
+    clickstream pipeline runs before trusting per-user statistics. One
+    user window + one user agg on the same partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("double")
+    g = (
+        e.withColumn("gap", ep - F.lag(ep).over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("user_id", F.floor("gap").cast("long").alias("gap_s"))
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.sum(F.expr("CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_gaps_over_1d"),
+        F.sum("gap_s").cast("long").alias("span_s"),
+    )
