@@ -3391,3 +3391,75 @@ def q_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_gaps_over_1d"),
         F.sum("gap_s").cast("long").alias("span_s"),
     )
+
+
+# --- supply-chain shipping distance (TPC-H graph x key-derived geometry) --------
+
+
+@register(
+    "q_supply_distance",
+    f"""
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                      {P.key_lat_sql('c_custkey')} AS clat,
+                      {P.key_lon_sql('c_custkey')} AS clon FROM customer),
+    s AS (SELECT s_suppkey, {P.key_lat_sql('s_suppkey')} AS slat,
+                 {P.key_lon_sql('s_suppkey')} AS slon FROM supplier),
+    j AS (SELECT c.c_nationkey, l.l_orderkey, l.l_linenumber,
+            {P.floor_scaled_sql(P.haversine_m_sql(
+                'c.clat', 'c.clon', 's.slat', 's.slon'), 0)} AS d_m
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN c ON c.c_custkey = o.o_custkey
+          JOIN s ON s.s_suppkey = l.l_suppkey),
+    a AS (SELECT c_nationkey, cast(count(*) as bigint) AS n_lines,
+                 cast(sum(d_m) as bigint) AS sum_m,
+                 cast(max(d_m) as bigint) AS max_m
+          FROM j GROUP BY 1)
+    SELECT n.n_name, a.n_lines,
+           cast({P.bigint_div('a.sum_m', 'a.n_lines', P.DUCK)} as bigint)
+             AS mean_m,
+           a.max_m
+    FROM a JOIN nation n ON n.n_nationkey = a.c_nationkey
+    """,
+)
+def q_supply_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain shipping distance by customer nation: every lineitem's
+    customer↔supplier great-circle distance through the orders graph
+    (metre-floored before the exact bigint mean) — the TPC-H join shape
+    with the engine's geometry grafted on. lineitem⋈orders shuffles on
+    the order key; customer/supplier sides broadcast at driver SFs and
+    stay dimension-shaped at any scale."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr(P.key_lat_sql("c_custkey")).alias("clat"),
+        F.expr(P.key_lon_sql("c_custkey")).alias("clon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(P.key_lat_sql("s_suppkey")).alias("slat"),
+        F.expr(P.key_lon_sql("s_suppkey")).alias("slon"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "c_nationkey",
+            F.expr(P.floor_scaled_sql(P.haversine_m_sql(
+                "clat", "clon", "slat", "slon"), 0)).alias("d_m"),
+        )
+    )
+    a = j.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("d_m").alias("sum_m"),
+        F.max("d_m").cast("long").alias("max_m"),
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return a.join(F.broadcast(n), a["c_nationkey"] == n["n_nationkey"]).select(
+        "n_name", "n_lines",
+        F.expr("cast((sum_m div n_lines) as bigint)").alias("mean_m"),
+        "max_m",
+    )
