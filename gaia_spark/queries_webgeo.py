@@ -3463,3 +3463,70 @@ def q_supply_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast((sum_m div n_lines) as bigint)").alias("mean_m"),
         "max_m",
     )
+
+
+# --- leg-speed percentiles ------------------------------------------------------
+
+
+@register(
+    "q_speed_profile",
+    f"""
+    WITH e AS (SELECT user_id, event_id, date_part('epoch', ts) AS ep,
+                      {_CH_LAT} AS lat, {_CH_LON} AS lon FROM events),
+    w AS (SELECT user_id, event_id, lat, lon, ep,
+                 lag(lat) OVER win AS plat, lag(lon) OVER win AS plon,
+                 lag(ep) OVER win AS pep
+          FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ep, event_id)),
+    s AS (SELECT user_id, event_id,
+            {P.floor_scaled_sql(
+                f"(({P.haversine_m_sql('plat', 'plon', 'lat', 'lon')}) "
+                "/ (ep - pep))", 3)} AS v_e3
+          FROM w WHERE plat IS NOT NULL AND ep - pep > 0),
+    r AS (SELECT v_e3,
+                 row_number() OVER (ORDER BY v_e3, user_id, event_id) AS rn,
+                 count(*) OVER () AS n FROM s)
+    SELECT cast(min(n) as bigint) AS n_legs,
+           max(CASE WHEN rn = (n - 1) // 2 + 1 THEN v_e3 END) AS p50_e3,
+           max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN v_e3 END) AS p90_e3,
+           max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN v_e3 END)
+             AS p99_e3
+    FROM r
+    """,
+)
+def q_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide leg-speed profile: exact p50/p90/p99 of great-circle
+    speed over every consecutive-event leg (e3 m/s, (v, user, event)
+    total order) — the sanity distribution the GPS spike threshold is
+    read off. One user window + the q_quantiles rank machinery."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("cast(cast(ts as timestamp) as double)").alias("ep"),
+        F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    d = (
+        e.withColumn("plat", F.lag("lat").over(w))
+        .withColumn("plon", F.lag("lon").over(w))
+        .withColumn("pep", F.lag("ep").over(w))
+    )
+    s = d.filter(
+        F.col("plat").isNotNull() & (F.col("ep") - F.col("pep") > 0)
+    ).select(
+        "user_id", "event_id",
+        F.expr(fs(
+            f"(({P.haversine_m_sql('plat', 'plon', 'lat', 'lon')}) "
+            "/ (ep - pep))", 3)).alias("v_e3"),
+    )
+    r = s.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v_e3", "user_id", "event_id"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    return r.agg(
+        F.min("n").cast("long").alias("n_legs"),
+        F.max(F.expr("CASE WHEN rn = (n - 1) div 2 + 1 THEN v_e3 END"))
+        .alias("p50_e3"),
+        F.max(F.expr("CASE WHEN rn = ((n - 1) * 9) div 10 + 1 THEN v_e3 END"))
+        .alias("p90_e3"),
+        F.max(F.expr("CASE WHEN rn = ((n - 1) * 99) div 100 + 1 THEN v_e3 END"))
+        .alias("p99_e3"),
+    )
