@@ -3530,3 +3530,77 @@ def q_speed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.expr("CASE WHEN rn = ((n - 1) * 99) div 100 + 1 THEN v_e3 END"))
         .alias("p99_e3"),
     )
+
+
+# --- conversion by home region (geo x funnel cross) -----------------------------
+
+
+@register(
+    "q_geo_conversion",
+    f"""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      {_CH_LAT} AS lat, {_CH_LON} AS lon,
+                      cast(floor(date_part('epoch', ts) / 3600) % 24 as bigint)
+                        AS hod
+               FROM events),
+    nv AS (SELECT user_id, {P.cell_id_sql('lat', 'lon', 3)} AS cell,
+                  cast(count(*) as bigint) AS nc
+           FROM e WHERE hod < 6 GROUP BY 1, 2),
+    home AS (SELECT user_id, cell AS home_cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY nc DESC, cell ASC) AS rk FROM nv) q WHERE rk = 1),
+    conv AS (SELECT user_id,
+                    max(CASE WHEN event_type = 'purchase'
+                             AND event_id % 7 = 0 THEN 1 ELSE 0 END) AS c
+             FROM e GROUP BY 1),
+    a AS (SELECT h.home_cell, cast(count(*) as bigint) AS n_users,
+                 cast(sum(c.c) as bigint) AS n_converted
+          FROM home h JOIN conv c USING (user_id) GROUP BY 1)
+    SELECT home_cell, n_users, n_converted,
+           {P.floor_scaled_sql(
+               '(cast(n_converted as double) / cast(n_users as double))', 6)}
+             AS conv_e6
+    FROM a
+    """,
+)
+def q_geo_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion by home region: users anchored to their night-hours
+    res-3 cell (the q_home_work rule), qualifying-purchase conversion
+    per cell — the geo×funnel cross every growth team asks for. All
+    user-keyed aggregates on one partitioning, cell table tiny."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon"),
+        F.expr(
+            "cast(floor(cast(cast(ts as timestamp) as double) / 3600) % 24 "
+            "as bigint)"
+        ).alias("hod"),
+    )
+    nv = (
+        e.filter(F.col("hod") < 6)
+        .groupBy("user_id", F.expr(P.cell_id_sql("lat", "lon", 3)).alias("cell"))
+        .agg(F.count("*").alias("nc"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("nc"), F.asc("cell"))
+    home = (
+        nv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("cell").alias("home_cell"))
+    )
+    conv = e.groupBy("user_id").agg(
+        F.max(
+            F.expr("CASE WHEN event_type = 'purchase' AND event_id % 7 = 0 "
+                   "THEN 1 ELSE 0 END")
+        ).alias("c")
+    )
+    a = home.join(conv, "user_id").groupBy("home_cell").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_converted"),
+    )
+    return a.select(
+        "home_cell", "n_users", "n_converted",
+        F.expr(fs(
+            "(cast(n_converted as double) / cast(n_users as double))", 6)
+        ).alias("conv_e6"),
+    )
