@@ -3604,3 +3604,91 @@ def q_geo_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(cast(n_converted as double) / cast(n_users as double))", 6)
         ).alias("conv_e6"),
     )
+
+
+# --- activity heatmap (day-of-week x hour) --------------------------------------
+
+
+@register(
+    "q_activity_heatmap",
+    f"""
+    WITH b AS (SELECT
+        cast((floor(date_part('epoch', ts) / 86400) + 4) % 7 as bigint) AS dow,
+        cast(floor(date_part('epoch', ts) / 3600) % 24 as bigint) AS hour,
+        cast(count(*) as bigint) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT cast(sum(n) as bigint) AS tot,
+                 cast(max(n) as bigint) AS peak FROM b)
+    SELECT b.dow, b.hour, b.n,
+           {P.floor_scaled_sql('(cast(b.n as double) / cast(t.tot as double))', 6)}
+             AS share_e6,
+           (b.n = t.peak) AS is_peak
+    FROM b CROSS JOIN t
+    """,
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-dashboard heatmap: event counts by (day-of-week, hour) —
+    dow from the portable epoch day index (+4 pins 1970-01-01 to
+    Thursday) — with per-bucket share and the peak flag. One 7×24-bounded
+    aggregate."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events")
+    ep = "cast(cast(ts as timestamp) as double)"
+    b = e.groupBy(
+        F.expr(f"cast((floor({ep} / 86400) + 4) % 7 as bigint)").alias("dow"),
+        F.expr(f"cast(floor({ep} / 3600) % 24 as bigint)").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    t = b.agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.max("n").cast("long").alias("peak"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "dow", "hour", F.col("n").cast("long"),
+        F.expr(fs("(cast(n as double) / cast(tot as double))", 6))
+        .alias("share_e6"),
+        (F.col("n") == F.col("peak")).alias("is_peak"),
+    )
+
+
+# --- crawl freshness per host ---------------------------------------------------
+
+
+@register(
+    "q_crawl_freshness",
+    f"""
+    WITH p AS (SELECT
+        'https://site' || cast(doc_id % 1000 as varchar) || '.example' AS host,
+        cast(2025 as bigint) * 0 + cast((doc_id * 137) % 31536000 as bigint)
+          AS age_s
+      FROM documents),
+    a AS (SELECT host, cast(count(*) as bigint) AS n_pages,
+                 cast(min(age_s) as bigint) AS newest_s,
+                 cast(max(age_s) as bigint) AS oldest_s
+          FROM p GROUP BY 1)
+    SELECT host, n_pages, newest_s, oldest_s,
+           cast(oldest_s - newest_s as bigint) AS span_s,
+           (oldest_s - newest_s > 15768000) AS is_stale_mix
+    FROM a
+    """,
+)
+def q_crawl_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl freshness per host: newest/oldest fetch offsets and the span,
+    flagging hosts whose snapshots mix fetches more than half a year
+    apart — the recrawl-scheduling signal. Exact integer seconds from
+    the deterministic warc_ts offsets; one host aggregate."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        F.expr("'https://site' || cast(doc_id % 1000 as string) || '.example'")
+        .alias("host"),
+        F.expr("cast((doc_id * 137) % 31536000 as bigint)").alias("age_s"),
+    )
+    a = p.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.min("age_s").cast("long").alias("newest_s"),
+        F.max("age_s").cast("long").alias("oldest_s"),
+    )
+    return a.select(
+        "host", "n_pages", "newest_s", "oldest_s",
+        (F.col("oldest_s") - F.col("newest_s")).cast("long").alias("span_s"),
+        (F.col("oldest_s") - F.col("newest_s") > 15768000).alias("is_stale_mix"),
+    )
