@@ -3692,3 +3692,96 @@ def q_crawl_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("oldest_s") - F.col("newest_s")).cast("long").alias("span_s"),
         (F.col("oldest_s") - F.col("newest_s") > 15768000).alias("is_stale_mix"),
     )
+
+
+# --- Pareto host coverage -------------------------------------------------------
+
+
+@register(
+    "q_pareto_hosts",
+    f"""
+    WITH h AS (SELECT 'https://site' || cast(doc_id % 1000 as varchar)
+                      || '.example' AS host,
+                      cast(count(*) as bigint) AS n
+               FROM documents GROUP BY 1),
+    r AS (SELECT host, n,
+                 sum(n) OVER (ORDER BY n DESC, host ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER () AS tot,
+                 row_number() OVER (ORDER BY n DESC, host ASC) AS rk
+          FROM h)
+    SELECT cast(min(CASE WHEN 2 * cum >= tot THEN rk END) as bigint)
+             AS hosts_for_50pct,
+           cast(min(CASE WHEN 10 * cum >= 9 * tot THEN rk END) as bigint)
+             AS hosts_for_90pct,
+           cast(min(tot) as bigint) AS n_pages,
+           cast(count(*) as bigint) AS n_hosts
+    FROM r
+    """,
+)
+def q_pareto_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage: how many hosts (largest first, count-then-name
+    order) hold 50% and 90% of the corpus — the 'top-N hosts' line of
+    every dataset card, computed with one host-table cumsum window and
+    exact integer threshold tests (2·cum ≥ tot, 10·cum ≥ 9·tot)."""
+    h = load(spark, sf_dir, "documents").groupBy(
+        F.expr("'https://site' || cast(doc_id % 1000 as string) || '.example'")
+        .alias("host")
+    ).agg(F.count("*").alias("n"))
+    wo = Window.orderBy(F.desc("n"), F.asc("host")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = (
+        h.withColumn("cum", F.sum("n").over(wo))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("host")))
+        )
+    )
+    return r.agg(
+        F.min(F.expr("CASE WHEN 2 * cum >= tot THEN rk END"))
+        .cast("long").alias("hosts_for_50pct"),
+        F.min(F.expr("CASE WHEN 10 * cum >= 9 * tot THEN rk END"))
+        .cast("long").alias("hosts_for_90pct"),
+        F.min("tot").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_hosts"),
+    )
+
+
+# --- session-depth distribution -------------------------------------------------
+
+
+@register(
+    "q_session_depth",
+    """
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                           THEN 0 ELSE 1 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM g),
+    d AS (SELECT user_id, session_no, cast(count(*) as bigint) AS depth
+          FROM s GROUP BY 1, 2)
+    SELECT depth, cast(count(*) as bigint) AS n_sessions
+    FROM d GROUP BY 1
+    """,
+)
+def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram (events per 30-min-gap session) — the
+    engagement distribution behind bounce-rate and depth percentiles.
+    Reuses the sessionization window; the histogram aggregate is
+    depth-bounded."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    g = e.withColumn(
+        "new_s", F.when(ep - F.lag(ep).over(w) <= 1800, 0).otherwise(1)
+    )
+    s = g.withColumn("session_no", F.sum("new_s").over(cum))
+    d = s.groupBy("user_id", "session_no").agg(F.count("*").alias("depth"))
+    return d.groupBy("depth").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    ).select(F.col("depth").cast("long"), "n_sessions")
