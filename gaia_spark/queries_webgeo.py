@@ -3785,3 +3785,62 @@ def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("depth").agg(
         F.count("*").cast("long").alias("n_sessions")
     ).select(F.col("depth").cast("long"), "n_sessions")
+
+
+# --- week-over-week movers ------------------------------------------------------
+
+
+@register(
+    "q_wow_change",
+    f"""
+    WITH b AS (SELECT event_type,
+                      cast(floor(date_part('epoch', ts) / 604800) as bigint)
+                        AS week,
+                      cast(count(*) as bigint) AS n
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT a.event_type, a.week, a.n,
+                 b.n AS prev_n
+          FROM b a JOIN b b ON b.event_type = a.event_type
+                           AND b.week = a.week - 1)
+    SELECT event_type, week, n, prev_n,
+           cast(n - prev_n as bigint) AS delta,
+           CASE WHEN prev_n > 0 THEN {P.floor_scaled_sql(
+               '(cast(n - prev_n as double) / cast(prev_n as double))', 6)}
+                ELSE cast(0 as bigint) END AS pct_change_e6
+    FROM l
+    """,
+)
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movers: per event type the weekly count, absolute
+    delta and percent change vs the previous epoch-week — the simplest
+    growth-report primitive, exact integers until the single quantized
+    division."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.expr(
+            "cast(floor(cast(cast(ts as timestamp) as double) / 604800) "
+            "as bigint)"
+        ).alias("week"),
+    ).agg(F.count("*").alias("n"))
+    a = b.select("event_type", "week", "n")
+    p = b.select(
+        F.col("event_type").alias("_tb"), F.col("week").alias("_wb"),
+        F.col("n").alias("prev_n"),
+    )
+    l = a.join(
+        p, (F.col("event_type") == F.col("_tb"))
+        & (F.col("_wb") == F.col("week") - 1),
+    )
+    pct = (
+        "CASE WHEN prev_n > 0 THEN "
+        + fs("(cast(n - prev_n as double) / cast(prev_n as double))", 6)
+        + " ELSE cast(0 as bigint) END"
+    )
+    return l.select(
+        "event_type", "week", F.col("n").cast("long"),
+        F.col("prev_n").cast("long"),
+        (F.col("n") - F.col("prev_n")).cast("long").alias("delta"),
+        F.expr(pct).alias("pct_change_e6"),
+    )
