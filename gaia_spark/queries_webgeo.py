@@ -3844,3 +3844,119 @@ def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("prev_n")).cast("long").alias("delta"),
         F.expr(pct).alias("pct_change_e6"),
     )
+
+
+# --- cart abandonment -----------------------------------------------------------
+
+
+@register(
+    "q_abandonment",
+    """
+    WITH s1 AS (SELECT user_id, min(struct_pack(ts := ts, eid := event_id)) AS m
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+    s2 AS (SELECT e.user_id,
+                  cast(count(*) as bigint) AS n_purch
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'purchase'
+             AND (e.ts > (s1.m).ts OR (e.ts = (s1.m).ts
+                  AND e.event_id > (s1.m).eid))
+           GROUP BY 1)
+    SELECT s1.user_id, (s2.user_id IS NULL) AS abandoned
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+    """,
+)
+def q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment: users who clicked but never purchased afterwards
+    (strict (ts, event_id) order) — the funnel's complement set that
+    retargeting pipelines consume. One stage pick + one left anti-shaped
+    join on the user key."""
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.struct(F.col("ts").alias("ts"),
+                            F.col("event_id").alias("eid"))).alias("m"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s1.select(F.col("user_id").alias("_u"), F.col("m").alias("_m")),
+              F.col("user_id") == F.col("_u"))
+        .filter(
+            (F.col("ts") > F.col("_m.ts"))
+            | ((F.col("ts") == F.col("_m.ts"))
+               & (F.col("event_id") > F.col("_m.eid")))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purch"))
+        .select(F.col("user_id").alias("_pu"))
+    )
+    return s1.join(s2, F.col("user_id") == F.col("_pu"), "left").select(
+        "user_id", F.col("_pu").isNull().alias("abandoned")
+    )
+
+
+# --- language-by-zone lift (geo x lang association) -----------------------------
+
+
+def _lang_lift_oracle() -> str:
+    from gaia_spark.queries import GEOPARSE_RE2, ZONES_CTE, _PAGES_CTE
+
+    fs = P.floor_scaled_sql
+    pages_l = _PAGES_CTE.replace("FROM documents)", ", lang FROM documents)")
+    return f"""
+    WITH {pages_l}, {ZONES_CTE},
+    g AS (SELECT lang,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 3), '')
+                      as double) AS lat,
+                 cast(nullif(regexp_extract(text, '{GEOPARSE_RE2}', 4), '')
+                      as double) AS lon
+          FROM pages),
+    j AS (SELECT z.zone_id, p.lang FROM g p JOIN zones z
+            ON p.lat >= z.min_lat AND p.lat <= z.max_lat
+           AND p.lon >= z.min_lon AND p.lon <= z.max_lon
+          WHERE p.lat IS NOT NULL),
+    zl AS (SELECT zone_id, lang, cast(count(*) as bigint) AS n
+           FROM j GROUP BY 1, 2),
+    zt AS (SELECT zone_id, cast(sum(n) as bigint) AS nz FROM zl GROUP BY 1),
+    lt AS (SELECT lang, cast(sum(n) as bigint) AS nl FROM zl GROUP BY 1),
+    tt AS (SELECT cast(sum(n) as bigint) AS tot FROM zl)
+    SELECT zl.zone_id, zl.lang, zl.n,
+           {fs('(cast(zl.n as double) * cast(tt.tot as double) '
+               '/ (cast(zt.nz as double) * cast(lt.nl as double)))', 6)}
+             AS lift_e6
+    FROM zl JOIN zt USING (zone_id) JOIN lt USING (lang) CROSS JOIN tt
+    """
+
+
+@register("q_lang_lift", _lang_lift_oracle())
+def q_lang_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-by-zone lift: which languages over-index in which zones —
+    lift = p(lang, zone) / (p(lang)·p(zone)) over the geoparsed within
+    join, the geo×lang association map. Exact counts, one quantized
+    division; all margin tables are zone/lang-bounded."""
+    from gaia_spark.functions.geoparse import geoparse
+    from gaia_spark.operators.spatial_join import ZoneIndex, spatial_join
+    from gaia_spark.queries import oracle_zones_pdf, pages_from_documents
+
+    fs = P.floor_scaled_sql
+    pts = geoparse(pages_from_documents(spark, sf_dir)).filter(
+        F.col("lat").isNotNull()
+    )
+    idx = ZoneIndex.build(oracle_zones_pdf())
+    j = spatial_join(pts, idx, predicate="intersects", point_key="url")
+    zl = j.groupBy("zone_id", "lang").agg(F.count("*").alias("n"))
+    zt = zl.groupBy("zone_id").agg(F.sum("n").cast("long").alias("nz"))
+    lt = zl.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    tt = zl.agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        zl.join(F.broadcast(zt), "zone_id")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "zone_id", "lang", F.col("n").cast("long"),
+            F.expr(fs(
+                "(cast(n as double) * cast(tot as double) "
+                "/ (cast(nz as double) * cast(nl as double)))", 6)
+            ).alias("lift_e6"),
+        )
+    )
