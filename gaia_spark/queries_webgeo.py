@@ -3960,3 +3960,90 @@ def q_lang_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_e6"),
         )
     )
+
+
+# --- first-touch attribution ----------------------------------------------------
+
+
+@register(
+    "q_attribution",
+    f"""
+    WITH ft AS (SELECT user_id,
+                       min(struct_pack(ts := ts, eid := event_id,
+                                       t := event_type)) AS m
+                FROM events GROUP BY 1),
+    buyers AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND event_id % 7 = 0),
+    a AS (SELECT (ft.m).t AS first_touch,
+                 CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+          FROM ft LEFT JOIN buyers b ON b.user_id = ft.user_id)
+    SELECT first_touch, cast(count(*) as bigint) AS n_users,
+           cast(sum(conv) as bigint) AS n_converted,
+           {P.floor_scaled_sql(
+               '(cast(sum(conv) as double) / cast(count(*) as double))', 6)}
+             AS conv_e6
+    FROM a GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: conversion rate by each user's very first
+    event type ((ts, event_id, type) struct-min pick — deterministic
+    under timestamp ties) — the entry-channel report. One user agg + a
+    type-bounded rollup."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events")
+    ft = e.groupBy("user_id").agg(
+        F.min(F.struct(F.col("ts").alias("ts"),
+                       F.col("event_id").alias("eid"),
+                       F.col("event_type").alias("t"))).alias("m")
+    )
+    buyers = (
+        e.filter(F.expr("event_type = 'purchase' AND event_id % 7 = 0"))
+        .select(F.col("user_id").alias("_bu"))
+        .distinct()
+    )
+    a = ft.join(buyers, F.col("user_id") == F.col("_bu"), "left").select(
+        F.col("m.t").alias("first_touch"),
+        F.col("_bu").isNotNull().cast("int").alias("conv"),
+    )
+    return a.groupBy("first_touch").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        F.expr(fs(
+            "(cast(sum(conv) as double) / cast(count(*) as double))", 6)
+        ).alias("conv_e6"),
+    )
+
+
+# --- event value statistics -----------------------------------------------------
+
+
+@register(
+    "q_value_stats",
+    f"""
+    WITH v AS (SELECT event_type, {P.floor_scaled_sql('value', 2)} AS v_e2
+               FROM events)
+    SELECT event_type, cast(count(*) as bigint) AS n,
+           cast(sum(v_e2) as bigint) AS sum_e2,
+           cast(min(v_e2) as bigint) AS min_e2,
+           cast(max(v_e2) as bigint) AS max_e2,
+           cast({P.bigint_div('sum(v_e2)', 'count(*)', P.DUCK)} as bigint)
+             AS mean_e2
+    FROM v GROUP BY 1
+    """,
+)
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-value statistics per type: exact e2 fixed-point sum/min/max
+    and the exact-integer mean (floor division on the non-negative e2
+    sum) — the revenue-rollup primitive on the events table's value
+    column."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events")
+    v = e.select("event_type", F.expr(fs("value", 2)).alias("v_e2"))
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_e2").cast("long").alias("sum_e2"),
+        F.min("v_e2").cast("long").alias("min_e2"),
+        F.max("v_e2").cast("long").alias("max_e2"),
+        F.expr("cast((sum(v_e2) div count(*)) as bigint)").alias("mean_e2"),
+    )
