@@ -4047,3 +4047,69 @@ def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v_e2").cast("long").alias("max_e2"),
         F.expr("cast((sum(v_e2) div count(*)) as bigint)").alias("mean_e2"),
     )
+
+
+# --- RFM segmentation -----------------------------------------------------------
+
+
+@register(
+    "q_rfm",
+    f"""
+    WITH p AS (SELECT user_id, date_part('epoch', ts) AS ep,
+                      {P.floor_scaled_sql('value', 2)} AS v_e2
+               FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT user_id,
+                 cast(floor(max(ep)) as bigint) AS last_ep,
+                 cast(count(*) as bigint) AS freq,
+                 cast(sum(v_e2) as bigint) AS monetary_e2
+          FROM p GROUP BY 1),
+    mx AS (SELECT cast(max(last_ep) as bigint) AS now_ep,
+                  cast(count(*) as bigint) AS n FROM u),
+    s AS (SELECT u.*, mx.n, mx.now_ep - u.last_ep AS recency_s,
+                 row_number() OVER (ORDER BY mx.now_ep - u.last_ep ASC,
+                                    u.user_id) AS rr,
+                 row_number() OVER (ORDER BY u.freq DESC, u.user_id) AS rf,
+                 row_number() OVER (ORDER BY u.monetary_e2 DESC, u.user_id)
+                   AS rm
+          FROM u CROSS JOIN mx)
+    SELECT user_id, cast(recency_s as bigint) AS recency_s, freq, monetary_e2,
+           cast(3 - ((rr - 1) * 3) // n as bigint) AS r_score,
+           cast(3 - ((rf - 1) * 3) // n as bigint) AS f_score,
+           cast(3 - ((rm - 1) * 3) // n as bigint) AS m_score
+    FROM s
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: recency (seconds before the last
+    corpus purchase), frequency and e2 monetary sum, each scored into
+    exact-integer terciles by (metric, user_id)-ordered rank — the CRM
+    segmentation primitive with no float anywhere. The rank windows sort
+    only the purchaser table."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    fs = P.floor_scaled_sql
+    u = e.groupBy("user_id").agg(
+        F.expr("cast(floor(max(cast(cast(ts as timestamp) as double))) "
+               "as bigint)").alias("last_ep"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.expr(fs("value", 2))).cast("long").alias("monetary_e2"),
+    )
+    mx = u.agg(
+        F.max("last_ep").cast("long").alias("now_ep"),
+        F.count("*").cast("long").alias("n"),
+    )
+    s = (
+        u.crossJoin(F.broadcast(mx))
+        .withColumn("recency_s", F.col("now_ep") - F.col("last_ep"))
+        .withColumn("rr", F.row_number().over(
+            Window.orderBy(F.asc("recency_s"), F.asc("user_id"))))
+        .withColumn("rf", F.row_number().over(
+            Window.orderBy(F.desc("freq"), F.asc("user_id"))))
+        .withColumn("rm", F.row_number().over(
+            Window.orderBy(F.desc("monetary_e2"), F.asc("user_id"))))
+    )
+    return s.select(
+        "user_id", F.col("recency_s").cast("long"), "freq", "monetary_e2",
+        F.expr("cast(3 - ((rr - 1) * 3) div n as bigint)").alias("r_score"),
+        F.expr("cast(3 - ((rf - 1) * 3) div n as bigint)").alias("f_score"),
+        F.expr("cast(3 - ((rm - 1) * 3) div n as bigint)").alias("m_score"),
+    )
