@@ -4113,3 +4113,68 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(3 - ((rf - 1) * 3) div n as bigint)").alias("f_score"),
         F.expr("cast(3 - ((rm - 1) * 3) div n as bigint)").alias("m_score"),
     )
+
+
+# --- Lorenz deciles of host mass ------------------------------------------------
+
+
+@register(
+    "q_lorenz_deciles",
+    f"""
+    WITH h AS (SELECT 'https://site' || cast(doc_id % 1000 as varchar)
+                      || '.example' AS host,
+                      cast(count(*) as bigint) AS n
+               FROM documents GROUP BY 1),
+    r AS (SELECT n,
+                 row_number() OVER (ORDER BY n ASC, host ASC) AS rk,
+                 count(*) OVER () AS nh, sum(n) OVER () AS tot
+          FROM h),
+    d AS (SELECT cast(((rk - 1) * 10) // nh as bigint) AS decile,
+                 n, tot FROM r),
+    a AS (SELECT decile, cast(sum(n) as bigint) AS mass,
+                 cast(min(tot) as bigint) AS tot FROM d GROUP BY 1),
+    c AS (SELECT decile, mass, tot,
+                 cast(sum(mass) OVER (ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING) as bigint) AS cum
+          FROM a)
+    SELECT decile, mass,
+           {P.floor_scaled_sql('(cast(cum as double) / cast(tot as double))', 6)}
+             AS cum_share_e6
+    FROM c
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles of per-host page mass (hosts ranked ascending,
+    exact decile buckets ((rk−1)·10)//n, cumulative share e6) — the
+    plot-ready companion of the Gini diagnostics. Rank + cumsum windows
+    over the HOST table only."""
+    fs = P.floor_scaled_sql
+    h = load(spark, sf_dir, "documents").groupBy(
+        F.expr("'https://site' || cast(doc_id % 1000 as string) || '.example'")
+        .alias("host")
+    ).agg(F.count("*").alias("n"))
+    r = (
+        h.withColumn("rk", F.row_number().over(
+            Window.orderBy(F.asc("n"), F.asc("host"))))
+        .withColumn("nh", F.count("*").over(Window.partitionBy()))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    )
+    d = r.select(
+        F.expr("cast(((rk - 1) * 10) div nh as bigint)").alias("decile"),
+        "n", "tot",
+    )
+    a = d.groupBy("decile").agg(
+        F.sum("n").cast("long").alias("mass"),
+        F.min("tot").cast("long").alias("tot"),
+    )
+    c = a.withColumn(
+        "cum",
+        F.sum("mass").over(
+            Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return c.select(
+        "decile", "mass",
+        F.expr(fs("(cast(cum as double) / cast(tot as double))", 6))
+        .alias("cum_share_e6"),
+    )
