@@ -4178,3 +4178,77 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(fs("(cast(cum as double) / cast(tot as double))", 6))
         .alias("cum_share_e6"),
     )
+
+
+# --- activity half-life ---------------------------------------------------------
+
+
+@register(
+    "q_half_life",
+    f"""
+    WITH d AS (SELECT DISTINCT user_id, {_DAY_DUCK} AS day FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+    a AS (SELECT d.day - c.cohort_day AS offset_d,
+                 cast(count(*) as bigint) AS n_active
+          FROM d JOIN c USING (user_id)
+          WHERE d.day - c.cohort_day BETWEEN 0 AND 7
+          GROUP BY 1),
+    q AS (SELECT cast(offset_d as bigint) AS x,
+                 {P.floor_scaled_sql('ln(cast(n_active as double))', 6)} AS y_e6
+          FROM a WHERE n_active > 0),
+    m AS (SELECT cast(count(*) as bigint) AS k,
+                 cast(sum(x) as bigint) AS sx, cast(sum(y_e6) as bigint) AS sy,
+                 cast(sum(x * y_e6) as bigint) AS sxy,
+                 cast(sum(x * x) as bigint) AS sxx
+          FROM q)
+    SELECT k AS n_offsets,
+      {P.floor_scaled_sql(
+          '(cast(k * sxy - sx * sy as double) '
+          '/ cast((k * sxx - sx * sx) * 1000000 as double))', 6)} AS slope_e6,
+      CASE WHEN k * sxy - sx * sy < 0 THEN {P.floor_scaled_sql(
+          '(ln(cast(2 as double)) '
+          '/ (-(cast(k * sxy - sx * sy as double) '
+          '/ cast((k * sxx - sx * sx) * 1000000 as double))))', 3)}
+           ELSE cast(0 as bigint) END AS half_life_days_e3
+    FROM m
+    """,
+)
+def q_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity half-life: exponential-decay fit of the aggregate day-0..7
+    active-user curve (integer offsets, e6-prequantized ln counts, exact
+    moments) — half-life = ln2/|slope|, reported only when the curve
+    actually decays. The one-number summary product teams quote from the
+    q_cohort table."""
+    fs = P.floor_scaled_sql
+    e = load(spark, sf_dir, "events")
+    d = e.select("user_id", F.expr(_DAY_SPARK).alias("day")).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    a = (
+        d.join(c, "user_id")
+        .withColumn("offset_d", F.col("day") - F.col("cohort_day"))
+        .filter((F.col("offset_d") >= 0) & (F.col("offset_d") <= 7))
+        .groupBy("offset_d")
+        .agg(F.count("*").alias("n_active"))
+    )
+    q = a.filter(F.col("n_active") > 0).select(
+        F.col("offset_d").cast("long").alias("x"),
+        F.expr(fs("ln(cast(n_active as double))", 6)).alias("y_e6"),
+    )
+    m = q.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").alias("sx"), F.sum("y_e6").alias("sy"),
+        F.sum(F.col("x") * F.col("y_e6")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = ("(cast(k * sxy - sx * sy as double) "
+             "/ cast((k * sxx - sx * sx) * 1000000 as double))")
+    hl = (
+        "CASE WHEN k * sxy - sx * sy < 0 THEN "
+        + fs(f"(ln(cast(2 as double)) / (-{slope}))", 3)
+        + " ELSE cast(0 as bigint) END"
+    )
+    return m.select(
+        F.col("k").alias("n_offsets"),
+        F.expr(fs(slope, 6)).alias("slope_e6"),
+        F.expr(hl).alias("half_life_days_e3"),
+    )
