@@ -241,6 +241,140 @@ _ZONE_EDGES = (
 # small rects faster on SQL with zero Python in the plan).
 AUTO_ARROW_MIN_EDGES = 128
 
+# Candidate generation strategy switch: at or below this many zones the
+# candidate join is a broadcast nested-loop join on closed bbox overlap
+# (4 codegen'd comparisons per (feature, zone) probe — features × |zones|
+# work, trivially cheap for a dimension-sized zone layer, and the feature's
+# heavy vertex array is never duplicated through an explode). Above it, the
+# original cell-cover equi-join takes over: features explode onto grid
+# cells so each feature is probed only against zones sharing a cell —
+# the right plan when |zones| is large enough that features × |zones|
+# bbox probes would dominate.
+BNL_MAX_ZONES = 256
+
+# Probe prefilter margin (degrees): a point farther than this outside a
+# bbox cannot be covered by the geometry inside it — raycast-interior is
+# contained in the bbox, and the boundary test reaches only BOUNDARY_EPS
+# (1e-9°) beyond it. 1e-6 keeps 1000x slack above the eps while still
+# excluding essentially every non-candidate vertex from the expensive
+# raycast/boundary evaluation.
+PROBE_MARGIN = 1e-6
+
+
+# closed bbox-intersection rectangle of a candidate pair (both paths name
+# the bbox columns identically)
+_PAIR_RECT = {
+    "lat0": "greatest(_fmin_lat, _z_min_lat)",
+    "lat1": "least(_fmax_lat, _z_max_lat)",
+    "lon0": "greatest(_fmin_lon, _z_min_lon)",
+    "lon1": "least(_fmax_lon, _z_max_lon)",
+}
+
+_BBOX_OVERLAP_SQL = (
+    "(_fmin_lat <= _z_max_lat AND _fmax_lat >= _z_min_lat "
+    "AND _fmin_lon <= _z_max_lon AND _fmax_lon >= _z_min_lon)"
+)
+
+
+def _clip_sql(arr: str) -> str:
+    """Edge-bucket prefilter for the O(|A edges|·|B edges|) pairwise terms:
+    any proper crossing or collinear boundary overlap lies on BOTH
+    boundaries, hence inside the closed bbox-INTERSECTION rectangle of the
+    pair — so both edge arrays can be exactly clipped (one O(V) pass) to
+    edges whose own bbox overlaps that rectangle before the quadratic
+    sweep. For large-vertex layers (500+ vertices) this turns the cross
+    check from V_a·V_b into |A∩rect|·|B∩rect|, typically ~O(√V·√V)."""
+    ix = _PAIR_RECT
+    return (
+        f"filter({arr}, ce -> "
+        f"least(ce.y1, ce.y2) <= {ix['lat1']} AND greatest(ce.y1, ce.y2) >= {ix['lat0']} "
+        f"AND least(ce.x1, ce.x2) <= {ix['lon1']} AND greatest(ce.x1, ce.x2) >= {ix['lon0']})"
+    )
+
+
+def _refine_ok_sql(
+    predicate: str,
+    kind: str,
+    fedges: str,
+    zedges: str,
+    fedges_x: str | None = None,
+    zedges_x: str | None = None,
+) -> str:
+    """The full refinement predicate over a candidate (feature, zone) pair,
+    parameterized by the EDGE-ARRAY expressions so it can be instantiated
+    either over precomputed columns (`_fedges`/`_zedges`, the cell-cover
+    path) or with the derivations inlined (the broadcast nested-loop path,
+    where the whole predicate lives inside the join condition and there are
+    no intermediate columns to reference).
+
+    Probe prefilters: a vertex farther than PROBE_MARGIN outside the other
+    side's bbox cannot be covered by it (interior ⊆ bbox; the boundary test
+    reaches only BOUNDARY_EPS ≈ 1e-9° past it, the margin is 1000x that),
+    so the expensive raycast + segment-distance evaluation runs only on the
+    handful of vertices inside the bbox instead of the whole ring. The
+    all-/negated-quantified forms keep the full vertex set but short-circuit
+    the geometry test behind the bbox check per vertex (NOT-in-bbox already
+    implies NOT covered, so the algebra is unchanged)."""
+    fedges_x = fedges_x if fedges_x is not None else _clip_sql(fedges)
+    zedges_x = zedges_x if zedges_x is not None else _clip_sql(zedges)
+    m = PROBE_MARGIN
+    in_zb = (
+        f"(v.lat >= _z_min_lat - {m} AND v.lat <= _z_max_lat + {m} "
+        f"AND v.lon >= _z_min_lon - {m} AND v.lon <= _z_max_lon + {m})"
+    )
+    cov_v = _covered_at(zedges, "v.lat", "v.lon")
+    any_a_covered_by_b = f"exists(filter(vertices, v -> {in_zb}), v -> {cov_v})"
+    all_a_covered_by_b = f"forall(vertices, v -> {in_zb} AND ({cov_v}))"
+    any_a_strictly_in_b = (
+        f"exists(filter(vertices, v -> {in_zb}), "
+        f"v -> {_strictly_in_at(zedges, 'v.lat', 'v.lon')})"
+    )
+    any_a_strictly_out_b = f"exists(vertices, v -> NOT ({in_zb} AND ({cov_v})))"
+    proper_cross = _proper_cross_sql(fedges_x, zedges_x)
+    # zone vertices probed against the FEATURE: lines have no interior, so
+    # 'covered by A' degrades to 'on A's boundary' for kind='line'
+    if kind == "line":
+        zv_covered_by_a = _on_boundary_at(fedges, "zv.y1", "zv.x1")
+        zv_strictly_in_a = "false"
+    else:
+        zv_covered_by_a = _covered_at(fedges, "zv.y1", "zv.x1")
+        zv_strictly_in_a = _strictly_in_at(fedges, "zv.y1", "zv.x1")
+    in_fb = (
+        f"(zv.y1 >= _fmin_lat - {m} AND zv.y1 <= _fmax_lat + {m} "
+        f"AND zv.x1 >= _fmin_lon - {m} AND zv.x1 <= _fmax_lon + {m})"
+    )
+    any_b_covered_by_a = f"exists(filter({zedges}, zv -> {in_fb}), zv -> {zv_covered_by_a})"
+    any_b_strictly_in_a = f"exists(filter({zedges}, zv -> {in_fb}), zv -> {zv_strictly_in_a})"
+
+    intersects = f"(({any_a_covered_by_b}) OR ({any_b_covered_by_a}) OR ({proper_cross}))"
+    if predicate == "intersects":
+        return intersects
+    if predicate == "within":
+        return (
+            f"(({all_a_covered_by_b}) AND NOT ({proper_cross})"
+            f" AND NOT ({any_b_strictly_in_a}))"
+        )
+    if predicate == "crosses":
+        return (
+            f"(({proper_cross}) OR "
+            f"(({any_a_strictly_in_b}) AND ({any_a_strictly_out_b})))"
+        )
+    # touches / touches_rook
+    ok = (
+        f"(({intersects}) AND NOT ({proper_cross})"
+        f" AND NOT ({any_a_strictly_in_b}) AND NOT ({any_b_strictly_in_a}))"
+    )
+    if predicate == "touches_rook":
+        # rook contiguity: boundary contact must include a shared
+        # positive-length segment, not just a corner point
+        ok = f"({ok} AND ({_collinear_overlap_sql(fedges_x, zedges_x)}))"
+    if kind == "poly":
+        # coincident / edge-overlapping polygons: interior contact with
+        # no strictly-interior vertex and no proper crossing — reject
+        # via the collinear-overlap interior witness
+        ok = f"({ok} AND NOT ({_collinear_interior_sql(fedges_x, zedges_x, fedges, zedges)}))"
+    return ok
+
 
 def _choose_refine(
     features: DataFrame, predicate: str, vertices_col: str, rings_col: str | None
@@ -339,37 +473,28 @@ def feature_spatial_join(
         fedges = (
             _edges_sql(_close_ring_sql("vertices")) if kind == "poly" else _FEATURE_EDGES
         )
-    # bbox + feature edge table, all pure SQL over the vertex array
+    # bbox, all pure SQL over the vertex array: extract the coordinate
+    # arrays ONCE (two transform passes) and min/max the plain double
+    # arrays — array_min/max loop natively with no per-element lambda, vs
+    # 4 interpreted transform passes in the fused form. CollapseProject
+    # keeps the non-cheap transforms un-inlined (each is referenced twice).
     feats = (
-        feats.withColumn("_fmin_lat", F.expr("array_min(transform(vertices, v -> v.lat))"))
-        .withColumn("_fmax_lat", F.expr("array_max(transform(vertices, v -> v.lat))"))
-        .withColumn("_fmin_lon", F.expr("array_min(transform(vertices, v -> v.lon))"))
-        .withColumn("_fmax_lon", F.expr("array_max(transform(vertices, v -> v.lon))"))
-        .withColumn("_fedges", F.expr(fedges))
-    )
-
-    # distributed cell-range cover of the feature bbox (conservative, exact
-    # for the grid): sequence × explode — the feature side never collects
-    x0 = portable.cell_x_sql("_fmin_lon", res)
-    x1 = portable.cell_x_sql("_fmax_lon", res)
-    y0 = portable.cell_y_sql("_fmax_lat", res)  # y grows southward
-    y1 = portable.cell_y_sql("_fmin_lat", res)
-    covered = (
-        feats.withColumn("_cx", F.explode(F.expr(f"sequence({x0}, {x1})")))
-        .withColumn("_cy", F.explode(F.expr(f"sequence({y0}, {y1})")))
-        .withColumn("_cell", F.col("_cy") * n + F.col("_cx"))
+        feats.withColumn("_vlats", F.expr("transform(vertices, v -> v.lat)"))
+        .withColumn("_vlons", F.expr("transform(vertices, v -> v.lon)"))
+        .withColumn("_fmin_lat", F.expr("array_min(_vlats)"))
+        .withColumn("_fmax_lat", F.expr("array_max(_vlats)"))
+        .withColumn("_fmin_lon", F.expr("array_min(_vlons)"))
+        .withColumn("_fmax_lon", F.expr("array_max(_vlons)"))
+        .drop("_vlats", "_vlons")
     )
 
     # zone side: one row per zone (driver-deduped, it's the small broadcast
-    # side) exploded to its FULL bbox cell range — the point-join cover drops
-    # entirely-outside cells, but the reference-point dedup below needs every
-    # bbox cell present on both sides
+    # side). _z_-prefix every zone-side metadata column: the user's feature
+    # layer may legitimately carry 'kind', bbox, or 'edges'/'cell' columns,
+    # and an unprefixed join would be ambiguous or silently drop user data
     zmeta_pdf = index.cover_pdf.drop_duplicates("zone_id")[
         ["zone_id", "kind", "min_lat", "min_lon", "max_lat", "max_lon", "edges"]
     ]
-    # _z_-prefix every zone-side metadata column: the user's feature layer
-    # may legitimately carry 'kind', bbox, or 'edges'/'cell' columns, and an
-    # unprefixed join would be ambiguous or silently drop user data
     zmeta = spark.createDataFrame(
         zmeta_pdf.to_dict("records"),
         "zone_id long, kind string, min_lat double, min_lon double, "
@@ -384,63 +509,80 @@ def feature_spatial_join(
         F.col("max_lon").alias("_z_max_lon"),
         F.col("edges").alias("_z_edges_src"),
     )
-    zx0 = portable.cell_x_sql("_z_min_lon", res)
-    zx1 = portable.cell_x_sql("_z_max_lon", res)
-    zy0 = portable.cell_y_sql("_z_max_lat", res)
-    zy1 = portable.cell_y_sql("_z_min_lat", res)
-    zcover = (
-        zmeta.withColumn("_zx", F.explode(F.expr(f"sequence({zx0}, {zx1})")))
-        .withColumn("_zy", F.explode(F.expr(f"sequence({zy0}, {zy1})")))
-        .withColumn("_z_cell", F.col("_zy") * n + F.col("_zx"))
-        .drop("_zx", "_zy")
-    )
+
+    use_bnl = len(zmeta_pdf) <= BNL_MAX_ZONES
+    drop_common = [
+        "_fmin_lat", "_fmax_lat", "_fmin_lon", "_fmax_lon", "_fedges",
+        "_cx", "_cy", "_cell", "_z_cell", "_z_kind",
+        "_z_min_lat", "_z_min_lon", "_z_max_lat", "_z_max_lon",
+        "_z_edges_src", "_zedges",
+    ]
 
     bbox_overlap = (
         (F.col("_fmin_lat") <= F.col("_z_max_lat")) & (F.col("_fmax_lat") >= F.col("_z_min_lat"))
         & (F.col("_fmin_lon") <= F.col("_z_max_lon")) & (F.col("_fmax_lon") >= F.col("_z_min_lon"))
     )
-    # reference-point dedup (NO shuffle): of all cells where a (feature,
-    # zone) pair meets, exactly one contains the bbox-intersection corner
-    # point (greatest of the two mins) — keep the pair only there
-    rp_cell = portable.cell_id_sql(
-        "greatest(_fmin_lat, _z_min_lat)", "greatest(_fmin_lon, _z_min_lon)", res
-    )
-    # edge-bucket prefilter for the O(|A edges|·|B edges|) pairwise terms:
-    # any proper crossing or collinear boundary overlap lies on BOTH
-    # boundaries, hence inside the closed bbox-INTERSECTION rectangle of
-    # the pair — so both edge arrays can be exactly clipped (one O(V) pass)
-    # to edges whose own bbox overlaps that rectangle before the quadratic
-    # sweep. For large-vertex layers (500+ vertices) this turns the cross
-    # check from V_a·V_b into |A∩rect|·|B∩rect|, typically ~O(√V·√V).
-    ix = {
-        "lat0": "greatest(_fmin_lat, _z_min_lat)",
-        "lat1": "least(_fmax_lat, _z_max_lat)",
-        "lon0": "greatest(_fmin_lon, _z_min_lon)",
-        "lon1": "least(_fmax_lon, _z_max_lon)",
-    }
 
-    def _clip(arr: str) -> str:
-        return (
-            f"filter({arr}, ce -> "
-            f"least(ce.y1, ce.y2) <= {ix['lat1']} AND greatest(ce.y1, ce.y2) >= {ix['lat0']} "
-            f"AND least(ce.x1, ce.x2) <= {ix['lon1']} AND greatest(ce.x1, ce.x2) >= {ix['lon0']})"
+    if use_bnl:
+        # dimension-sized zone layer: ONE broadcast nested-loop join on the
+        # closed bbox-overlap predicate — each feature row is probed against
+        # every zone with 4 codegen'd comparisons (features × |zones| work,
+        # and the condition stays pure comparisons so the probe loop keeps
+        # whole-stage codegen). Produces exactly the same candidate set as
+        # the cell-cover path (a pair survives that path iff the bboxes
+        # overlap, deduped at the reference cell), with no explode
+        # duplicating the vertex arrays across grid cells. The geometry
+        # refine runs ABOVE the join, behind a pushdown barrier — see below.
+        cand = feats.join(F.broadcast(zmeta), bbox_overlap, "inner")
+    else:
+        # large zone layer: the original cell-cover equi-join — features
+        # explode onto their bbox cell range (sequence × explode, no Python,
+        # no driver loop) so each feature meets only zones sharing a cell.
+        x0 = portable.cell_x_sql("_fmin_lon", res)
+        x1 = portable.cell_x_sql("_fmax_lon", res)
+        y0 = portable.cell_y_sql("_fmax_lat", res)  # y grows southward
+        y1 = portable.cell_y_sql("_fmin_lat", res)
+        covered = (
+            feats.withColumn("_cx", F.explode(F.expr(f"sequence({x0}, {x1})")))
+            .withColumn("_cy", F.explode(F.expr(f"sequence({y0}, {y1})")))
+            .withColumn("_cell", F.col("_cy") * n + F.col("_cx"))
+        )
+        # the zone side exploded to its FULL bbox cell range — the
+        # point-join cover drops entirely-outside cells, but the
+        # reference-point dedup below needs every bbox cell on both sides
+        zx0 = portable.cell_x_sql("_z_min_lon", res)
+        zx1 = portable.cell_x_sql("_z_max_lon", res)
+        zy0 = portable.cell_y_sql("_z_max_lat", res)
+        zy1 = portable.cell_y_sql("_z_min_lat", res)
+        zcover = (
+            zmeta.withColumn("_zx", F.explode(F.expr(f"sequence({zx0}, {zx1})")))
+            .withColumn("_zy", F.explode(F.expr(f"sequence({zy0}, {zy1})")))
+            .withColumn("_z_cell", F.col("_zy") * n + F.col("_zx"))
+            .drop("_zx", "_zy")
+        )
+        # reference-point dedup (NO shuffle): of all cells where a (feature,
+        # zone) pair meets, exactly one contains the bbox-intersection corner
+        # point (greatest of the two mins) — keep the pair only there
+        rp_cell = portable.cell_id_sql(
+            "greatest(_fmin_lat, _z_min_lat)", "greatest(_fmin_lon, _z_min_lon)", res
+        )
+        cand = (
+            covered.join(F.broadcast(zcover), covered["_cell"] == zcover["_z_cell"], "inner")
+            .where(bbox_overlap)
+            .where(F.expr(f"_cell = {rp_cell}"))
         )
 
-    cand = (
-        covered.join(F.broadcast(zcover), covered["_cell"] == zcover["_z_cell"], "inner")
-        .where(bbox_overlap)
-        .where(F.expr(f"_cell = {rp_cell}"))
-        .withColumn("_zedges", F.expr(_ZONE_EDGES))
+    # feature edge table + zone edge form, derived AFTER candidate
+    # generation: the zip_with over the (possibly large) vertex array runs
+    # once per surviving (feature, zone) pair, never for the ~99% of
+    # features whose bbox meets no zone.
+    cand = cand.withColumn("_fedges", F.expr(fedges)).withColumn(
+        "_zedges", F.expr(_ZONE_EDGES)
     )
 
     if refine == "arrow":
-        matched = _arrow_refine(cand, predicate, kind, ix)
-        drop = [
-            "_fmin_lat", "_fmax_lat", "_fmin_lon", "_fmax_lon", "_fedges",
-            "_cx", "_cy", "_cell", "_z_cell", "_z_kind",
-            "_z_min_lat", "_z_min_lon", "_z_max_lat", "_z_max_lon",
-            "_z_edges_src", "_zedges",
-        ]
+        matched = _arrow_refine(cand, predicate, kind, _PAIR_RECT)
+        drop = list(drop_common)
         if rings_col is not None:
             drop.append("vertices")
         if how == "inner":
@@ -449,62 +591,27 @@ def feature_spatial_join(
         join_type = "left_semi" if how == "semi" else "left_anti"
         return features.join(hits, feature_key, join_type)
 
-    cand = cand.withColumn("_fedges_x", F.expr(_clip("_fedges"))).withColumn(
-        "_zedges_x", F.expr(_clip("_zedges"))
+    cand = cand.withColumn("_fedges_x", F.expr(_clip_sql("_fedges"))).withColumn(
+        "_zedges_x", F.expr(_clip_sql("_zedges"))
     )
 
-    # --- refinement primitives (feature side A, zone side B) ----------------
-    any_a_covered_by_b = f"exists(vertices, v -> {_covered_at('_zedges', 'v.lat', 'v.lon')})"
-    all_a_covered_by_b = f"forall(vertices, v -> {_covered_at('_zedges', 'v.lat', 'v.lon')})"
-    any_a_strictly_in_b = f"exists(vertices, v -> {_strictly_in_at('_zedges', 'v.lat', 'v.lon')})"
-    any_a_strictly_out_b = f"exists(vertices, v -> NOT {_covered_at('_zedges', 'v.lat', 'v.lon')})"
-    proper_cross = _proper_cross_sql("_fedges_x", "_zedges_x")
-    # zone vertices probed against the FEATURE: lines have no interior, so
-    # 'covered by A' degrades to 'on A's boundary' for kind='line'
-    if kind == "line":
-        zv_covered_by_a = _on_boundary_at("_fedges", "zv.y1", "zv.x1")
-        zv_strictly_in_a = "false"
-    else:
-        zv_covered_by_a = _covered_at("_fedges", "zv.y1", "zv.x1")
-        zv_strictly_in_a = _strictly_in_at("_fedges", "zv.y1", "zv.x1")
-    any_b_covered_by_a = f"exists(_zedges, zv -> {zv_covered_by_a})"
-    any_b_strictly_in_a = f"exists(_zedges, zv -> {zv_strictly_in_a})"
-
-    intersects = f"(({any_a_covered_by_b}) OR ({any_b_covered_by_a}) OR ({proper_cross}))"
-    if predicate == "intersects":
-        ok = intersects
-    elif predicate == "within":
-        ok = (
-            f"(({all_a_covered_by_b}) AND NOT ({proper_cross})"
-            f" AND NOT ({any_b_strictly_in_a}))"
-        )
-    elif predicate == "crosses":
-        ok = (
-            f"(({proper_cross}) OR "
-            f"(({any_a_strictly_in_b}) AND ({any_a_strictly_out_b})))"
-        )
-    else:  # touches / touches_rook
-        ok = (
-            f"(({intersects}) AND NOT ({proper_cross})"
-            f" AND NOT ({any_a_strictly_in_b}) AND NOT ({any_b_strictly_in_a}))"
-        )
-        if predicate == "touches_rook":
-            # rook contiguity: boundary contact must include a shared
-            # positive-length segment, not just a corner point
-            ok = f"({ok} AND ({_collinear_overlap_sql('_fedges_x', '_zedges_x')}))"
-        if kind == "poly":
-            # coincident / edge-overlapping polygons: interior contact with
-            # no strictly-interior vertex and no proper crossing — reject
-            # via the collinear-overlap interior witness
-            ok = f"({ok} AND NOT ({_collinear_interior_sql('_fedges_x', '_zedges_x', '_fedges', '_zedges')}))"
-
-    matched = cand.where(F.expr(ok))
-    drop = [
-        "_fmin_lat", "_fmax_lat", "_fmin_lon", "_fmax_lon", "_fedges",
-        "_cx", "_cy", "_cell", "_z_cell", "_z_kind",
-        "_z_min_lat", "_z_min_lon", "_z_max_lat", "_z_max_lon",
-        "_z_edges_src", "_zedges", "_fedges_x", "_zedges_x",
-    ]
+    # refinement over the precomputed edge columns, behind an explicit
+    # PUSHDOWN BARRIER: a deterministic filter here would be merged into
+    # the candidate join's condition ahead of the cheap bbox conjuncts
+    # (PushPredicateThroughJoin prepends pushed filters), making the full
+    # geometry algebra run for every (feature × zone) probe pair — measured
+    # 6-30x slower on the bench layers. Wrapping the predicate in a
+    # nondeterministic-but-constant guard (monotonically_increasing_id() is
+    # flagged nondeterministic; the comparison is always true) pins the
+    # filter exactly here, so it evaluates once per bbox-surviving
+    # candidate with the edge arrays materialized as columns.
+    ok = _refine_ok_sql(
+        predicate, kind, "_fedges", "_zedges", fedges_x="_fedges_x", zedges_x="_zedges_x"
+    )
+    matched = cand.where(
+        F.when(F.monotonically_increasing_id() >= 0, F.expr(ok)).otherwise(F.lit(False))
+    )
+    drop = list(drop_common) + ["_fedges_x", "_zedges_x"]
     if rings_col is not None:
         drop.append("vertices")  # the synthetic flatten, not user data
     if how == "inner":

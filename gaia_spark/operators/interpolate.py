@@ -69,17 +69,38 @@ def scatter_to_grid(
     pts = points.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
     pts = pts.withColumn("_cy", F.expr(portable.cell_y_sql(lat, res)))
     pts = pts.withColumn("_cx", F.expr(portable.cell_x_sql(lon, res)))
-    # worst latitude the disc can reach decides the x-ring (near_join twin)
-    max_abs_lat = f"least(89.9, abs({lat}) + {deg})"
-    lon_deg = f"({deg} / greatest(cos(radians({max_abs_lat})), 0.001))"
-    pts = pts.withColumn(
-        "_rx",
-        F.expr(f"least(cast(ceil({lon_deg} / {cell_w_deg} + 0.5) as int), {n // 2})"),
+    # Per-ROW longitudinal extent (exact spherical bound, not the blanket
+    # deg/cos rectangle): for a point p and a center c on row _yy, the
+    # haversine identity gives
+    #   sin²(Δλ/2)·cosφp·cosφc = sin²(d/2R) − sin²(Δφ/2),
+    # so with d ≤ r, |Δφ| ≥ δ(dy) = max(0, |dy|−0.5)·cell_h (the minimum
+    # latitude separation of a point in row _cy from the center of row
+    # _cy+dy) and cosφp·cosφc ≥ cos²(max(|φp|, |φc|)) (φc is the row's
+    # center latitude — exact, not a worst-case cap):
+    #   Δλ ≤ 2·asin( sqrt(sin²(r/2R) − sin²(δ/2)) / cos(max|φ|) ).
+    # Rows near the top/bottom of the disc get a near-zero x-span instead
+    # of the full deg/cos width — ~π/4 of the rectangle's scatter rows
+    # survive, every dropped cell provably outside the radius (the
+    # brute-force cover-parity test pins the superset property). The +0.5
+    # cell term covers the point's position within its own cell, as in
+    # ring_y; sqrt/asin round within an ulp, absorbed by the ceil(+0.5).
+    s2r = float(np.sin(float(radius_m) / (2.0 * portable.EARTH_RADIUS_M)) ** 2)
+    clat = portable.cell_center_lat_sql("_yy", res)
+    delta2 = f"pow(sin(radians(greatest(cast(0 as double), abs(_dy) - 0.5) * {cell_h_deg}) / 2), 2)"
+    cosmax = f"greatest(cos(radians(greatest(abs({lat}), abs(_clat)))), cast(1e-4 as double))"
+    w_deg = (
+        f"degrees(2 * asin(least(cast(1 as double), "
+        f"sqrt(greatest(cast(0 as double), {s2r!r} - {delta2})) / {cosmax})))"
     )
     out = (
         pts.withColumn("_dy", F.explode(F.sequence(F.lit(-ring_y), F.lit(ring_y))))
         .withColumn("_yy", F.col("_cy") + F.col("_dy"))
         .where((F.col("_yy") >= 0) & (F.col("_yy") < n))
+        .withColumn("_clat", F.expr(clat))
+        .withColumn(
+            "_rx",
+            F.expr(f"least(cast(ceil({w_deg} / {cell_w_deg} + 0.5) as int), {n // 2})"),
+        )
         # capped span 2·rx+1 ≥ n+1 would wrap onto duplicate columns: emit
         # the full row instead (distinct x by construction either way)
         .withColumn(
@@ -92,7 +113,6 @@ def scatter_to_grid(
             ),
         )
         .withColumn("cell", F.col("_yy") * n + F.col("_xx"))
-        .withColumn("_clat", F.expr(portable.cell_center_lat_sql("_yy", res)))
         .withColumn("_clon", F.expr(portable.cell_center_lon_sql("_xx", res)))
         .withColumn(
             "dist_m", F.expr(portable.haversine_m_sql(lat, lon, "_clat", "_clon"))

@@ -118,16 +118,50 @@ def _knn_broadcast_sql(
     site_lon: str,
 ) -> DataFrame:
     spark = points.sparkSession
+    if k == 1 and 0 < len(sites_pdf) <= 64:
+        # k=1 over a small site list (the DistanceProcess shape): UNROLL
+        # the sites as literal expressions — array_min over an inline
+        # array of (haversine, sid) structs. No lambda anywhere, so the
+        # whole per-row computation stays in whole-stage codegen (the
+        # transform() form is a higher-order function, which Catalyst
+        # evaluates interpreted per element — measured the dominant cost
+        # of the broadcast kNN at bench scale). Same (dist, site_id)
+        # ordering as the sorted path; literal doubles round-trip exactly
+        # through repr, so the arithmetic is bit-identical.
+        entries = ", ".join(
+            f"struct(({portable.haversine_m_sql('lat', 'lon', repr(float(r[site_lat])), repr(float(r[site_lon])))}) AS d, "
+            f"cast({int(r[site_key])} as bigint) AS sid)"
+            for _, r in sites_pdf.iterrows()
+        )
+        best = f"array_min(array({entries}))"
+        pts = points.where(F.col("lat").isNotNull())
+        return pts.select(
+            F.col(point_key),
+            F.expr(f"{best}.sid").alias("site_id"),
+            F.expr(f"{best}.d").alias("dist_m"),
+            F.lit(1).cast("int").alias("rank"),
+        )
     sites = spark.createDataFrame(
         sites_pdf[[site_key, site_lat, site_lon]].rename(
             columns={site_key: "sid", site_lat: "slat", site_lon: "slon"}
         )
     ).agg(F.collect_list(F.struct("sid", "slat", "slon")).alias("_sites"))
     dist = portable.haversine_m_sql("lat", "lon", "s.slat", "s.slon")
-    topk = (
-        f"slice(array_sort(transform(_sites, s -> "
-        f"struct({dist} AS d, s.sid AS sid))), 1, {k})"
-    )
+    if k == 1:
+        # k=1, larger site list: array_min by (dist, site_id) is the first
+        # element of the sorted array — one O(m) pass per row, no per-row
+        # sort or sorted-copy allocation. The filter() guard reproduces
+        # slice()'s empty-array behaviour for an empty site list
+        # (array_min of [] is NULL; no site ⇒ no output row, not a NULL row).
+        topk = (
+            f"filter(array(array_min(transform(_sites, s -> "
+            f"struct({dist} AS d, s.sid AS sid)))), x -> x IS NOT NULL)"
+        )
+    else:
+        topk = (
+            f"slice(array_sort(transform(_sites, s -> "
+            f"struct({dist} AS d, s.sid AS sid))), 1, {k})"
+        )
     pts = points.where(F.col("lat").isNotNull()).join(F.broadcast(sites))
     return pts.select(
         F.col(point_key),

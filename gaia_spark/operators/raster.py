@@ -48,36 +48,36 @@ def with_quadkey(
 
 
 def point_tile_pyramid(points: DataFrame, max_zoom: int, min_zoom: int = 0) -> DataFrame:
-    """Aggregate points once at max_zoom, then roll the pyramid up zoom by
-    zoom with integer-shift parent keys — each level aggregates the previous
-    one (2^z× smaller), never re-scanning the input (SURVEY.md §2.D rollup).
+    """Aggregate points once at max_zoom, then derive EVERY coarser level in
+    ONE pass: each base tile explodes onto its ancestor chain (a tiny
+    in-plan ``sequence``) and a single groupBy sums the whole pyramid —
+    exactly two shuffles regardless of pyramid depth, no persist, no union
+    of per-level branches (the previous level-by-level rollup paid one
+    aggregation job per zoom plus a 5-way union re-reading the persisted
+    base; same values, SURVEY.md §2.D rollup).
+
+    Parent keys are ``shiftright`` by the zoom delta — for the non-negative
+    tile coordinates this equals repeated floor-halving, so every level's
+    (tx, ty, n) is bit-identical to the iterative form.
     """
     base = (
         with_tile(points.where(F.col("lat").isNotNull()), max_zoom)
         .groupBy("zoom", "tx", "ty")
         .agg(F.count("*").alias("n"))
-        # persisted: every coarser level and the final union re-reads this
-        # node; without it Spark recomputes the full input scan per level
-        .persist()
     )
-    levels = [base]
-    cur = base
-    for z in range(max_zoom - 1, min_zoom - 1, -1):
-        cur = (
-            cur.select(
-                F.lit(z).alias("zoom"),
-                F.expr(portable.idiv_sql("tx", 2)).alias("tx"),
-                F.expr(portable.idiv_sql("ty", 2)).alias("ty"),
-                "n",
-            )
-            .groupBy("zoom", "tx", "ty")
-            .agg(F.sum("n").cast("long").alias("n"))
+    if max_zoom == min_zoom:
+        return base
+    return (
+        base.withColumn("_z", F.explode(F.expr(f"sequence({min_zoom}, {max_zoom})")))
+        .select(
+            F.col("_z").cast("int").alias("zoom"),
+            F.expr(f"shiftright(tx, {max_zoom} - _z)").alias("tx"),
+            F.expr(f"shiftright(ty, {max_zoom} - _z)").alias("ty"),
+            "n",
         )
-        levels.append(cur)
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+        .groupBy("zoom", "tx", "ty")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
 
 
 # np functions a gdal_calc-style band expression may call

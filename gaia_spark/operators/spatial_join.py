@@ -38,12 +38,27 @@ PREDICATES = ("within", "intersects", "touches", "disjoint")
 
 
 def pick_resolution(zones_pdf: pd.DataFrame) -> int:
-    """Grid resolution so a median zone spans ~3 cells per axis (bounded
-    cover size per zone, bounded candidate fan-out per point)."""
+    """Grid resolution for the zone cover.
+
+    Rect-only layers (no raycast refine — membership is a codegen'd
+    BETWEEN) target ~3 cells per axis for a median zone: the smallest
+    cover that still bounds candidate fan-out per point.
+
+    Layers with POLY zones target ~12 cells per axis (+2 res): at ~3/axis
+    essentially every covered cell is a *partial* (boundary) cell, so
+    nearly every candidate pays the interpreted raycast + segment-distance
+    refine; at ~12/axis the partial cells shrink to the boundary ring
+    (~perimeter/area ≈ 1/3 of covered cells) and interior candidates
+    short-circuit on the `full` flag with zero geometry work. The finer
+    cover costs only broadcast rows (each carries the zone's edge array),
+    so it is gated to dimension-sized layers — above 1024 zones the
+    coarser target keeps the cover's row × edge-array product bounded."""
     h = (zones_pdf["max_lat"] - zones_pdf["min_lat"]).median()
     w = (zones_pdf["max_lon"] - zones_pdf["min_lon"]).median()
     size = max(float(min(h, w)), 1e-6)
-    return int(np.clip(round(math.log2(540.0 / size)), 2, 14))
+    has_poly = bool((zones_pdf["kind"] == "poly").any()) if "kind" in zones_pdf else True
+    target = 2160.0 if has_poly and len(zones_pdf) <= 1024 else 540.0
+    return int(np.clip(round(math.log2(target / size)), 2, 14))
 
 
 def _zone_rings(z) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -322,15 +322,43 @@ def test_user_columns_colliding_with_zone_metadata(spark, rect_zones_idx):
 
 
 def test_feature_join_plan_is_broadcast_jvm_only(spark, rect_zones_idx):
-    """100-TB shape: candidate gen + refine = scan -> sequence/explode ->
-    broadcast hash join -> JVM HOF filter. No shuffle of the feature side,
-    no Python stage anywhere (reference-point dedup replaces dropDuplicates)."""
+    """100-TB shape: candidate gen + refine = scan -> broadcast nested-loop
+    join on the bbox predicate (dimension-sized zone layer; the cell-cover
+    equi-join takes over above BNL_MAX_ZONES) -> JVM HOF filter. No shuffle
+    of the feature side, no Python stage anywhere."""
     feats = parcels_df(spark, parcels_pdf(50))
     out = feature_spatial_join(feats, rect_zones_idx, predicate="intersects", feature_key="fid")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
     assert "hashpartitioning" not in plan  # no shuffle on the feature side
     assert "ArrowEval" not in plan and "BatchEval" not in plan  # no Python
+
+
+def test_feature_join_bnl_and_cell_cover_paths_agree(spark, rect_zones_idx):
+    """The two candidate-generation strategies (broadcast nested-loop on
+    bbox overlap for small zone layers vs cell-cover equi-join + reference-
+    point dedup) must produce IDENTICAL result sets for every predicate —
+    the strategy switch is a physical-plan choice, never a semantic one."""
+    import gaia_spark.operators.feature_join as fj
+
+    feats = parcels_df(spark, parcels_pdf(80))
+    for pred in ("intersects", "within", "touches", "disjoint"):
+        a = feature_spatial_join(
+            feats, rect_zones_idx, predicate=pred, feature_key="fid"
+        )
+        cols = [c for c in a.columns if c != "vertices"]
+        rows_bnl = {tuple(r) for r in a.select(*cols).collect()}
+        old = fj.BNL_MAX_ZONES
+        try:
+            fj.BNL_MAX_ZONES = 0  # force the cell-cover path
+            b = feature_spatial_join(
+                feats, rect_zones_idx, predicate=pred, feature_key="fid"
+            )
+            rows_cell = {tuple(r) for r in b.select(*cols).collect()}
+        finally:
+            fj.BNL_MAX_ZONES = old
+        assert rows_bnl == rows_cell, f"strategy mismatch for {pred}"
 
 
 def test_multiring_left_features(spark, rect_zones_idx):

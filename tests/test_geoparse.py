@@ -64,3 +64,40 @@ def test_geoparse_null_rows_kept(spark):
     n_null = df.where(F.col("lat").isNull()).count()
     assert n_null > 0
     assert df.count() == 500
+
+
+def test_re2_pattern_equivalent_to_frozen_v1():
+    """The vectorized RE2 implementation pattern must be match-equivalent to
+    the FROZEN v1 grammar (lookarounds rewritten as consumed prefix /
+    suffix): first-match whole text, lat and lon groups, over an
+    adversarial digit/boundary-heavy corpus including newlines and EOS."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gaia_spark.functions.geoparse import GEOPARSE_PATTERN_RE2
+
+    pat = re.compile(GEOPARSE_PATTERN_V1)
+    cases = [
+        "12.5,45.6\n", "12.5,45.6\ntail", "a\n12.5,45.6", "12.5,45.6",
+        "12.5,45.6.", "12.5,45.67890123", "90,45.6", "90.0,180",
+        "90.0000001,45.6", "-90.000000,-180.000000", "(12.5,45.6)",
+        "-12.5,45.6", "x-12.5,45.6", ",12.5,45.6", "12.5 ,  45.6 more",
+        "12.5,\n45.6", "1.2,3.4 5.6,7.8", "12.3456789,45.6 11.1,22.2",
+        "89.9,179.9", "89.9,180.1", "9,9", "0.0,0.0", ".5,.6", "12.,45.",
+    ]
+    rng = np.random.RandomState(11)
+    alpha = ["0", "1", "5", "9", ".", ",", "-", "(", ")", "\n", "\t", " ",
+             "a", "Z", "90", "180", ".0", "85.123456", "12.3456789", ",-"]
+    cases += ["".join(rng.choice(alpha, size=rng.randint(1, 25)))
+              for _ in range(20000)]
+    res = pc.extract_regex(pa.array(cases), GEOPARSE_PATTERN_RE2)
+    for i, t in enumerate(cases):
+        mt = pat.search(t)
+        old = (mt.group(1), mt.group(2), mt.group(3)) if mt else None
+        if res[i].is_valid:
+            v = res[i].as_py()
+            new = (v["m"], v["lat"], v["lon"])
+        else:
+            new = None
+        assert old == new, f"pattern divergence on {t!r}: {old!r} vs {new!r}"

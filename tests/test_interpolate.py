@@ -93,3 +93,28 @@ def test_scatter_reserved_column_guard(spark):
     )
     with pytest.raises(ValueError, match="reserved"):
         scatter_to_grid(df, RES, 1000.0)
+
+
+def test_scatter_per_row_extent_multi_radius(spark):
+    """The per-row longitudinal extent (exact spherical bound replacing the
+    blanket deg/cos rectangle) must keep cover-exactness at every radius
+    scale: small discs (sub-cell), medium, and near-hemisphere, across
+    latitudes including rows where the x-span collapses to ~1 cell."""
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(8),
+            "lat": [0.0, 37.5, -52.1, 71.0, -85.0, 12.0, 88.5, -33.0],
+            "lon": [0.0, -122.3, 110.0, -179.95, 30.0, 179.99, -60.0, 0.01],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    for radius in (200_000.0, 900_000.0, 4_000_000.0):
+        out = (
+            scatter_to_grid(df, RES, radius)
+            .select("pid", "cell").toPandas()
+        )
+        assert not out.duplicated(["pid", "cell"]).any()
+        got = out.groupby("pid")["cell"].apply(set).to_dict()
+        for r in pts.itertuples(index=False):
+            expect = _brute_cells(r.lat, r.lon, radius)
+            assert got.get(r.pid, set()) == expect, f"pid {r.pid} radius {radius}"

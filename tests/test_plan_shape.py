@@ -95,7 +95,13 @@ def test_arrow_refine_single_python_stage(spark):
     out = feature_spatial_join(feats, idx, "intersects", feature_key="fid", refine="arrow")
     plan = plan_of(out)
     assert plan.count("ArrowEvalPython") == 1
-    assert "BroadcastHashJoin" in plan
+    # dimension-sized zone layer: candidate generation is a broadcast
+    # nested-loop join on the 4-comparison bbox-overlap predicate (features
+    # x |zones| probes, no explode duplicating the vertex arrays); the
+    # feature side must NOT be shuffled or cross-joined unconditionally
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan
     assert "FlatMapGroupsInPandas" not in plan
 
 
