@@ -473,19 +473,23 @@ def feature_spatial_join(
         fedges = (
             _edges_sql(_close_ring_sql("vertices")) if kind == "poly" else _FEATURE_EDGES
         )
-    # bbox, all pure SQL over the vertex array: extract the coordinate
-    # arrays ONCE (two transform passes) and min/max the plain double
-    # arrays — array_min/max loop natively with no per-element lambda, vs
-    # 4 interpreted transform passes in the fused form. CollapseProject
-    # keeps the non-cheap transforms un-inlined (each is referenced twice).
+    # bbox, all pure SQL over the vertex array. Latitudes come straight
+    # from native struct ordering — array_min/array_max over the
+    # struct<lat,lon> array order lexicographically by (lat, lon), so the
+    # extreme struct's .lat IS the extreme latitude, with no per-element
+    # lambda at all. Longitudes need one transform pass (the lon of the
+    # min struct is NOT the min lon); array_min/max over the extracted
+    # plain double array are again native loops. Net: ONE interpreted
+    # transform pass per feature instead of four in the fused
+    # array_min(transform(...)) form. CollapseProject keeps the non-cheap
+    # transform un-inlined (it is referenced twice).
     feats = (
-        feats.withColumn("_vlats", F.expr("transform(vertices, v -> v.lat)"))
-        .withColumn("_vlons", F.expr("transform(vertices, v -> v.lon)"))
-        .withColumn("_fmin_lat", F.expr("array_min(_vlats)"))
-        .withColumn("_fmax_lat", F.expr("array_max(_vlats)"))
+        feats.withColumn("_vlons", F.expr("transform(vertices, v -> v.lon)"))
+        .withColumn("_fmin_lat", F.expr("array_min(vertices).lat"))
+        .withColumn("_fmax_lat", F.expr("array_max(vertices).lat"))
         .withColumn("_fmin_lon", F.expr("array_min(_vlons)"))
         .withColumn("_fmax_lon", F.expr("array_max(_vlons)"))
-        .drop("_vlats", "_vlons")
+        .drop("_vlons")
     )
 
     # zone side: one row per zone (driver-deduped, it's the small broadcast

@@ -102,14 +102,24 @@ def scatter_to_grid(
             F.expr(f"least(cast(ceil({w_deg} / {cell_w_deg} + 0.5) as int), {n // 2})"),
         )
         # capped span 2·rx+1 ≥ n+1 would wrap onto duplicate columns: emit
-        # the full row instead (distinct x by construction either way)
+        # the full row instead (distinct x by construction either way).
+        # The raw offset sequence explodes and the modular wrap applies as
+        # a codegen'd projection — a transform() lambda here would be
+        # interpreted once per scattered row (~10M at the bench shape).
         .withColumn(
-            "_xx",
+            "_dx",
             F.explode(
                 F.expr(
                     f"CASE WHEN 2 * _rx + 1 >= {n} THEN sequence(0, {n - 1}) "
-                    f"ELSE transform(sequence(-_rx, _rx), d -> cast(pmod(_cx + d, {n}) as int)) END"
+                    f"ELSE sequence(-_rx, _rx) END"
                 )
+            ),
+        )
+        .withColumn(
+            "_xx",
+            F.expr(
+                f"CASE WHEN 2 * _rx + 1 >= {n} THEN _dx "
+                f"ELSE cast(pmod(_cx + _dx, {n}) as int) END"
             ),
         )
         .withColumn("cell", F.col("_yy") * n + F.col("_xx"))

@@ -594,9 +594,34 @@ def map_match(
             F.expr(P.floor_scaled_sql("_sx", 6)).alias("plon_e6"),
         )
     )
-    wk = Window.partitionBy("user_id", "seq").orderBy("emis_e3", "road_id")
-    lattice = cand.withColumn("k", F.row_number().over(wk)).filter(
-        F.col("k") <= n_cand
+    # per-point top-n_cand by (emis, road_id): ONE hash aggregation with
+    # map-side partial collect + an O(m log m) in-group sort of the ≤|roads|
+    # candidate structs — replaces the row_number window, whose global
+    # per-partition sort of the full (points × roads) candidate table was
+    # the single largest stage of the operator (same ranking: array_sort
+    # orders struct-lexicographically by (emis_e3, road_id, …), and
+    # (plat, plon) are functions of road_id so they never affect the order)
+    topk = (
+        cand.groupBy("user_id", "seq")
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_list(struct(emis_e3, road_id, "
+                f"plat_e6, plon_e6))), 1, {int(n_cand)})"
+            ).alias("_top")
+        )
+    )
+    lattice = topk.select(
+        "user_id",
+        "seq",
+        F.posexplode("_top").alias("_pos", "_c"),
+    ).select(
+        "user_id",
+        "seq",
+        F.col("_c.road_id").alias("road_id"),
+        F.col("_c.emis_e3").alias("emis_e3"),
+        F.col("_c.plat_e6").alias("plat_e6"),
+        F.col("_c.plon_e6").alias("plon_e6"),
+        (F.col("_pos") + 1).cast("int").alias("k"),
     )
     # the lattice feeds THREE consumers (DP input + both sides of the
     # transition self-join): materialize once so the candidate cross join
@@ -650,21 +675,16 @@ def map_match(
         "total_cost_e3 long"
     )
 
-    def dp(key, lat_pdf, tr_pdf):
-        # plain python-int rows from ONE numpy conversion per group —
-        # per-tiny-group pandas ops (groupby/sort_values/itertuples) cost
-        # ~8x more than the whole DP (measured 13.5 s vs 1.7 s over 1500
-        # sf0.1 trajectories)
+    def _viterbi_user(uid, lat_arr, tr_arr):
+        # plain python-int rows from numpy arrays — per-tiny-group pandas
+        # ops (groupby/sort_values/itertuples) cost ~8x more than the
+        # whole DP (measured 13.5 s vs 1.7 s over 1500 sf0.1 trajectories)
         import numpy as np
-        import pandas as pd
 
-        arr = lat_pdf[["seq", "k", "road_id", "emis_e3"]].to_numpy(dtype=np.int64)
-        arr = arr[np.lexsort((arr[:, 1], arr[:, 0]))]
+        arr = lat_arr[np.lexsort((lat_arr[:, 1], lat_arr[:, 0]))]
         tr = {}
-        if len(tr_pdf):
-            ta = tr_pdf[["seq", "ka", "kb", "trans_e3"]].to_numpy(dtype=np.int64)
-            for s_, ka_, kb_, c_ in ta.tolist():
-                tr[(s_, ka_, kb_)] = c_
+        for s_, ka_, kb_, c_ in tr_arr.tolist():
+            tr[(s_, ka_, kb_)] = c_
         by_step: dict = {}
         emis = {}
         for s_, k_, rd_, e_ in arr.tolist():
@@ -680,7 +700,17 @@ def map_match(
             for kb, road_b, e_b in by_step[s]:
                 best = None
                 for ka, (c_a, p_a) in state.items():
-                    c = c_a + tr[(prev_s, ka, kb)] + e_b
+                    tc = tr.get((prev_s, ka, kb))
+                    if tc is None:
+                        # ADVICE r5: a gap in seq (transitions join seq to
+                        # seq-1) must fail loudly, not as an opaque KeyError
+                        raise ValueError(
+                            f"map_match: no transition for seq {prev_s}->{s} "
+                            f"(ka={ka}, kb={kb}) — seq values must be "
+                            "consecutive per trajectory; densify with "
+                            "row_number first"
+                        )
+                    c = c_a + tc + e_b
                     cand_state = (c, p_a + "|" + f"{road_b:03d}")
                     if best is None or cand_state < best:
                         best = cand_state
@@ -691,20 +721,68 @@ def map_match(
         for i, tok in enumerate(path.split("|")):
             road = int(tok)
             s = seqs[i]
-            rows.append((key[0], int(s), road, emis[(s, road)], int(total)))
-        return pd.DataFrame(
-            rows, columns=["user_id", "seq", "road_id", "emis_e3", "total_cost_e3"]
+            rows.append((uid, int(s), road, emis[(s, road)], int(total)))
+        return rows
+
+    # ONE Python stage over user-bucketed partitions: lattice and
+    # transition rows are unioned into a common (user_id, seq, x1, x2, x3,
+    # tag) frame, hash-repartitioned by user (every user's rows land in
+    # one partition), and a single mapInPandas task decodes ALL its users
+    # from one numpy conversion. The previous per-trajectory cogroup paid
+    # the Arrow/pandas per-GROUP overhead ~16k times per run (measured
+    # ~2x the whole DP at sf0.1); here the overhead is per TASK. The
+    # explicit user-keyed repartition is user-specified and NOT coalesced
+    # by AQE, so the Python stage actually fans out across cores (the
+    # round-5 forced-fanout lesson, unchanged).
+    lat_rows = lattice.select(
+        "user_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("k").cast("long").alias("_x1"),
+        F.col("road_id").cast("long").alias("_x2"),
+        F.col("emis_e3").cast("long").alias("_x3"),
+        F.lit(0).alias("_tag"),
+    )
+    tr_rows = trans.select(
+        "user_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("ka").cast("long").alias("_x1"),
+        F.col("kb").cast("long").alias("_x2"),
+        F.col("trans_e3").cast("long").alias("_x3"),
+        F.lit(1).alias("_tag"),
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        full = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not len(full):
+            return
+        uids = full["user_id"].to_numpy()
+        arr = full[["seq", "_x1", "_x2", "_x3", "_tag"]].to_numpy(dtype=np.int64)
+        order = np.argsort(uids, kind="stable")
+        uids_s, arr_s = uids[order], arr[order]
+        bounds = np.flatnonzero(
+            np.r_[True, uids_s[1:] != uids_s[:-1]]
+        ).tolist() + [len(uids_s)]
+        out = []
+        for start, end in zip(bounds, bounds[1:]):
+            g = arr_s[start:end]
+            uid = uids_s[start]
+            uid = uid.item() if hasattr(uid, "item") else uid
+            out.extend(
+                _viterbi_user(uid, g[g[:, 4] == 0][:, :4], g[g[:, 4] == 1][:, :4])
+            )
+        yield pd.DataFrame(
+            out, columns=["user_id", "seq", "road_id", "emis_e3", "total_cost_e3"]
         )
 
-    # AQE coalesces the tiny pre-cogroup shuffles to 1-2 partitions, which
-    # serializes the (relatively) expensive Python DP stage; an explicit
-    # user-keyed repartition is user-specified and NOT coalesced, so the
-    # per-trajectory tasks actually fan out (measured 15 s -> ~5 s at
-    # sf0.1 on local[32])
     n_part = int(lattice.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        lattice.repartition(n_part, "user_id")
-        .groupBy("user_id")
-        .cogroup(trans.repartition(n_part, "user_id").groupBy("user_id"))
-        .applyInPandas(dp, schema)
+        lat_rows.unionByName(tr_rows)
+        .repartition(n_part, "user_id")
+        .mapInPandas(run, schema)
     )

@@ -453,7 +453,12 @@ def test_map_match_single_cogroup_python_stage(spark):
         "user_id long, seq long, lat double, lon double",
     )
     plan = plan_of(map_match(pts, _mm_roads(spark)))
-    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    # the Viterbi DP is exactly ONE user-bucketed MapInPandas stage (the
+    # lattice+transition rows union into a common frame; the previous
+    # per-trajectory cogroup paid the Arrow/pandas per-group overhead
+    # ~16k times per bench run)
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapCoGroupsInPandas" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     # the lattice is localCheckpoint-materialized (three consumers), so the
