@@ -137,14 +137,28 @@ def flow_direction(raster: DataFrame, zoom: int, band: int = 0) -> DataFrame:
 
 
 def flow_accumulation(
-    dirs: DataFrame, zoom: int, max_rounds: int = 17, reliable: bool = False
+    dirs: DataFrame,
+    zoom: int,
+    max_rounds: int = 17,
+    reliable: bool = False,
+    max_closure_rows: int = 50_000_000,
 ) -> DataFrame:
     """Upstream contributing-cell count + watershed basin per pixel of a
     :func:`flow_direction` output: acc = |{u ≠ v : v on u's flow path}|,
     basin = the path's terminal sink (a pit, or a pixel whose D8 target
     left the interior grid). Path-doubling closure — see module docstring;
     converges (early exit) when the closure stops growing, ≤ ``max_rounds``
-    rounds ≥ ⌈log₂ max-path-length⌉. Returns (r, c, acc, basin)."""
+    rounds ≥ ⌈log₂ max-path-length⌉. Returns (r, c, acc, basin).
+
+    **Scale bound (explicit, not silent):** the closure P holds one row
+    per (node, reachable-downstream-node) pair — O(Σ path length), which
+    is O(cells × avg path length) and blows up on long-drainage DEMs
+    (continental rivers). The per-round growth is already counted for the
+    convergence test, so the bound is enforced for free: the loop refuses
+    once the closure exceeds ``max_closure_rows`` (default 50M ≈ a few GB
+    shuffled per round) and points at :func:`flow_accumulation_peel`,
+    whose O(cells)/round rake-and-compress state never materializes the
+    closure — the 100-TB path (bit-identical output, A/B-proven)."""
     from gaia_spark.session import iter_checkpoint
 
     n_px = TILE_PX * (1 << zoom)
@@ -198,6 +212,15 @@ def flow_accumulation(
         )
         n_p2 = p2.count()
         p = p2
+        if n_p2 > max_closure_rows:
+            raise RuntimeError(
+                f"flow_accumulation: transitive-closure intermediate reached "
+                f"{n_p2} rows (> max_closure_rows={max_closure_rows}) at "
+                f"doubling round {_round + 1} — the closure is O(sum of path "
+                "lengths) and does not scale to long-drainage DEMs; use "
+                "flow_accumulation_peel (O(cells)/round, bit-identical "
+                "output) or raise the bound"
+            )
         if n_p2 == n_p:
             break
         n_p = n_p2

@@ -688,6 +688,18 @@ def map_match(
         by_step: dict = {}
         emis = {}
         for s_, k_, rd_, e_ in arr.tolist():
+            if not (0 <= rd_ < 1000):
+                # ADVICE r5: the deterministic tie-break pads road ids to
+                # width 3 on BOTH engines (python f"{:03d}" vs the
+                # oracle's lpad(..., 3, '0')); DuckDB's lpad TRUNCATES
+                # wider ids while python does not, so ids outside [0, 999]
+                # would silently diverge the engines' tie-breaks — the id
+                # domain is an explicit contract, enforced loudly
+                raise ValueError(
+                    f"map_match: road_id {rd_} outside the documented "
+                    "[0, 1000) tie-break padding domain — widen the pad "
+                    "(both engines) before using larger road networks"
+                )
             by_step.setdefault(s_, []).append((k_, rd_, e_))
             emis[(s_, rd_)] = e_
         seqs = sorted(by_step)

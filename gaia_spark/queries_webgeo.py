@@ -1765,6 +1765,13 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("s"),
         F.sum(F.col("n") * F.col("n")).alias("s2"),
     )
+    # int64 headroom (ADVICE r5): the largest term is cnt·(n·cnt − s)² ≤
+    # cnt³·n_max² with cnt ≤ 366 days/bucket, so n_max (events per
+    # type×hour×day) must stay ≤ √(2⁶³/366³) ≈ 4.3e5 for the cross-
+    # multiplied test to fit int64 — Spark wraps silently past it where
+    # DuckDB raises. The events fixture peaks at ~10² per bucket (three
+    # orders of headroom); re-derive via doubles of the bigint moments
+    # (the q_burstiness pattern) before pointing this at denser feeds.
     return b.join(F.broadcast(m), ["event_type", "hour"]).select(
         "event_type", "day", "hour", F.col("n").cast("long").alias("n"),
         F.expr(

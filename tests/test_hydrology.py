@@ -199,3 +199,20 @@ def test_peel_rejects_unconverged(spark):
     dirs = flow_direction(_raster_from_grid(spark, grid), zoom=0).localCheckpoint()
     with pytest.raises(RuntimeError, match="active after"):
         flow_accumulation_peel(dirs, zoom=0, max_rounds=2).count()
+
+
+def test_closure_refuses_above_max_closure_rows(spark):
+    """VERDICT r5: the closure path's O(sum path-length) intermediate must
+    refuse loudly above the bound and point at the peel — never silently
+    launch the blowup on a long-drainage grid."""
+    import pytest
+
+    # a 6-cell eastward chain: closure holds 15 pair rows after convergence
+    dirs = spark.createDataFrame(
+        [(1, c, 1) for c in range(1, 6)] + [(1, 6, 0)], "r int, c int, dir int"
+    )
+    with pytest.raises(RuntimeError, match="flow_accumulation_peel"):
+        flow_accumulation(dirs, zoom=0, max_closure_rows=4).count()
+    # unchanged behaviour below the bound
+    out = flow_accumulation(dirs, zoom=0).collect()
+    assert max(r.acc for r in out) == 5
