@@ -236,10 +236,15 @@ _ZONE_EDGES = (
 
 # refine='auto' switches to the Arrow/numpy backend above this many edges
 # per feature: the SQL HOF refine pays an interpreted-expression cost per
-# edge pair, the Arrow path a fixed Python-worker round-trip — measured
-# crossover is a few hundred edges (512-gons run ~3x faster on Arrow,
-# small rects faster on SQL with zero Python in the plan).
-AUTO_ARROW_MIN_EDGES = 128
+# edge pair, the Arrow path a fixed Python-worker round-trip. Re-measured
+# in round 6 after the probe prefilters + bbox-clipped sweep landed: the
+# SQL refine now BEATS Arrow at 512 edges (1.76 s vs 2.16 s on the bench's
+# 100k-feature 512-gon layer — the prefilters removed most per-vertex
+# raycasts, leaving the Python round-trip as Arrow's fixed cost), so the
+# crossover sits well above the bench regime; 2048 is a conservative
+# extrapolation (the clipped pairwise sweep grows ~O(√Va·√Vb), so the
+# interpreted cost overtakes the round-trip again for very dense rings).
+AUTO_ARROW_MIN_EDGES = 2048
 
 # Candidate generation strategy switch: at or below this many zones the
 # candidate join is a broadcast nested-loop join on closed bbox overlap
@@ -269,12 +274,6 @@ _PAIR_RECT = {
     "lon0": "greatest(_fmin_lon, _z_min_lon)",
     "lon1": "least(_fmax_lon, _z_max_lon)",
 }
-
-_BBOX_OVERLAP_SQL = (
-    "(_fmin_lat <= _z_max_lat AND _fmax_lat >= _z_min_lat "
-    "AND _fmin_lon <= _z_max_lon AND _fmax_lon >= _z_min_lon)"
-)
-
 
 def _clip_sql(arr: str) -> str:
     """Edge-bucket prefilter for the O(|A edges|·|B edges|) pairwise terms:
