@@ -563,14 +563,15 @@ def map_match(
     identically in any engine or partition order.
 
     Scale shape (100 TB): the road network is broadcast (candidate
-    generation = one broadcast join + a per-point top-k window; swap in
-    snap_to_lines' cell scatter when the network outgrows a broadcast);
-    the transition table is a lattice self-join bounded by n_cand² per
-    step; the Viterbi recurrence — sequential in seq by nature — runs as
-    ONE Arrow cogrouped task per trajectory over pure int64/str state
-    (the same (b)-tier shape as frechet_distance, with the same
-    ~10^3-points-per-task comfort bound). NO trig in Python: every
-    distance is pre-quantized by the shared SQL formulas.
+    generation = one broadcast join + a per-point top-k aggregation; swap
+    in snap_to_lines' cell scatter when the network outgrows a broadcast);
+    transitions (n_cand² per step) come from a lag() pairing of
+    consecutive candidate arrays — no self-join; the whole operator is
+    ONE user-keyed exchange, and the Viterbi recurrence — sequential in
+    seq by nature — runs as ONE user-bucketed Arrow stage over pure
+    int64/str state (the same (b)-tier shape as frechet_distance, with
+    the same ~10^3-points-per-task comfort bound). NO trig in Python:
+    every distance is pre-quantized by the shared SQL formulas.
     """
     t_sql = __import__(
         "gaia_spark.operators.snap", fromlist=["snap_t_sql"]
@@ -595,14 +596,28 @@ def map_match(
         )
     )
     # per-point top-n_cand by (emis, road_id): ONE hash aggregation with
-    # map-side partial collect + an O(m log m) in-group sort of the ≤|roads|
-    # candidate structs — replaces the row_number window, whose global
-    # per-partition sort of the full (points × roads) candidate table was
-    # the single largest stage of the operator (same ranking: array_sort
-    # orders struct-lexicographically by (emis_e3, road_id, …), and
-    # (plat, plon) are functions of road_id so they never affect the order)
+    # an O(m log m) in-group sort of the ≤|roads| candidate structs —
+    # replaces the row_number window, whose global per-partition sort of
+    # the full (points × roads) candidate table was the single largest
+    # stage of the operator (same ranking: array_sort orders
+    # struct-lexicographically by (emis_e3, road_id, …), and (plat, plon)
+    # are functions of road_id so they never affect the order).
+    #
+    # The whole operator is ONE exchange: candidates are hash-partitioned
+    # by user_id up front (explicit numPartitions ⇒ not AQE-coalesced, the
+    # round-5 forced-fanout lesson); hash(user_id) satisfies the
+    # (user_id, seq) aggregation's clustering AND the lag window's
+    # user partitioning AND the DP's per-user colocation, so the
+    # aggregate, the window, the lattice/transition explode and the
+    # mapInPandas DP all run shuffle-free on that single partitioning.
+    # Transitions come from a lag() pairing of consecutive candidate
+    # arrays — the former lattice self-join (plus the localCheckpoint
+    # that materialized the lattice for its three consumers) is gone;
+    # the candidate cross join is computed exactly once either way.
+    n_part = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     topk = (
-        cand.groupBy("user_id", "seq")
+        cand.repartition(n_part, "user_id")
+        .groupBy("user_id", "seq")
         .agg(
             F.expr(
                 f"slice(array_sort(collect_list(struct(emis_e3, road_id, "
@@ -610,66 +625,45 @@ def map_match(
             ).alias("_top")
         )
     )
-    lattice = topk.select(
+    w = Window.partitionBy("user_id").orderBy("seq")
+    paired = topk.select(
         "user_id",
         "seq",
-        F.posexplode("_top").alias("_pos", "_c"),
-    ).select(
-        "user_id",
-        "seq",
-        F.col("_c.road_id").alias("road_id"),
-        F.col("_c.emis_e3").alias("emis_e3"),
-        F.col("_c.plat_e6").alias("plat_e6"),
-        F.col("_c.plon_e6").alias("plon_e6"),
-        (F.col("_pos") + 1).cast("int").alias("k"),
+        "_top",
+        F.lag("_top").over(w).alias("_prev"),
+        F.lag("seq").over(w).alias("_pseq"),
     )
-    # the lattice feeds THREE consumers (DP input + both sides of the
-    # transition self-join): materialize once so the candidate cross join
-    # and its trig don't recompute per consumer (measured 15 s -> ~6 s at
-    # sf0.1)
-    lattice = lattice.localCheckpoint()
-
-    la = lattice.select(
-        "user_id",
-        F.col("seq"),
-        F.col("k").alias("ka"),
-        F.col("road_id").alias("road_a"),
-        F.col("plat_e6").alias("_pa"),
-        F.col("plon_e6").alias("_qa"),
-    )
-    # fully renamed right side: every column gets a fresh attribute id so
-    # the lattice self-join passes Spark's ambiguity check
-    lb = lattice.select(
-        F.col("user_id").alias("_ub"),
-        (F.col("seq") - 1).alias("_sb"),
-        F.col("k").alias("kb"),
-        F.col("road_id").alias("road_b"),
-        F.col("plat_e6").alias("_pb"),
-        F.col("plon_e6").alias("_qb"),
-    )
+    # identical float algebra to the former self-join: e6-int projections
+    # re-floated as cast(x as double) / cast(1000000 as double)
     gap = P.haversine_m_sql(
-        "(cast(_pa as double) / cast(1000000 as double))",
-        "(cast(_qa as double) / cast(1000000 as double))",
-        "(cast(_pb as double) / cast(1000000 as double))",
-        "(cast(_qb as double) / cast(1000000 as double))",
+        "(cast(a.plat_e6 as double) / cast(1000000 as double))",
+        "(cast(a.plon_e6 as double) / cast(1000000 as double))",
+        "(cast(b.plat_e6 as double) / cast(1000000 as double))",
+        "(cast(b.plon_e6 as double) / cast(1000000 as double))",
     )
-    trans = la.join(
-        lb,
-        (F.col("user_id") == F.col("_ub")) & (F.col("seq") == F.col("_sb")),
-    ).select(
-        # keys re-aliased off the right (fresh-id) side so the cogroup of
-        # two frames derived from the same lattice stays unambiguous
-        F.col("_ub").alias("user_id"),
-        F.col("_sb").alias("seq"),
-        "ka",
-        "kb",
-        F.expr(
-            f"CASE WHEN road_a = road_b THEN cast(0 as bigint) "
-            f"ELSE {switch_penalty_e3} + {P.floor_scaled_sql(gap, 3)} END"
-        ).alias("trans_e3"),
+    # lattice rows (tag 0): one per candidate, k = 1-based rank
+    lattice_rows = (
+        "transform(_top, (b, j) -> struct("
+        "cast(seq as bigint) as seq, cast(j + 1 as bigint) as _x1, "
+        "cast(b.road_id as bigint) as _x2, cast(b.emis_e3 as bigint) as _x3, "
+        "0 as _tag))"
+    )
+    # transition rows (tag 1), keyed by the EARLIER seq, only for
+    # consecutive seq values (a gap emits nothing, so the DP's loud
+    # missing-transition error is preserved); the zero-length slice is a
+    # typed empty array of the same struct type as _prev
+    trans_rows = (
+        "flatten(transform("
+        "CASE WHEN _pseq = seq - 1 THEN _prev ELSE slice(_top, 1, 0) END, "
+        "(a, i) -> transform(_top, (b, j) -> struct("
+        "cast(seq - 1 as bigint) as seq, cast(i + 1 as bigint) as _x1, "
+        "cast(j + 1 as bigint) as _x2, "
+        f"CASE WHEN a.road_id = b.road_id THEN cast(0 as bigint) "
+        f"ELSE {switch_penalty_e3} + {P.floor_scaled_sql(gap, 3)} END as _x3, "
+        "1 as _tag))))"
     )
 
-    utype = lattice.schema["user_id"].dataType.simpleString()
+    utype = points.schema[user_col].dataType.simpleString()
     schema = (
         f"user_id {utype}, seq long, road_id long, emis_e3 long, "
         "total_cost_e3 long"
@@ -736,33 +730,6 @@ def map_match(
             rows.append((uid, int(s), road, emis[(s, road)], int(total)))
         return rows
 
-    # ONE Python stage over user-bucketed partitions: lattice and
-    # transition rows are unioned into a common (user_id, seq, x1, x2, x3,
-    # tag) frame, hash-repartitioned by user (every user's rows land in
-    # one partition), and a single mapInPandas task decodes ALL its users
-    # from one numpy conversion. The previous per-trajectory cogroup paid
-    # the Arrow/pandas per-GROUP overhead ~16k times per run (measured
-    # ~2x the whole DP at sf0.1); here the overhead is per TASK. The
-    # explicit user-keyed repartition is user-specified and NOT coalesced
-    # by AQE, so the Python stage actually fans out across cores (the
-    # round-5 forced-fanout lesson, unchanged).
-    lat_rows = lattice.select(
-        "user_id",
-        F.col("seq").cast("long").alias("seq"),
-        F.col("k").cast("long").alias("_x1"),
-        F.col("road_id").cast("long").alias("_x2"),
-        F.col("emis_e3").cast("long").alias("_x3"),
-        F.lit(0).alias("_tag"),
-    )
-    tr_rows = trans.select(
-        "user_id",
-        F.col("seq").cast("long").alias("seq"),
-        F.col("ka").cast("long").alias("_x1"),
-        F.col("kb").cast("long").alias("_x2"),
-        F.col("trans_e3").cast("long").alias("_x3"),
-        F.lit(1).alias("_tag"),
-    )
-
     def run(batches):
         import numpy as np
         import pandas as pd
@@ -792,9 +759,11 @@ def map_match(
             out, columns=["user_id", "seq", "road_id", "emis_e3", "total_cost_e3"]
         )
 
-    n_part = int(lattice.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        lat_rows.unionByName(tr_rows)
-        .repartition(n_part, "user_id")
-        .mapInPandas(run, schema)
+    # ONE Python stage over the user-bucketed partitions established up
+    # front: each mapInPandas task decodes ALL its users from one numpy
+    # conversion (per-TASK Arrow overhead, not per-trajectory — the
+    # per-group cogroup overhead ran ~16k times per bench run).
+    rows = paired.select(
+        "user_id", F.expr(f"inline(concat({lattice_rows}, {trans_rows}))")
     )
+    return rows.mapInPandas(run, schema)

@@ -453,21 +453,21 @@ def test_map_match_single_cogroup_python_stage(spark):
         "user_id long, seq long, lat double, lon double",
     )
     plan = plan_of(map_match(pts, _mm_roads(spark)))
-    # the Viterbi DP is exactly ONE user-bucketed MapInPandas stage (the
-    # lattice+transition rows union into a common frame; the previous
-    # per-trajectory cogroup paid the Arrow/pandas per-group overhead
-    # ~16k times per bench run)
+    # the Viterbi DP is exactly ONE user-bucketed MapInPandas stage; the
+    # per-trajectory cogroup of earlier rounds paid the Arrow/pandas
+    # per-group overhead ~16k times per bench run
     assert plan.count("MapInPandas") == 1
     assert "FlatMapCoGroupsInPandas" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # the lattice is localCheckpoint-materialized (three consumers), so the
-    # visible plan starts at the checkpoint scan; the broadcast roads cross
-    # join lives in the pre-checkpoint stage, asserted on its own plan here
-    import pyspark.sql.functions as F
-
-    pre = pts.crossJoin(F.broadcast(_mm_roads(spark)))
-    assert "BroadcastNestedLoopJoin" in plan_of(pre)
+    # transitions come from a lag() window over consecutive candidate
+    # arrays, not a lattice self-join: the only join in the whole plan is
+    # the broadcast roads cross join, and the single user-keyed exchange
+    # feeds aggregation, window, explode and DP alike
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # one hash exchange total (the roads BroadcastExchange is separate)
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_containment_no_cartesian_rare_side_broadcast(spark):
