@@ -34,6 +34,26 @@ GEO_STRUCT = StructType(
     ]
 )
 
+# JVM (java.util.regex) form of the grammar for the pure-JVM extraction
+# path: identical to v1 EXCEPT that \s is spelled as the explicit ASCII
+# class [\t\n\f\r ] — java's \s ([ \t\n\x0B\f\r]) and python's \s (full
+# unicode whitespace) both differ from RE2's \s ([\t\n\f\r ]), and the
+# RE2 reading is the one the production path has exercised against the
+# oracle fingerprints, so the JVM pattern pins THAT class explicitly.
+# Lookarounds are kept verbatim (java supports them); leftmost-first
+# alternation preference is shared by python re, java regex, and RE2, so
+# the three engines agree on every string whose separator whitespace is
+# drawn from the shared ASCII class (pinned by
+# test_jvm_pattern_equivalent_to_re2's corpus, which includes the
+# DISAGREEING characters \v, \x1c, \xa0,  , \x85 as adversaries).
+GEOPARSE_PATTERN_JVM = (
+    r"(?<![0-9A-Za-z.(-])"
+    r"((-?(?:90(?:\.0{1,6})?|[0-8]?[0-9]\.[0-9]{1,6}))"
+    r"[\t\n\f\r ]*,[\t\n\f\r ]*"
+    r"(-?(?:180(?:\.0{1,6})?|(?:1[0-7][0-9]|[0-9]{1,2})\.[0-9]{1,6})))"
+    r"(?![0-9.])"
+)
+
 # RE2 form of the FROZEN v1 grammar for the vectorized pyarrow engine
 # (RE2 supports no lookarounds). Provably match-equivalent to
 # GEOPARSE_PATTERN_V1 under leftmost-first search:
@@ -108,15 +128,43 @@ def geoparse(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     NULL-safe: rows without coordinates keep NULLs (excluded from spatial
     ops downstream by ``lat IS NOT NULL``).
+
+    Extraction runs fully JVM-side (``regexp_extract`` with the grammar's
+    lookarounds, which java regex supports natively): one big-regex pass
+    over ``text`` plus two anchored micro-extracts over the ≤25-char
+    match — no Python worker, no Arrow transfer of the text column, and
+    no JVM rlike prefilter pass (the full regex IS the scan). The
+    ``when(spark_partition_id() >= 0, …)`` barrier (always true;
+    spark_partition_id() because streaming DataFrames reject
+    monotonically_increasing_id() and Spark 4 constant-folds rand()
+    range comparisons, un-wrapping the when()) marks the big extract
+    nondeterministic so Catalyst neither duplicates it into
+    the lat/lon projections (CollapseProject refuses to inline
+    nondeterministic aliases) nor re-evaluates it under a pushed filter
+    — the same single-evaluation guarantee the Arrow UDF path got from
+    ``asNondeterministic()``. The vectorized ``geoparse_udf`` above stays
+    as the Arrow alternative; both are pinned match-equivalent by
+    test_geoparse.
     """
-    candidate = F.when(
-        F.col(text_col).rlike(r"[0-9]\s*,\s*-?[0-9]"), F.col(text_col)
-    ).otherwise(F.lit(None).cast(StringType()))
-    geo = geoparse_udf(candidate)
+    big = F.regexp_extract(F.col(text_col), GEOPARSE_PATTERN_JVM, 1)
+    # _m carries the ONLY textual occurrence of the big pattern (nullif
+    # would expand it twice inside one CASE — correct but reliant on
+    # codegen subexpression elimination; this form does not rely on it)
+    ext = F.nullif(F.col("_geo_m"), F.lit(""))
     return (
-        df.withColumn("_geo", geo)
-        .withColumn("extracted", F.col("_geo.extracted"))
-        .withColumn("lat", F.col("_geo.lat"))
-        .withColumn("lon", F.col("_geo.lon"))
-        .drop("_geo")
+        df.withColumn("_geo_m", F.when(F.expr("spark_partition_id() >= 0"), big))
+        .withColumn("extracted", ext)
+        .withColumn(
+            "lat",
+            F.regexp_extract(F.col("extracted"), r"^-?[0-9]+(?:\.[0-9]+)?", 0).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "lon",
+            F.regexp_extract(F.col("extracted"), r"-?[0-9]+(?:\.[0-9]+)?$", 0).cast(
+                "double"
+            ),
+        )
+        .drop("_geo_m")
     )

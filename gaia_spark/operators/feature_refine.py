@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 BOUNDARY_EPS2 = 1e-18  # keep in lockstep with spatial_join.BOUNDARY_EPS2
+PROBE_MARGIN = 1e-6    # keep in lockstep with feature_join.PROBE_MARGIN
 
 
 def make_pair_udf(predicate: str, kind: str):
@@ -144,21 +145,51 @@ def pair_predicate(
     czy1, czx1, czy2, czx2 = clip_edges(zy1, zx1, zy2, zx2, lat0, lat1, lon0, lon1)
     cross = proper_cross_any(cfy1, cfx1, cfy2, cfx2, czy1, czx1, czy2, czx2)
 
-    a_cov = covered(vlat, vlon, zy1, zx1, zy2, zx2)  # A vertices vs B
-    if kind == "line":
-        b_cov = min_d2(zy1, zx1, fy1, fx1, fy2, fx2) <= BOUNDARY_EPS2
-        b_strict = np.zeros(len(zy1), dtype=bool)
-    else:
-        b_ray = raycast(zy1, zx1, fy1, fx1, fy2, fx2)
-        b_bnd = min_d2(zy1, zx1, fy1, fx1, fy2, fx2) <= BOUNDARY_EPS2
-        b_cov = b_ray | b_bnd
-        b_strict = b_ray & ~b_bnd
+    # probe prefilter (numpy twin of the SQL path's PROBE_MARGIN algebra):
+    # a vertex farther than the margin outside the pair's closed
+    # bbox-intersection rect cannot be covered by the OTHER side (covered
+    # ⊆ other bbox + BOUNDARY_EPS, and every vertex is inside its OWN
+    # bbox, so covered ⇒ inside the intersection rect ± eps; the margin
+    # keeps 1000x slack). Existential probes therefore run only on
+    # in-rect vertices; all-quantified forms short-circuit on the
+    # complement (an out-of-rect vertex is definitionally NOT covered).
+    in_a = (
+        (vlat >= lat0 - PROBE_MARGIN) & (vlat <= lat1 + PROBE_MARGIN)
+        & (vlon >= lon0 - PROBE_MARGIN) & (vlon <= lon1 + PROBE_MARGIN)
+    )
+    in_b = (
+        (zy1 >= lat0 - PROBE_MARGIN) & (zy1 <= lat1 + PROBE_MARGIN)
+        & (zx1 >= lon0 - PROBE_MARGIN) & (zx1 <= lon1 + PROBE_MARGIN)
+    )
+    pvlat, pvlon = vlat[in_a], vlon[in_a]          # A probe vertices, in-rect
+    pby, pbx = zy1[in_b], zx1[in_b]                # B probe vertices, in-rect
 
     if predicate == "intersects":
-        return bool(a_cov.any() or b_cov.any() or cross)
+        if covered(pvlat, pvlon, zy1, zx1, zy2, zx2).any() or cross:
+            return True
+        if kind == "line":
+            return bool((min_d2(pby, pbx, fy1, fx1, fy2, fx2) <= BOUNDARY_EPS2).any())
+        return bool(covered(pby, pbx, fy1, fx1, fy2, fx2).any())
     if predicate == "within":
-        return bool(a_cov.all() and not cross and not b_strict.any())
+        # an A vertex outside the rect is not covered by B ⇒ not within
+        if not in_a.all():
+            return False
+        a_cov = covered(vlat, vlon, zy1, zx1, zy2, zx2)
+        if not a_cov.all() or cross:
+            return False
+        if kind == "line":
+            return True
+        b_ray = raycast(pby, pbx, fy1, fx1, fy2, fx2)
+        b_bnd = min_d2(pby, pbx, fy1, fx1, fy2, fx2) <= BOUNDARY_EPS2
+        return bool(not (b_ray & ~b_bnd).any())
     if predicate == "crosses":
-        a_strict = strictly_in(vlat, vlon, zy1, zx1, zy2, zx2)
-        return bool(cross or (a_strict.any() and (~a_cov).any()))
+        if cross:
+            return True
+        a_strict = strictly_in(pvlat, pvlon, zy1, zx1, zy2, zx2)
+        if not a_strict.any():
+            return False
+        # ∃ uncovered A vertex: any out-of-rect vertex qualifies outright
+        if not in_a.all():
+            return True
+        return bool((~covered(vlat, vlon, zy1, zx1, zy2, zx2)).any())
     raise ValueError(f"arrow refine does not support predicate {predicate!r}")

@@ -71,41 +71,48 @@ def disambiguate_toponyms(mentions: DataFrame) -> DataFrame:
     words = mentions.select("word").distinct()
     gaz = gazetteer(words)
 
-    # stage 1: population prior, one pick per WORD (doc-independent)
+    # stage 1: population prior, one pick per WORD (doc-independent) —
+    # materialized as a RANK on the (vocabulary-sized) gazetteer itself so
+    # the prior rides along the single broadcast fan-out below
     w1 = Window.partitionBy("word").orderBy(F.desc("pop"), F.desc("cand"))
-    prior = (
-        gaz.withColumn("_rk", F.row_number().over(w1))
-        .filter(F.col("_rk") == 1)
-        .select("word", "lat", "lon")
-    )
+    gaz_ranked = gaz.withColumn("_rk1", F.row_number().over(w1))
 
-    # document anchor: exact-integer mean center of the prior picks
-    m1 = mentions.join(F.broadcast(prior), "word")
-    anchor = m1.groupBy("doc_id").agg(
-        F.expr(
-            P.bigint_div(
-                f"sum({P.floor_scaled_sql('lat + 90.0', 4)})", "count(*)", P.SPARK
-            )
-        ).alias("_alat_e4"),
-        F.expr(
-            P.bigint_div(
-                f"sum({P.floor_scaled_sql('lon + 180.0', 4)})", "count(*)", P.SPARK
-            )
-        ).alias("_alon_e4"),
+    # ONE doc-keyed exchange for the whole operator, placed BELOW the fan
+    # so it ships plain 1x mention rows (not the 3x sense fan-out with
+    # gazetteer columns): mentions repartition by doc_id, fan out over the
+    # broadcast gazetteer (a narrow join — partitioning preserved), and
+    # the document anchor — the exact-integer mean center of the PRIOR
+    # picks — is a whole-partition window sum over doc_id of the _rk1 = 1
+    # rows (exactly one per mention), replacing the former groupBy(doc_id)
+    # aggregate + doc_id re-join of two large sides. The stage-2 rank
+    # window partitions by (doc_id, word), which hash(doc_id) already
+    # clusters, so both windows reuse the one exchange with only sorts.
+    fan = mentions.repartition(F.col("doc_id")).join(F.broadcast(gaz_ranked), "word")
+    wd = Window.partitionBy("doc_id")
+    fan = (
+        fan.withColumn(
+            "_slat",
+            F.sum(
+                F.when(F.col("_rk1") == 1, F.expr(P.floor_scaled_sql("lat + 90.0", 4)))
+            ).over(wd),
+        )
+        .withColumn(
+            "_slon",
+            F.sum(
+                F.when(F.col("_rk1") == 1, F.expr(P.floor_scaled_sql("lon + 180.0", 4)))
+            ).over(wd),
+        )
+        .withColumn("_cnt", F.count(F.when(F.col("_rk1") == 1, F.lit(1))).over(wd))
+        .withColumn("_alat_e4", F.expr(P.bigint_div("_slat", "_cnt", P.SPARK)))
+        .withColumn("_alon_e4", F.expr(P.bigint_div("_slon", "_cnt", P.SPARK)))
     )
 
     # stage 2: re-rank every sense by distance to the anchor
     alat = "(cast(_alat_e4 as double) / cast(10000 as double) - 90.0)"
     alon = "(cast(_alon_e4 as double) / cast(10000 as double) - 180.0)"
-    cand = (
-        mentions.join(F.broadcast(gaz), "word")
-        .join(anchor, "doc_id")
-        .withColumn(
-            "d_anchor_mm",
-            F.expr(
-                P.floor_scaled_sql(P.haversine_m_sql("lat", "lon", alat, alon), 3)
-            ),
-        )
+    cand = fan.withColumn(
+        "d_anchor_mm",
+        F.expr(P.floor_scaled_sql(P.haversine_m_sql("lat", "lon", alat, alon), 3)),
     )
     w2 = Window.partitionBy("doc_id", "word").orderBy("d_anchor_mm", "cand")
     return (

@@ -101,3 +101,54 @@ def test_re2_pattern_equivalent_to_frozen_v1():
         else:
             new = None
         assert old == new, f"pattern divergence on {t!r}: {old!r} vs {new!r}"
+
+
+def test_jvm_pattern_equivalent_to_re2(spark):
+    """The production JVM path (regexp_extract + GEOPARSE_PATTERN_JVM +
+    anchored lat/lon micro-extracts) must agree with the vectorized RE2
+    path on whole-match text, lat and lon — including on the whitespace
+    characters where python \\s, java \\s and RE2 \\s DISAGREE (\\v,
+    \\x1c, \\xa0, unicode spaces, NEL): the explicit [\\t\\n\\f\\r ]
+    class in the JVM pattern pins the RE2 reading, which is the behavior
+    the oracle fingerprints have exercised."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gaia_spark.functions.geoparse import GEOPARSE_PATTERN_RE2, geoparse
+
+    cases = [
+        "12.5,45.6", "x 12.34 , 56.78 y", "x 12.34\t,\t56.78 y",
+        "x 12.34\v,\v56.78 y", "x 12.34\x1c,\x1c56.78 y",
+        "x 12.34\xa0,\xa056.78 y", "x 12.34 , 56.78 y",
+        "x 12.34\n,\n56.78 y", "x 12.34\x85,\x8556.78 y",
+        "12.5,45.6\n", "a\n12.5,45.6", "12.5,45.6.", "90,180",
+        "90.0000001,45.6", "-90.000000,-180.000000", "(12.5,45.6)",
+        "x-12.5,45.6", ",12.5,45.6", "12.5 ,  45.6 more", "12.5,\n45.6",
+        "1.2,3.4 5.6,7.8", "89.9,180.1", "9,9", "0.0,0.0", ".5,.6",
+    ]
+    rng = np.random.RandomState(13)
+    alpha = ["0", "1", "5", "9", ".", ",", "-", "(", ")", "\n", "\t", " ",
+             "\v", "\xa0", "a", "Z", "90", "180", ".0", "85.123456",
+             "12.3456789", ",-"]
+    cases += ["".join(rng.choice(alpha, size=rng.randint(1, 25)))
+              for _ in range(5000)]
+    res = pc.extract_regex(pa.array(cases), GEOPARSE_PATTERN_RE2)
+    expected = []
+    for i in range(len(cases)):
+        if res[i].is_valid:
+            v = res[i].as_py()
+            expected.append((v["m"], float(v["lat"]), float(v["lon"])))
+        else:
+            expected.append((None, None, None))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r.i: (r.extracted, r.lat, r.lon)
+        for r in geoparse(df).select("i", "extracted", "lat", "lon").collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == expected[i], (
+            f"jvm/re2 divergence on {t!r}: {got[i]!r} vs {expected[i]!r}"
+        )

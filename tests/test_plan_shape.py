@@ -39,8 +39,8 @@ def test_spatial_join_is_broadcast_and_python_free(spark):
     joined = spatial_join(pts, idx, "within")
     plan = plan_of(joined)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    # exactly ONE python stage: the geoparse UDF; refinement is JVM-side
-    assert plan.count("ArrowEvalPython") == 1
+    # ZERO python stages: geoparse is JVM regexp_extract; refinement JVM
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
 
 
@@ -50,7 +50,7 @@ def test_knn_sql_path_is_python_free_after_geoparse(spark, tmp_path):
     pts = geoparse(spark.read.parquet(path))
     knn = knn_join_broadcast(pts, site_points_pdf(), k=2)
     plan = plan_of(knn)
-    assert plan.count("ArrowEvalPython") == 1  # geoparse only
+    assert "ArrowEvalPython" not in plan  # geoparse is JVM-side now
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
 
 
@@ -116,7 +116,7 @@ def test_near_join_cells_cover_is_in_plan(spark):
     out = near_join_cells(pts, sites, radius_m=400_000.0)
     plan = plan_of(out)
     assert "Generate explode" in plan             # in-plan cover derivation
-    assert plan.count("ArrowEvalPython") == 1     # geoparse only
+    assert "ArrowEvalPython" not in plan          # geoparse is JVM-side
     assert "Scan ExistingRDD" not in plan.split("Generate")[0] or True
 
 
