@@ -87,7 +87,8 @@ def disambiguate_toponyms(mentions: DataFrame) -> DataFrame:
     # aggregate + doc_id re-join of two large sides. The stage-2 rank
     # window partitions by (doc_id, word), which hash(doc_id) already
     # clusters, so both windows reuse the one exchange with only sorts.
-    fan = mentions.repartition(F.col("doc_id")).join(F.broadcast(gaz_ranked), "word")
+    n_part = int(mentions.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    fan = mentions.repartition(n_part, "doc_id").join(F.broadcast(gaz_ranked), "word")
     wd = Window.partitionBy("doc_id")
     fan = (
         fan.withColumn(

@@ -652,6 +652,7 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaia_spark.operators.trajectory import map_match
 
     w = Window.partitionBy("user_id").orderBy("event_id")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pts = (
         load(spark, sf_dir, "events")
         .filter(F.expr("event_id % 6 = 0"))
@@ -659,6 +660,15 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id",
             F.expr(_CH_LAT).alias("lat"), F.expr(_CH_LON).alias("lon"),
         )
+        # EXPLICIT user-keyed repartition (user-specified ⇒ AQE never
+        # coalesces it) replacing the window's implicit exchange: the
+        # seq window, the candidate fan-out, the top-k aggregation and
+        # the Viterbi mapInPandas stage all run on this one partitioning,
+        # and without it AQE coalesces the small window shuffle to ~1
+        # partition and serializes the whole DP (map_match's own guard
+        # repartition is elided as redundant when the input is already
+        # hash(user_id)-partitioned, so the protection must be HERE)
+        .repartition(n_part, "user_id")
         .withColumn("seq", F.row_number().over(w) - 1)
     )
     out = map_match(
