@@ -69,12 +69,6 @@ def scatter_to_grid(
     pts = points.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
     pts = pts.withColumn("_cy", F.expr(portable.cell_y_sql(lat, res)))
     pts = pts.withColumn("_cx", F.expr(portable.cell_x_sql(lon, res)))
-    # loop-invariant trig, once per point (reused by every scattered row)
-    pts = (
-        pts.withColumn("_rlat", F.expr(f"radians({lat})"))
-        .withColumn("_rlon", F.expr(f"radians({lon})"))
-        .withColumn("_coslat", F.expr(f"cos(radians({lat}))"))
-    )
     # Per-ROW longitudinal extent (exact spherical bound, not the blanket
     # deg/cos rectangle): for a point p and a center c on row _yy, the
     # haversine identity gives
@@ -130,29 +124,11 @@ def scatter_to_grid(
         )
         .withColumn("cell", F.col("_yy") * n + F.col("_xx"))
         .withColumn("_clon", F.expr(portable.cell_center_lon_sql("_xx", res)))
-        # haversine with the per-POINT trig hoisted: _rlat/_rlon/_coslat
-        # are computed once per input row (below the explode — the
-        # Generate node pins that projection per-point), so each of the
-        # ~(2·ring+1)·(2·rx+1) scattered rows saves 2 radians() and a
-        # cos(). Bit-identical to portable.haversine_m_sql: identical
-        # operations in identical order on identical values, just with
-        # the three loop-invariant subexpressions named (the oracle
-        # replays the unfactored form; hash-checked by q_kde_grid /
-        # q_idw_grid / the supply queries).
         .withColumn(
-            "dist_m",
-            F.expr(
-                f"(2.0 * {portable.EARTH_RADIUS_M} * asin(sqrt("
-                f"pow(sin((radians(_clat) - _rlat) / 2), 2) + "
-                f"_coslat * cos(radians(_clat)) * "
-                f"pow(sin((radians(_clon) - _rlon) / 2), 2))))"
-            ),
+            "dist_m", F.expr(portable.haversine_m_sql(lat, lon, "_clat", "_clon"))
         )
         .where(F.col("dist_m") <= F.lit(float(radius_m)))
-        .drop(
-            "_cy", "_cx", "_rx", "_dy", "_yy", "_dx", "_xx", "_clat", "_clon",
-            "_rlat", "_rlon", "_coslat",
-        )
+        .drop("_cy", "_cx", "_rx", "_dy", "_yy", "_dx", "_xx", "_clat", "_clon")
     )
     return out
 
