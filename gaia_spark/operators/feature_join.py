@@ -574,16 +574,20 @@ def feature_spatial_join(
             .where(F.expr(f"_cell = {rp_cell}"))
         )
 
-    # feature edge table + zone edge form, derived AFTER candidate
-    # generation: the zip_with over the (possibly large) vertex array runs
-    # once per surviving (feature, zone) pair, never for the ~99% of
-    # features whose bbox meets no zone.
-    cand = cand.withColumn("_fedges", F.expr(fedges)).withColumn(
-        "_zedges", F.expr(_ZONE_EDGES)
-    )
-
     if refine == "arrow":
-        matched = _arrow_refine(cand, predicate, kind, _PAIR_RECT)
+        # single-ring polys and lines: the numpy kernel derives A edges
+        # from the vertex ring itself (feature_refine.derive_edges — the
+        # exact _close_ring_sql twin), so the JVM skips both the per-pair
+        # zip_with edge derivation AND shipping 4 × |edges| doubles per
+        # candidate over the Arrow boundary. Multi-ring features keep the
+        # explicit flattened edge arrays.
+        a_mode = None
+        if rings_col is None:
+            a_mode = "poly_close" if kind == "poly" else "line"
+        cand = cand.withColumn("_zedges", F.expr(_ZONE_EDGES))
+        if a_mode is None:
+            cand = cand.withColumn("_fedges", F.expr(fedges))
+        matched = _arrow_refine(cand, predicate, kind, _PAIR_RECT, a_mode)
         drop = list(drop_common)
         if rings_col is not None:
             drop.append("vertices")
@@ -593,6 +597,13 @@ def feature_spatial_join(
         join_type = "left_semi" if how == "semi" else "left_anti"
         return features.join(hits, feature_key, join_type)
 
+    # feature edge table + zone edge form, derived AFTER candidate
+    # generation: the zip_with over the (possibly large) vertex array runs
+    # once per surviving (feature, zone) pair, never for the ~99% of
+    # features whose bbox meets no zone.
+    cand = cand.withColumn("_fedges", F.expr(fedges)).withColumn(
+        "_zedges", F.expr(_ZONE_EDGES)
+    )
     cand = cand.withColumn("_fedges_x", F.expr(_clip_sql("_fedges"))).withColumn(
         "_zedges_x", F.expr(_clip_sql("_zedges"))
     )
@@ -623,35 +634,34 @@ def feature_spatial_join(
     return features.join(hits, feature_key, join_type)
 
 
-def _arrow_refine(cand: DataFrame, predicate: str, kind: str, ix: dict) -> DataFrame:
+def _arrow_refine(
+    cand: DataFrame, predicate: str, kind: str, ix: dict, a_mode: str | None = None
+) -> DataFrame:
     """Filter candidate pairs with the numpy predicate backend: geometry is
     shipped as FLAT double arrays (Arrow list<double> → zero-copy numpy per
     row), the rect is the same closed bbox-intersection the SQL clip uses,
     and :func:`feature_refine.pair_predicate` mirrors the SQL algebra
-    bit-for-bit. Still map-side per pair — no shuffle is added."""
+    bit-for-bit. Still map-side per pair — no shuffle is added. All array
+    splits use native GetArrayStructFields (`arr.field`), not interpreted
+    transform lambdas; with ``a_mode`` set the A edge arrays are derived
+    in numpy and never cross the boundary at all."""
     from gaia_spark.operators.feature_refine import make_pair_udf
 
-    _ok = make_pair_udf(predicate, kind)
+    _ok = make_pair_udf(predicate, kind, a_mode)
 
-    return cand.withColumn(
-        "_okk",
-        _ok(
-            F.expr("transform(vertices, v -> v.lat)"),
-            F.expr("transform(vertices, v -> v.lon)"),
-            F.expr("transform(_fedges, e -> e.y1)"),
-            F.expr("transform(_fedges, e -> e.x1)"),
-            F.expr("transform(_fedges, e -> e.y2)"),
-            F.expr("transform(_fedges, e -> e.x2)"),
-            F.expr("transform(_zedges, e -> e.y1)"),
-            F.expr("transform(_zedges, e -> e.x1)"),
-            F.expr("transform(_zedges, e -> e.y2)"),
-            F.expr("transform(_zedges, e -> e.x2)"),
-            F.expr(ix["lat0"]),
-            F.expr(ix["lat1"]),
-            F.expr(ix["lon0"]),
-            F.expr(ix["lon1"]),
-        ),
-    ).where(F.col("_okk")).drop("_okk")
+    args = [F.col("vertices.lat"), F.col("vertices.lon")]
+    if a_mode is None:
+        args += [
+            F.col("_fedges.y1"), F.col("_fedges.x1"),
+            F.col("_fedges.y2"), F.col("_fedges.x2"),
+        ]
+    args += [
+        F.col("_zedges.y1"), F.col("_zedges.x1"),
+        F.col("_zedges.y2"), F.col("_zedges.x2"),
+        F.expr(ix["lat0"]), F.expr(ix["lat1"]),
+        F.expr(ix["lon0"]), F.expr(ix["lon1"]),
+    ]
+    return cand.withColumn("_okk", _ok(*args)).where(F.col("_okk")).drop("_okk")
 
 
 def canonical_ring_sql(vertices: str) -> str:

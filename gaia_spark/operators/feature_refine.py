@@ -26,13 +26,61 @@ BOUNDARY_EPS2 = 1e-18  # keep in lockstep with spatial_join.BOUNDARY_EPS2
 PROBE_MARGIN = 1e-6    # keep in lockstep with feature_join.PROBE_MARGIN
 
 
-def make_pair_udf(predicate: str, kind: str):
+def derive_edges(vlat, vlon, mode: str):
+    """A-side edge arrays from the raw vertex ring, numpy twin of the SQL
+    derivation: mode 'poly_close' mirrors _close_ring_sql (append the
+    first vertex when size >= 3 and first != last) before taking
+    consecutive pairs; mode 'line' takes consecutive pairs of the OPEN
+    chain. Slices are views — no copies."""
+    if mode == "poly_close" and len(vlat) >= 3 and (
+        vlat[0] != vlat[-1] or vlon[0] != vlon[-1]
+    ):
+        cy, cx = np.append(vlat, vlat[0]), np.append(vlon, vlon[0])
+    else:
+        cy, cx = vlat, vlon
+    return cy[:-1], cx[:-1], cy[1:], cx[1:]
+
+
+def make_pair_udf(predicate: str, kind: str, a_edges_mode: str | None = None):
     """Arrow-batched boolean pandas UDF over (probe-vertex arrays, A edge
     arrays, B edge arrays, bbox-intersection rect) — one call to
     :func:`pair_predicate` per candidate pair. Defined here (not in
     feature_join) so the pd.Series type hints resolve against this
-    module's globals."""
+    module's globals.
+
+    With ``a_edges_mode`` set ('poly_close' for single-ring polygons,
+    'line' for open chains), the A-side edge arrays are derived from the
+    vertex ring IN NUMPY per pair and the UDF takes 10 inputs instead of
+    14 — the JVM then neither runs the per-pair zip_with edge derivation
+    nor ships 4 × |edges| doubles per candidate across the Arrow
+    boundary. Multi-ring features (flattened vertices) must keep
+    explicit edge arrays (mode None)."""
     import pyspark.sql.functions as F
+
+    if a_edges_mode is not None:
+
+        @F.pandas_udf("boolean")
+        def _ok10(
+            vlat: pd.Series, vlon: pd.Series,
+            zy1: pd.Series, zx1: pd.Series, zy2: pd.Series, zx2: pd.Series,
+            lat0: pd.Series, lat1: pd.Series, lon0: pd.Series, lon1: pd.Series,
+        ) -> pd.Series:
+            n = len(vlat)
+            out = np.empty(n, dtype=bool)
+            arr = lambda s, i: np.asarray(s.iloc[i], dtype=np.float64)  # noqa: E731
+            for i in range(n):
+                vy, vx = arr(vlat, i), arr(vlon, i)
+                fy1, fx1, fy2, fx2 = derive_edges(vy, vx, a_edges_mode)
+                out[i] = pair_predicate(
+                    predicate, kind,
+                    vy, vx, fy1, fx1, fy2, fx2,
+                    arr(zy1, i), arr(zx1, i), arr(zy2, i), arr(zx2, i),
+                    float(lat0.iloc[i]), float(lat1.iloc[i]),
+                    float(lon0.iloc[i]), float(lon1.iloc[i]),
+                )
+            return pd.Series(out)
+
+        return _ok10
 
     @F.pandas_udf("boolean")
     def _ok(
